@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Column-level pattern operators: the Spark formulation of the reference's
+  * aggregator patterns (reference: core/.../aggregators/*).
+  *
+  * Everything here is expressed with built-in window functions over a
+  * `rangeBetween` frame on epoch-millis, so Catalyst/Tungsten codegen applies
+  * and the only shuffle is the hash partitioning on the pattern key. At
+  * cluster scale each key's events land in one task; within the task the
+  * range-frame evaluation is a single sorted pass.
+  */
+object PatternOps {
+  import Segments.millis
+
+  /** Window spec over the pattern key ordered by event-time millis. */
+  def keyWindow(keys: Seq[String], tsCol: String): WindowSpec =
+    Window.partitionBy(keys.map(col): _*).orderBy(millis(col(tsCol)))
+
+  /** Trailing time frame `[ts - windowMs, ts]` — the reference's
+    * `GroupPattern` sliding group-fold (reference:
+    * core/.../aggregators/GroupPattern.scala:20-99).
+    */
+  def trailing(keys: Seq[String], tsCol: String, windowMs: Long): WindowSpec =
+    keyWindow(keys, tsCol).rangeBetween(-windowMs, 0)
+
+  /** `avg(x, T)` / `sum(x, T)` / `count(x, T)` — windowed aggregates of the
+    * DSL (reference: core/.../Patterns.scala:125-141).
+    */
+  def avgOver(x: Column, keys: Seq[String], tsCol: String, windowMs: Long): Column =
+    avg(x).over(trailing(keys, tsCol, windowMs))
+  def sumOver(x: Column, keys: Seq[String], tsCol: String, windowMs: Long): Column =
+    sum(x).over(trailing(keys, tsCol, windowMs))
+  def countOver(x: Column, keys: Seq[String], tsCol: String, windowMs: Long): Column =
+    count(x).over(trailing(keys, tsCol, windowMs))
+
+  /** `lag(x)` — previous event's value (reference:
+    * core/.../aggregators/PreviousValue.scala:12-74 with window=1ms,
+    * Patterns.scala:123).
+    */
+  def lagOne(x: Column, keys: Seq[String], tsCol: String,
+             tieCols: Seq[String] = Nil): Column =
+    lag(x, 1).over(Segments.orderedWindow(keys, tsCol, tieCols))
+
+  /** `lag(x, T)` — the value in effect at `ts - T`: last value at-or-before
+    * that moment (reference: PreviousValue.scala:34-58 — first value *after*
+    * window start of the trailing buffer).
+    */
+  def lagTime(x: Column, keys: Seq[String], tsCol: String, windowMs: Long): Column =
+    last(x, ignoreNulls = true)
+      .over(keyWindow(keys, tsCol).rangeBetween(Window.unboundedPreceding, -windowMs))
+
+  /** truthCount: number of events in the trailing window where `cond` held
+    * (reference: core/.../aggregators/WindowStatistic.scala:13-156,
+    * projection Patterns.scala:91-113).
+    */
+  def truthCount(cond: Column, keys: Seq[String], tsCol: String,
+                 windowMs: Long): Column =
+    sum(when(cond, 1L).otherwise(0L)).over(trailing(keys, tsCol, windowMs))
+
+  /** truthMillis: milliseconds within the trailing window during which `cond`
+    * held. Duration between consecutive events is attributed to the *earlier*
+    * event's truth value, clipped to the window — the reference's
+    * edge-correction rule (WindowStatistic.scala:66-99).
+    *
+    * Columnar formulation: per event, `heldMs` = (ts - prev_ts) if the
+    * previous event satisfied cond (the interval [prev, this] counts), then
+    * truthMillis = sum(heldMs) over the trailing range frame, plus the
+    * partial interval that straddles the window's left edge.
+    */
+  def withTruthMillis(df: DataFrame, keys: Seq[String], tsCol: String,
+                      cond: Column, windowMs: Long,
+                      out: String = "truth_ms",
+                      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Segments.orderedWindow(keys, tsCol, tieCols)
+    val ms = millis(col(tsCol))
+    val d1 = df
+      .withColumn("_g_ms", ms)
+      .withColumn("_g_prev_ms", lag(ms, 1).over(w))
+      .withColumn("_g_prev_cond", lag(cond, 1).over(w))
+    // full contribution of the interval ending at this event
+    val held = when(col("_g_prev_cond") && col("_g_prev_ms").isNotNull,
+      col("_g_ms") - col("_g_prev_ms")).otherwise(0L)
+    val d2 = d1.withColumn("_g_held", held)
+    val frame = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_g_ms")).rangeBetween(-windowMs, 0)
+    // sum of contributions whose *end* lies in the window, minus the part of
+    // the oldest contributing interval that sticks out past ts - windowMs
+    val inWin = sum(col("_g_held")).over(frame)
+    val overhang = greatest(lit(0L),
+      (col("_g_ms") - windowMs) - min(when(col("_g_held") > 0, col("_g_prev_ms")))
+        .over(frame))
+    d2.withColumn(out, (inWin - when(overhang.isNull, 0L).otherwise(overhang))
+        .cast("long"))
+      .drop("_g_ms", "_g_prev_ms", "_g_prev_cond", "_g_held")
+  }
+
+  /** Timer — `X for T`: the condition holds continuously for at least
+    * `windowMs` (reference: core/.../aggregators/TimerPattern.scala:15-119).
+    * Returns the segment frame of qualifying runs: the run must span >= T of
+    * wall time; the emitted incident is the full run interval.
+    */
+  def timer(df: DataFrame, keys: Seq[String], tsCol: String, cond: Column,
+            windowMs: Long, tieCols: Seq[String] = Nil): DataFrame =
+    Segments.segmentize(df, keys, tsCol, cond, tieCols)
+      .filter(col("to_ms") - col("from_ms") >= windowMs)
+
+  /** `A andThen B` — sequencing: a success of B that starts at-or-after a
+    * success of A ends; the result interval is the union `[A.from, B.to]`
+    * (reference: core/.../AndThenPattern.scala:11-102, interval cases
+    * :65-88). `toleranceMs` is the adjacency slack (the reference uses
+    * idx-adjacency `end1 + 1`; in event-time terms consecutive events).
+    *
+    * Implemented as an interval join of the two *segment* frames. Segment
+    * cardinality is orders of magnitude below event cardinality (incidents <<
+    * events), so a key-equi join with a range predicate is cheap; the join
+    * keys are the pattern keys, so it shuffles only the compact segment
+    * frames. Each A-segment pairs with its first following B-segment.
+    */
+  def andThen(segA: DataFrame, segB: DataFrame, keys: Seq[String],
+              toleranceMs: Long = 1000L): DataFrame = {
+    val a = segA.select(
+      keys.map(col) ++ Seq(col("seg_from").as("a_from"), col("seg_to").as("a_to"),
+        col("from_ms").as("a_from_ms"), col("to_ms").as("a_to_ms")): _*)
+    val b = segB.select(
+      keys.map(col) ++ Seq(col("seg_from").as("b_from"), col("seg_to").as("b_to"),
+        col("from_ms").as("b_from_ms"), col("to_ms").as("b_to_ms")): _*)
+    val joined = a.join(b, keys)
+      .filter(col("b_from_ms") >= col("a_to_ms") - toleranceMs)
+    // first B following each A (reference pairs each A with the next B)
+    val wA = Window.partitionBy((keys :+ "a_from_ms").map(col): _*)
+      .orderBy(col("b_from_ms"), col("b_to_ms"))
+    joined.withColumn("_g_rk", row_number().over(wA))
+      .filter(col("_g_rk") === 1)
+      .select(keys.map(col) ++ Seq(
+        col("a_from").as("seg_from"), col("b_to").as("seg_to"),
+        col("a_from_ms").as("from_ms"), col("b_to_ms").as("to_ms"),
+        lit(1L).as("n_events")): _*)
+  }
+
+  /** Forward fill: carry the last non-null value of each column forward within
+    * the key — `WideDataFilling` (reference:
+    * streaming/.../transformers/SparseRowsDataAccumulator.scala:56-64,140-167).
+    * With `timeoutMs` set, a carried value expires once it is older than the
+    * timeout (reference: SparseRowsDataAccumulator.scala:91-95 key expiry).
+    */
+  def forwardFill(df: DataFrame, keys: Seq[String], tsCol: String,
+                  fillCols: Seq[String],
+                  timeoutMs: Option[Long] = None): DataFrame = {
+    val base = keyWindow(keys, tsCol)
+    val w = timeoutMs match {
+      case Some(t) => base.rangeBetween(-t, 0)
+      case None    => base.rowsBetween(Window.unboundedPreceding, 0)
+    }
+    fillCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Narrow (key-value) to wide pivot with timed forward fill —
+    * `NarrowDataUnfolding` (reference:
+    * streaming/.../transformers/SparseRowsDataAccumulator.scala:15-175,
+    * conf io/SourceDataTransformation.scala:9-18).
+    *
+    * @param valueColumnMapping sensor -> value column (e.g. string-typed
+    *        sensors read from `value_str`); sensors not in the map read from
+    *        `defaultValueCol` (reference: StreamSource.scala:34-55).
+    */
+  def unfoldNarrow(df: DataFrame, keys: Seq[String], tsCol: String,
+                   sensorCol: String, defaultValueCol: String,
+                   sensors: Seq[String],
+                   valueColumnMapping: Map[String, String] = Map.empty,
+                   timeoutMs: Option[Long] = None): DataFrame = {
+    // pivot: one row per (keys, ts), one column per sensor. Explicit sensor
+    // list keeps the plan static (no extra distinct-collect job) — matches the
+    // reference, which derives the sensor set from the patterns' field set.
+    val valueCols = (defaultValueCol +: valueColumnMapping.values.toSeq).distinct
+    val aggs = valueCols.map(vc => last(col(vc), ignoreNulls = true).as(vc))
+    val pivoted = df
+      .groupBy((keys :+ tsCol).map(col): _*)
+      .pivot(sensorCol, sensors)
+      .agg(aggs.head, aggs.tail: _*)
+    // with several value columns Spark names pivot output "{sensor}_{alias}";
+    // project each sensor to its configured value column
+    val unwrapped =
+      if (valueCols.size == 1) pivoted
+      else sensors.foldLeft(pivoted) { (d, s) =>
+        val vc = valueColumnMapping.getOrElse(s, defaultValueCol)
+        d.withColumn(s, col(s"${s}_$vc"))
+      }.drop(sensors.flatMap(s => valueCols.map(vc => s"${s}_$vc")): _*)
+    forwardFill(unwrapped, keys, tsCol, sensors, timeoutMs)
+  }
+}
