@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** Column-level pattern operators: the Spark formulation of the reference's
-  * aggregator patterns (reference: core/.../aggregators/*).
+  * aggregator patterns (reference: the core aggregators package).
   *
   * Everything here is expressed with built-in window functions over a
   * `rangeBetween` frame on epoch-millis, so Catalyst/Tungsten codegen applies
