@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++
       PatternQueries.queries ++
-      TextQueries.queries
+      TextQueries.queries ++
+      DslQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++
       PatternQueries.oracle ++
-      TextQueries.oracle
+      TextQueries.oracle ++
+      DslQueries.oracle
 }

@@ -1,0 +1,528 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Engine configuration, mirroring the reference's input-conf knobs
+  * (reference: streaming/.../io/JDBCInputConf.scala:24-49).
+  *
+  * @param keys            partition fields; all pattern state is per-key
+  * @param tsCol           event-time column (TimestampType)
+  * @param eventsMaxGapMs  data gap that resets all pattern state
+  *                        (reference: mappers/PatternProcessor.scala:77-92)
+  * @param sessionGapMs    incident merge window ("defaultEventsGapMs",
+  *                        reference: PatternsSearchJob.scala:259-305)
+  * @param toleranceFraction bare `X for T` becomes [T*(1-f), T*(1+f)]
+  */
+final case class PatternConfig(
+  keys: Seq[String],
+  tsCol: String,
+  eventsMaxGapMs: Long = 60000L,
+  sessionGapMs: Long = 2000L,
+  toleranceFraction: Double = 0.0
+)
+
+/** AST -> Spark compiler.
+  *
+  * Strategy (Spark-first, not a port of the reference's combinator
+  * interpreter): every trilean node becomes a *boolean column* over the event
+  * frame, built with window functions partitioned by (keys..., gap_run) and
+  * ordered by event-time millis — one shuffle + one sort for the whole
+  * pattern, all stages inside whole-stage codegen. The two genuinely
+  * sequential operators (`andThen`'s queue merge, which has cross-run
+  * consumption semantics) run over *run-length-compressed* segments — data
+  * that is orders of magnitude smaller than the events — and are mapped back
+  * to an event column with an equi-join on the partition key.
+  *
+  * Reference semantics sources are cited per method.
+  */
+final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
+
+  import PatternCompiler._
+
+  /** Working frame; compilation appends `_p<N>_*` columns step by step. */
+  private var df: DataFrame = _
+  private var n = 0
+  private def fresh(tag: String): String = { n += 1; s"_p${n}_$tag" }
+
+  private val MS = "_p_ms"
+  private val GAP = "_p_gap"
+  private val IDX = "_p_idx"
+  private val pcols: Seq[String] = cfg.keys :+ GAP
+
+  /** One canonical window: partition by (keys, gap_run), order by millis.
+    * Every window expression reuses this spec so Catalyst plans a single
+    * Exchange + Sort for the entire pattern.
+    */
+  private def w: WindowSpec =
+    Window.partitionBy(pcols.map(col): _*).orderBy(col(MS))
+
+  locally {
+    val ms = unix_millis(col(cfg.tsCol))
+    val keyW = Window.partitionBy(cfg.keys.map(col): _*).orderBy(ms)
+    val delta = ms - lag(ms, 1).over(keyW)
+    df = base
+      .withColumn(MS, ms)
+      .withColumn(GAP,
+        sum(when(delta > cfg.eventsMaxGapMs, 1).otherwise(0)).over(keyW).cast("long"))
+      .withColumn(IDX, row_number().over(keyW).cast("long"))
+  }
+
+  /** Compile to the final success column; returns the enriched frame and the
+    * name of a non-null boolean column (true == the pattern holds at the
+    * event).
+    */
+  def compile(ast: Ast): (DataFrame, String) = {
+    val c = trilean(ast)
+    val out = fresh("res")
+    df = df.withColumn(out, coalesce(c, lit(false)))
+    (df, out)
+  }
+
+  /** Incident extraction: run-length the success column per (keys, gap_run)
+    * — a run never crosses a gap, like the reference's per-gap-run state
+    * reset — then merge incidents closer than sessionGapMs (reference:
+    * reduceIncidents, PatternsSearchJob.scala:259-305: new series iff
+    * `from - prev.to > maxWindowMs`).
+    */
+  def incidents(ast: Ast): DataFrame = {
+    val (frame, res) = compile(ast)
+    val runCol = fresh("irun")
+    val prev = lag(col(res), 1).over(w)
+    val withRun = frame.withColumn(runCol,
+      sum(when(col(res) <=> prev, 0).otherwise(1)).over(w).cast("long"))
+    val segs = withRun
+      .filter(col(res))
+      .groupBy((pcols :+ runCol).map(col): _*)
+      .agg(
+        min(col(cfg.tsCol)).as("seg_from"),
+        max(col(cfg.tsCol)).as("seg_to"),
+        min(col(MS)).as("from_ms"),
+        max(col(MS)).as("to_ms"),
+        count(lit(1)).as("n_events"))
+      .drop(runCol, GAP)
+    graft.operators.Segments.sessionize(segs, cfg.keys, cfg.sessionGapMs)
+  }
+
+  // ------------------------------------------------------------ trilean
+
+  /** Trilean layer: returns a boolean column where `true` == Succ(true) and
+    * false/null == Fail. At this layer only and/or/andThen compose (the
+    * grammar, ASTBuilder.scala:29-38), and for those SQL semantics over
+    * non-null booleans coincide with the reference's Fail-absorbing logic
+    * (FunctionRegistry.scala:278-324).
+    */
+  private def trilean(ast: Ast): Column = ast match {
+    case AssertAst(b) =>
+      // Succ(true) iff the boolean expr is true; false and NULL both -> Fail
+      // (ASTPatternGenerator.scala:191-194)
+      coalesce(value(b), lit(false))
+
+    case Call("and", Seq(a, b)) if isTrilean(a) || isTrilean(b) =>
+      trilean(a) && trilean(b)
+    case Call("or", Seq(a, b)) if isTrilean(a) || isTrilean(b) =>
+      trilean(a) || trilean(b)
+
+    case TimerAst(cond, _, maxMs) => timer(cond, maxMs)
+
+    case UntilAst(cond, stop) =>
+      // `X until B` == Timer(X, [inf,inf]) and Assert(not B); the infinite
+      // timer succeeds on every X point (ASTBuilder.scala:48-56 + overflow
+      // behavior of TimerPattern with MaxWindow), so: X && !B
+      trilean(cond) && coalesce(!value(stop), lit(false))
+
+    case f: ForWithIntervalAst => forWithInterval(f)
+
+    case AndThenAst(a, b) => andThen(a, b)
+
+    case WaitAst(windowMs, inner) =>
+      // stretch success left by up to windowMs (WaitPattern.scala:41-87:
+      // emitted interval starts at succ-head time minus window): an event is
+      // true iff some success lies within [t, t + W] in the same gap-run
+      val c = materialize(trilean(inner), "waitin")
+      val m = fresh("wait")
+      df = df.withColumn(m,
+        max(when(col(c), col(MS))).over(w.rangeBetween(0, windowMs)).isNotNull)
+      col(m)
+
+    case other =>
+      // a bare boolean expression at trilean position (e.g. output of `or`
+      // over two comparisons)
+      coalesce(value(other), lit(false))
+  }
+
+  private def isTrilean(a: Ast): Boolean = a match {
+    case _: TimerAst | _: UntilAst | _: ForWithIntervalAst | _: AndThenAst |
+        _: WaitAst | _: AssertAst => true
+    case Call("and" | "or", args) => args.exists(isTrilean)
+    case _                        => false
+  }
+
+  /** Force a column into the frame under a fresh name (window-function
+    * results must be materialized before further window functions stack on
+    * top of them).
+    */
+  private def materialize(c: Column, tag: String): String = {
+    val name = fresh(tag)
+    df = df.withColumn(name, c)
+    name
+  }
+
+  // ------------------------------------------------------------ timer
+
+  /** `X for T`: Succ on events of a continuous true-run once the run has
+    * lasted >= windowMs; the first events of the run (before start+T) are
+    * Fail (reference: TimerPattern.scala:63-109 — fail for points with
+    * `t < head + window`, succ from the first point with `t + window <= end`
+    * through the run end).
+    */
+  private def timer(cond: Ast, windowMs: Long): Column = {
+    val c = materialize(coalesce(trilean(cond), lit(false)), "tc")
+    val prev = lag(col(c), 1, false).over(w)
+    val runStartMarker = col(c) && !prev
+    val startMs = materialize(
+      max(when(runStartMarker, col(MS))).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+      "tstart")
+    val t = fresh("timer")
+    df = df.withColumn(t, col(c) && col(MS) >= col(startMs) + windowMs)
+    col(t)
+  }
+
+  // ------------------------------------------------- window statistics
+
+  /** `X for [exactly] W <range>` via sliding truth statistics (reference:
+    * WindowStatistic.scala:45-104 + the interval decision in
+    * ASTPatternGenerator.scala:165-179).
+    *
+    * Columnar formulation: window membership is `t_i >= t - W` (queue
+    * eviction `t_i + W < t`, :81); the duration between consecutive events is
+    * attributed to the *previous* event's truth value, capped at W (:66-67,
+    * :128-133); the oldest in-window duration is clipped to the part inside
+    * the window (:86-97).
+    */
+  private def forWithInterval(f: ForWithIntervalAst): Column = {
+    val W = f.windowMs
+    val c = materialize(coalesce(trilean(f.inner), lit(false)), "wsc")
+    val prevMs = lag(col(MS), 1).over(w)
+    val prevC = lag(col(c), 1).over(w)
+    val delta = col(MS) - prevMs
+    val sdur = materialize(
+      when(prevMs.isNotNull && prevC, least(delta, lit(W))).otherwise(0L), "sdur")
+    val fdur = materialize(
+      when(prevMs.isNotNull && !prevC, least(delta, lit(W))).otherwise(0L), "fdur")
+
+    val frame = w.rangeBetween(-W, 0)
+    val hMs = min(col(MS)).over(frame)
+    val hS = min_by(col(sdur), col(MS)).over(frame)
+    val hF = min_by(col(fdur), col(MS)).over(frame)
+    // clip the oldest duration to the window (WindowStatistic.scala:86-97)
+    val sCorr = when(hS > 0, hS - (lit(W) - (col(MS) - hMs))).otherwise(0L)
+    val fCorr = when(hF > 0, hF - (lit(W) - (col(MS) - hMs))).otherwise(0L)
+    val succMs = materialize(sum(col(sdur)).over(frame) - sCorr, "sms")
+    val failMs = materialize(sum(col(fdur)).over(frame) - fCorr, "fms")
+    val succCnt = materialize(
+      sum(when(col(c), 1L).otherwise(0L)).over(frame), "scnt")
+
+    val inInterval = f.interval match {
+      case TimeIv(mn, mx)  => col(succMs) >= mn && col(succMs) <= mx
+      case CountIv(s, e)   =>
+        val lo = col(succCnt) >= s
+        e.fold(lo)(hi => lo && col(succCnt) <= hi)
+    }
+    // `exactly` => only evaluate once the window is fully covered by data
+    // (stats.totalMillis >= window, ASTPatternGenerator.scala:173)
+    val ended =
+      if (!f.exactly) lit(true)
+      else (col(succMs) + col(failMs)) >= W
+    val out = fresh("fwi")
+    df = df.withColumn(out, inInterval && ended)
+    col(out)
+  }
+
+  // ------------------------------------------------------------ andThen
+
+  /** `A andThen B`: exact port of the reference's queue-merge over
+    * run-length-compressed results (reference: AndThenPattern.scala:42-94).
+    * The merge runs on segments (tiny), not events: both operand columns are
+    * RLE'd per (keys, gap_run) into ordered run arrays, merged with
+    * [[PatternCompiler.andThenMerge]], and the resulting idx intervals are
+    * joined back to events on the partition key (equi-join, broadcast-sized
+    * right side at realistic incident cardinalities).
+    */
+  private def andThen(a: Ast, b: Ast): Column = {
+    val ca = materialize(coalesce(trilean(a), lit(false)), "ata")
+    val cb = materialize(coalesce(trilean(b), lit(false)), "atb")
+
+    def runsOf(c: String, tag: String): DataFrame = {
+      val run = fresh(s"run$tag")
+      val prev = lag(col(c), 1).over(w)
+      val d = df.withColumn(run,
+        sum(when(col(c) <=> prev, 0).otherwise(1)).over(w).cast("long"))
+      d.select((pcols.map(col) ++ Seq(col(run), col(IDX), col(c).as("v"))): _*)
+        .groupBy((pcols :+ run).map(col): _*)
+        .agg(min(col(IDX)).as("s"), max(col(IDX)).as("e"), first(col("v")).as("v"))
+        .groupBy(pcols.map(col): _*)
+        .agg(sort_array(collect_list(struct(col("s"), col("e"), col("v"))))
+          .as(s"runs$tag"))
+    }
+
+    val arrA = runsOf(ca, "A")
+    val arrB = runsOf(cb, "B")
+    val merged = arrA
+      .join(arrB, pcols)
+      .withColumn("_p_iv", andThenUdf(col("runsA"), col("runsB")))
+      .select((pcols.map(col) :+ col("_p_iv")): _*)
+
+    val out = fresh("andthen")
+    df = df
+      .join(broadcast(merged), pcols, "left")
+      .withColumn(out,
+        exists(col("_p_iv"), iv => col(IDX) >= iv.getField("_1") && col(IDX) <= iv.getField("_2")))
+      .withColumn(out, coalesce(col(out), lit(false)))
+      .drop("_p_iv")
+    col(out)
+  }
+
+  // ------------------------------------------------------------ values
+
+  /** Value layer: numeric / string / boolean scalar expressions. NULL == the
+    * reference's Fail (missing data, failed coercion); Spark's 3-valued
+    * logic reproduces the registry's Fail-absorbing `or` and Fail-propagating
+    * `and`/arithmetic (FunctionRegistry.scala:278-324).
+    */
+  private def value(ast: Ast): Column = ast match {
+    case Const(v: Double)  => lit(v)
+    case Const(v: Boolean) => lit(v)
+    case Const(v: String)  => lit(v)
+    case Const(v)          => lit(v)
+
+    case Ident(name) => col(name)
+
+    case CastAst(inner, to) =>
+      val t = to match {
+        case "int32"   => "int"
+        case "int64"   => "bigint"
+        case "float64" => "double"
+        case "boolean" => "boolean"
+        case "string"  => "string"
+      }
+      value(inner).cast(t)
+
+    case Call(fn, args) => scalarCall(fn, args.map(value))
+
+    case Agg(fn, arg, windowMs) => aggregate(fn, arg, windowMs)
+
+    case r: ReducerCall => reducer(r)
+
+    // trilean node used in a value position (e.g. compared with a boolean)
+    case other => trilean(other)
+  }
+
+  /** Scalar function registry (reference: FunctionRegistry.scala:114-454).
+    * Everything maps to a codegen'd Catalyst expression; degree-variant trig
+    * composes with `radians`.
+    */
+  private def scalarCall(fn: String, a: Seq[Column]): Column = (fn, a) match {
+    case ("add", Seq(x, y)) => x + y
+    case ("sub", Seq(x, y)) => x - y
+    case ("mul", Seq(x, y)) => x * y
+    case ("div", Seq(x, y)) => x / y
+
+    case ("lt", Seq(x, y)) => x < y
+    case ("le", Seq(x, y)) => x <= y
+    case ("gt", Seq(x, y)) => x > y
+    case ("ge", Seq(x, y)) => x >= y
+    case ("eq", Seq(x, y)) => x === y
+    case ("ne", Seq(x, y)) => x =!= y
+
+    case ("and", Seq(x, y)) => x && y
+    case ("or", Seq(x, y))  => x || y
+    case ("xor", Seq(x, y)) => x =!= y
+    case ("not", Seq(x))    => !x
+    case ("neq", Seq(x, y)) => x =!= y
+
+    case ("abs", Seq(x))  => abs(x)
+    case ("sin", Seq(x))  => sin(x)
+    case ("cos", Seq(x))  => cos(x)
+    case ("tan" | "tg", Seq(x))  => tan(x)
+    case ("cot" | "ctg", Seq(x)) => lit(1.0) / tan(x)
+    case ("sind", Seq(x)) => sin(radians(x))
+    case ("cosd", Seq(x)) => cos(radians(x))
+    case ("tand" | "tgd", Seq(x))  => tan(radians(x))
+    case ("cotd" | "ctgd", Seq(x)) => lit(1.0) / tan(radians(x))
+    // documented in the reference's docs (docs/writing-patterns.md:149-156)
+    // though absent from its registry; cheap to support properly
+    case ("exp", Seq(x))     => exp(x)
+    case ("ln", Seq(x))      => log(x)
+    case ("log", Seq(x))     => log(x)
+    case ("sigmoid", Seq(x)) => lit(1.0) / (lit(1.0) + exp(-x))
+
+    case (other, args) =>
+      throw Parser.ParseError(s"unknown function '$other'/${args.length}", 0)
+  }
+
+  /** Windowed aggregates `sum/count/avg/lag(x, T)` (reference:
+    * GroupPattern.scala:20-99, PreviousValue.scala:12-74).
+    *
+    * GroupPattern evicts at `t_i + W <= t`, so its window is the *open-left*
+    * interval (t-W, t] — hence rangeBetween(-(W-1), 0) on millis. A NULL
+    * input yields NULL output at that event but does not poison the window
+    * (the reference skips Fail inputs entirely, GroupPattern.scala:63-94).
+    *
+    * `lag(x, T)` returns the last value in effect at or before `t - T`
+    * (PreviousValue.scala:44-70); `lag(x)` is the T=1ms special case, i.e.
+    * the previous event's value.
+    */
+  private def aggregate(fn: String, argAst: Ast, windowMs: Long): Column = {
+    val x = materialize(value(argAst), "agg")
+    fn match {
+      case "lag" =>
+        val c = fresh("lag")
+        df = df.withColumn(c,
+          last(col(x), ignoreNulls = true)
+            .over(w.rangeBetween(Window.unboundedPreceding, -windowMs)))
+        col(c)
+      case _ =>
+        val frame = w.rangeBetween(-(windowMs - 1), 0)
+        val agg = fn match {
+          case "sum"   => sum(col(x))
+          case "count" => count(col(x)).cast("double")
+          case "avg"   => avg(col(x))
+        }
+        val c = fresh(fn)
+        df = df.withColumn(c, when(col(x).isNotNull, agg.over(frame)))
+        col(c)
+    }
+  }
+
+  /** Row-wise reducers with per-argument filters (reference:
+    * FunctionRegistry.scala:456-518, ReducePattern.scala:40-70: arguments
+    * failing the filter are excluded from the fold; a Fail argument that
+    * *passes* the filter fails the whole result; the filter sees Fail as NaN
+    * with Scala — not SQL — NaN ordering).
+    */
+  private def reducer(r: ReducerCall): Column = {
+    val args = r.args.map(a => value(a).cast("double"))
+    val condCol: Column => Column = r.cond match {
+      case None    => _ => lit(true)
+      case Some(u) => x => uToColumn(u, x)
+    }
+    val passNaN: Boolean = r.cond.forall(u => UExpr.eval(u, Double.NaN))
+    // a NULL (Fail) argument: if the filter passes NaN, the whole reducer
+    // fails; otherwise the argument is just excluded
+    val nullPoisons = args.map(a => a.isNull && lit(passNaN)).reduce(_ || _)
+    val pass = args.map(a => a.isNotNull && coalesce(condCol(a), lit(false)))
+
+    def foldWith(init: Column, f: (Column, Column) => Column): Column =
+      args.zip(pass).foldLeft(init) { case (acc, (a, p)) => when(p, f(acc, a)).otherwise(acc) }
+
+    val result = r.fn match {
+      case "sumof"   => foldWith(lit(0.0), _ + _)
+      case "minof"   => foldWith(lit(Double.MaxValue), least(_, _))
+      case "maxof"   => foldWith(lit(Double.MinValue), greatest(_, _))
+      case "countof" => foldWith(lit(0.0), (acc, _) => acc + 1.0)
+      case "avgof" =>
+        val s = foldWith(lit(0.0), _ + _)
+        val c = foldWith(lit(0.0), (acc, _) => acc + 1.0)
+        s / c
+      case other => throw Parser.ParseError(s"unknown reducer '$other'", 0)
+    }
+    when(!nullPoisons, result)
+  }
+
+  private def uToColumn(u: UExpr, hole: Column): Column = u match {
+    case UNum(v)    => lit(v)
+    case UHole      => hole
+    case UBool(b)   => lit(b)
+    case UNot(e)    => !uToColumn(e, hole)
+    case UAnd(l, r) => uToColumn(l, hole) && uToColumn(r, hole)
+    case UOr(l, r)  => uToColumn(l, hole) || uToColumn(r, hole)
+    case UXor(l, r) => uToColumn(l, hole) =!= uToColumn(r, hole)
+    case UBin(op, l, r) =>
+      val (a, b) = (uToColumn(l, hole), uToColumn(r, hole))
+      op match {
+        case "+" => a + b; case "-" => a - b
+        case "*" => a * b; case "/" => a / b
+      }
+    case UCmp(op, l, r) =>
+      val (a, b) = (uToColumn(l, hole), uToColumn(r, hole))
+      op match {
+        case "<" => a < b; case "<=" => a <= b
+        case ">" => a > b; case ">=" => a >= b
+        case "=" => a === b; case "!=" => a =!= b
+      }
+  }
+}
+
+object PatternCompiler {
+
+  /** Exact port of the reference's andThen queue merge
+    * (AndThenPattern.scala:42-94) over run-length-compressed values.
+    *
+    * Runs are (startIdx, endIdx, isSucc) triples sorted by start. Emits the
+    * success intervals only: union [min(s1,s2), max(e1+1, e2)] when a B-run
+    * begins inside-or-adjacent-after an A-run; both sides are then rewound
+    * past the emitted interval (consumption), reproducing the reference's
+    * sequential matching.
+    */
+  def andThenMerge(
+    aRuns: Seq[(Long, Long, Boolean)],
+    bRuns: Seq[(Long, Long, Boolean)]
+  ): Seq[(Long, Long)] = {
+    // mutable queues with rewind semantics (PQueue.scala:77-94)
+    final class Q(init: Seq[(Long, Long, Boolean)]) {
+      private val buf = ArrayBuffer.from(init)
+      def headOption: Option[(Long, Long, Boolean)] = buf.headOption
+      def size: Int = buf.size
+      def behead(): Unit = if (buf.nonEmpty) buf.remove(0)
+      def rewindTo(newStart: Long): Unit = {
+        while (buf.nonEmpty && buf.head._2 < newStart) buf.remove(0)
+        if (buf.nonEmpty && buf.head._1 <= newStart)
+          buf(0) = buf.head.copy(_1 = newStart)
+      }
+      def unwindWhile(p: ((Long, Long, Boolean)) => Boolean): Unit =
+        while (buf.nonEmpty && p(buf.head)) buf.remove(0)
+    }
+
+    val first = new Q(aRuns)
+    val second = new Q(bRuns)
+    val out = ArrayBuffer.empty[(Long, Long)]
+    var done = false
+    while (!done) {
+      (first.headOption, second.headOption) match {
+        case (Some((s1, e1, v1)), Some((s2, e2, v2))) =>
+          if (!v1) {
+            first.behead()
+            second.unwindWhile(_._2 <= s1)
+          } else if (!v2) {
+            if (first.size == 1) { first.rewindTo(e2 + 1); second.behead() }
+            else second.behead()
+          } else {
+            if (s1 > e2) second.behead() // late B, skip
+            else if (e1 + 1 < s2) first.behead() // gap, fail A
+            else {
+              val start = math.min(s1, s2)
+              val end = math.max(e1 + 1, e2)
+              out += ((start, end))
+              first.rewindTo(end + 1)
+              second.rewindTo(end + 1)
+            }
+          }
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  /** UDF wrapper: rows are structs (s, e, v) sorted by s. */
+  val andThenUdf = udf { (a: Seq[Row], b: Seq[Row]) =>
+    val ar = a.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val br = b.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val maxIdx = math.max(ar.lastOption.map(_._2).getOrElse(0L),
+      br.lastOption.map(_._2).getOrElse(0L))
+    andThenMerge(ar, br).map { case (s, e) => (s, math.min(e, maxIdx)) }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.dsl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Public API of the pattern engine — the Spark analogue of the reference's
+  * job pipeline (reference: streaming/.../PatternsSearchJob.scala:89-160):
+  * parse -> compile to columns -> per-key windowed evaluation -> segments ->
+  * incident sessionization.
+  */
+object TspEngine {
+
+  final case class RawPattern(id: String, sourceCode: String, subunit: Int = 0)
+
+  /** Incidents for one pattern: `(keys..., seg_from, seg_to, from_ms, to_ms,
+    * n_events)`, one row per merged incident.
+    */
+  def incidents(df: DataFrame, pattern: String, cfg: PatternConfig): DataFrame = {
+    val ast = Parser.parse(pattern, cfg.toleranceFraction) match {
+      case Right(a)  => a
+      case Left(err) => throw err
+    }
+    new PatternCompiler(df, cfg).incidents(ast)
+  }
+
+  /** All patterns over one source frame; output gains `pattern_id`.
+    * Each pattern compiles to its own column pipeline over the same scan;
+    * Spark reuses the exchange because every pipeline shuffles on the same
+    * keys.
+    */
+  def incidentsAll(df: DataFrame, patterns: Seq[RawPattern], cfg: PatternConfig): DataFrame =
+    patterns
+      .map(p => incidents(df, p.sourceCode, cfg).withColumn("pattern_id", lit(p.id)))
+      .reduce(_ unionByName _)
+
+  /** Parse-only validation — the `/patterns/validate` endpoint analogue
+    * (reference: dsl/.../PatternsValidator.scala:9-37): for each pattern,
+    * either the AST's referenced fields or a parse error.
+    */
+  def validate(patterns: Seq[String]): Seq[Either[String, Set[String]]] =
+    patterns.map { p =>
+      Parser.parse(p) match {
+        case Right(ast) => Right(fields(ast))
+        case Left(err)  => Left(err.getMessage)
+      }
+    }
+
+  /** Referenced fields — PatternMetadata.fields (reference:
+    * dsl/.../PatternMetadata.scala:4-18). Drives source-side column pruning.
+    */
+  def fields(ast: Ast): Set[String] = ast match {
+    case Ident(n)                  => Set(n)
+    case Const(_)                  => Set.empty
+    case Call(_, args)             => args.flatMap(fields).toSet
+    case ReducerCall(_, _, args)   => args.flatMap(fields).toSet
+    case Agg(_, a, _)              => fields(a)
+    case CastAst(a, _)             => fields(a)
+    case AssertAst(a)              => fields(a)
+    case TimerAst(a, _, _)         => fields(a)
+    case AndThenAst(a, b)          => fields(a) ++ fields(b)
+    case WaitAst(_, a)             => fields(a)
+    case UntilAst(a, b)            => fields(a) ++ fields(b)
+    case ForWithIntervalAst(a, _, _, _) => fields(a)
+  }
+
+  /** Total window time the pattern needs — PatternMetadata.sumWindowsMs,
+    * used for state sizing (reference: PatternMetadata.scala:4-18).
+    */
+  def sumWindowsMs(ast: Ast): Long = ast match {
+    case Agg(_, a, w)              => sumWindowsMs(a) + w
+    case TimerAst(a, _, mx)        => sumWindowsMs(a) + mx
+    case WaitAst(w, a)             => sumWindowsMs(a) + w
+    case ForWithIntervalAst(a, _, w, _) => sumWindowsMs(a) + w
+    case Call(_, args)             => args.map(sumWindowsMs).sum
+    case ReducerCall(_, _, args)   => args.map(sumWindowsMs).sum
+    case CastAst(a, _)             => sumWindowsMs(a)
+    case AssertAst(a)              => sumWindowsMs(a)
+    case AndThenAst(a, b)          => sumWindowsMs(a) + sumWindowsMs(b)
+    case UntilAst(a, b)            => sumWindowsMs(a) + sumWindowsMs(b)
+    case _                         => 0L
+  }
+}

@@ -1,0 +1,213 @@
+package graft.queries
+
+import graft.Tables
+import graft.dsl.{PatternConfig, TspEngine}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end DSL queries: pattern source text -> parser -> compiler ->
+  * incidents, over the `events` table. These are the driver-gate counterpart
+  * of the golden-corpus ScalaTest suite (CorpusWideSpec) — the oracle SQL
+  * re-derives the same semantics independently in DuckDB.
+  *
+  * The events table is sparse (median inter-event gap per user ~7.3 h), so
+  * windows are day-scale: state resets at gaps > 7 days, incidents merge when
+  * closer than 1 day.
+  */
+object DslQueries {
+
+  private val G = 604800000L // eventsMaxGapMs: 7 days
+  private val S = 86400000L  // incident session gap: 1 day
+
+  private val cfg = PatternConfig(
+    keys = Seq("user_id"),
+    tsCol = "ts",
+    eventsMaxGapMs = G,
+    sessionGapMs = S
+  )
+
+  private def run(s: SparkSession, d: String, pattern: String): DataFrame =
+    TspEngine.incidents(Tables.events(s, d), pattern, cfg)
+      .select(col("user_id"), col("from_ms"), col("to_ms"), col("n_events"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // parser + comparison + segmentization + sessionization
+    "dsl_simple" -> ((s, d) => run(s, d, "value > 100")),
+
+    // TimerPattern: continuously > 50 for at least 24 hours
+    "dsl_timer" -> ((s, d) => run(s, d, "value > 50 for 24 hr")),
+
+    // WindowStatistic + repetition range: > 5 matches within a 7-day window
+    "dsl_forstat" -> ((s, d) => run(s, d, "value > 100 for 168 hr > 5 times")),
+
+    // `until`: X and not B
+    "dsl_until" -> ((s, d) => run(s, d, "value > 50 until event_type = 'error'")),
+
+    // PreviousValue lag(x, T): value rose vs the value in effect 24h earlier
+    "dsl_lag" -> ((s, d) => run(s, d, "lag(value, 24 hr) < value")),
+
+    // ReducePattern avgOf with a per-argument filter
+    "dsl_reducer" -> ((s, d) => run(s, d, "avgOf(value, lag(value); _ >= 0) > 150")),
+
+    // AndThenPattern over the DSL (exact queue-merge semantics; the driver
+    // does a rows-only check here — the sequential consumption rule is not
+    // expressible in one SQL pass; semantics are locked by CorpusWideSpec)
+    "dsl_andthen" -> ((s, d) => run(s, d, "value > 150 andThen event_type = 'purchase'"))
+  )
+
+  /** Shared oracle scaffolding: events with epoch-ms and a gap-run id that
+    * increments at data gaps > G (the engine's state-reset rule).
+    */
+  private val eCte =
+    s"""WITH e0 AS (SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms
+       |            FROM events),
+       |e AS (SELECT *, sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > $G
+       |                         THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY user_id ORDER BY ms) AS grun
+       |      FROM (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev_ms
+       |            FROM e0))""".stripMargin
+
+  /** Gaps-and-islands of `cond` within (user, gap-run). */
+  private def segSql(cond: String): String =
+    s"""runs AS (
+       |  SELECT user_id, grun, ms, cond,
+       |    sum(CASE WHEN cond IS NOT DISTINCT FROM prev THEN 0 ELSE 1 END)
+       |      OVER (PARTITION BY user_id, grun ORDER BY ms) AS run_id
+       |  FROM (SELECT *, ($cond) AS cond,
+       |          lag(($cond)) OVER (PARTITION BY user_id, grun ORDER BY ms) AS prev
+       |        FROM e) ),
+       |seg AS (
+       |  SELECT user_id, min(ms) AS from_ms, max(ms) AS to_ms,
+       |         count(*) AS n_events
+       |  FROM runs WHERE cond GROUP BY user_id, grun, run_id)""".stripMargin
+
+  /** Merge segments closer than S (incident sessionization). */
+  private val sessSql =
+    s"""sess AS (
+       |  SELECT user_id, from_ms, to_ms, n_events,
+       |    sum(CASE WHEN prev_max_to IS NULL OR from_ms > prev_max_to + $S
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY from_ms, to_ms) AS sid
+       |  FROM (SELECT *, max(to_ms) OVER (PARTITION BY user_id
+       |          ORDER BY from_ms, to_ms
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_to
+       |        FROM seg))""".stripMargin
+
+  private val sessSelect =
+    """SELECT user_id, min(from_ms) AS from_ms, max(to_ms) AS to_ms,
+      |       CAST(sum(n_events) AS BIGINT) AS n_events
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
+  private def condIncidents(cond: String): String =
+    s"$eCte, ${segSql(cond)}, $sessSql\n$sessSelect"
+
+  val oracle: Map[String, String] = Map(
+    "dsl_simple" -> condIncidents("value > 100"),
+
+    // timer: within each true-run (split at gaps), success spans from the
+    // first event at-or-after run_start + T through the run end
+    "dsl_timer" ->
+      s"""$eCte, ${segSql("value > 50")},
+         |traw AS (
+         |  SELECT r.user_id, min(r.ms) AS from_ms, max(r.ms) AS to_ms,
+         |         count(*) AS n_events
+         |  FROM runs r
+         |  JOIN (SELECT user_id, grun, run_id, min(ms) AS start_ms
+         |        FROM runs WHERE cond GROUP BY user_id, grun, run_id) st
+         |    ON r.user_id = st.user_id AND r.grun = st.grun AND r.run_id = st.run_id
+         |  WHERE r.cond AND r.ms >= st.start_ms + ${86400000L}
+         |  GROUP BY r.user_id, r.grun, r.run_id),
+         |sess AS (
+         |  SELECT user_id, from_ms, to_ms, n_events,
+         |    sum(CASE WHEN prev_max_to IS NULL OR from_ms > prev_max_to + $S
+         |             THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY from_ms, to_ms) AS sid
+         |  FROM (SELECT *, max(to_ms) OVER (PARTITION BY user_id
+         |          ORDER BY from_ms, to_ms
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_to
+         |        FROM traw))
+         |$sessSelect""".stripMargin,
+
+    // window statistic: success-count >= 6 in the closed trailing 7-day
+    // window, truncated at gap-run boundaries; the result column is a new
+    // boolean whose true-runs then segment + sessionize as usual
+    "dsl_forstat" ->
+      s"""$eCte,
+         |st AS (
+         |  SELECT user_id, grun, ms,
+         |    (sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY user_id, grun ORDER BY ms
+         |       RANGE BETWEEN ${604800000L} PRECEDING AND CURRENT ROW)) >= 6 AS cond
+         |  FROM e),
+         |runs AS (
+         |  SELECT user_id, grun, ms, cond,
+         |    sum(CASE WHEN cond IS NOT DISTINCT FROM prev THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY user_id, grun ORDER BY ms) AS run_id
+         |  FROM (SELECT *, lag(cond) OVER (PARTITION BY user_id, grun ORDER BY ms) AS prev
+         |        FROM st)),
+         |seg AS (
+         |  SELECT user_id, min(ms) AS from_ms, max(ms) AS to_ms,
+         |         count(*) AS n_events
+         |  FROM runs WHERE cond GROUP BY user_id, grun, run_id),
+         |$sessSql
+         |$sessSelect""".stripMargin,
+
+    "dsl_until" -> condIncidents("value > 50 AND NOT (event_type = 'error')"),
+
+    // lag(x, T): last value at or before ms - T within the gap-run
+    "dsl_lag" ->
+      s"""$eCte,
+         |lg AS (
+         |  SELECT user_id, grun, ms, value,
+         |    last_value(value) OVER (PARTITION BY user_id, grun ORDER BY ms
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND ${86400000L} PRECEDING) AS lagv
+         |  FROM e),
+         |runs AS (
+         |  SELECT user_id, grun, ms, cond,
+         |    sum(CASE WHEN cond IS NOT DISTINCT FROM prev THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY user_id, grun ORDER BY ms) AS run_id
+         |  FROM (SELECT *, COALESCE(lagv < value, FALSE) AS cond,
+         |          lag(COALESCE(lagv < value, FALSE)) OVER
+         |            (PARTITION BY user_id, grun ORDER BY ms) AS prev
+         |        FROM lg)),
+         |seg AS (
+         |  SELECT user_id, min(ms) AS from_ms, max(ms) AS to_ms,
+         |         count(*) AS n_events
+         |  FROM runs WHERE cond GROUP BY user_id, grun, run_id),
+         |$sessSql
+         |$sessSelect""".stripMargin,
+
+    // avgOf(value, lag(value); _ >= 0) > 150: the filter drops negative
+    // arguments; a NULL lag fails the filter (NaN >= 0 is false in Scala),
+    // so it is excluded rather than poisoning the result; avg of an empty
+    // set is NaN and the comparison fails
+    "dsl_reducer" ->
+      s"""$eCte,
+         |lg AS (
+         |  SELECT user_id, grun, ms, value,
+         |    lag(value) OVER (PARTITION BY user_id, grun ORDER BY ms) AS lagv
+         |  FROM e),
+         |red AS (
+         |  SELECT user_id, grun, ms,
+         |    (CASE WHEN value >= 0 THEN value ELSE 0 END
+         |     + CASE WHEN lagv IS NOT NULL AND lagv >= 0 THEN lagv ELSE 0 END)
+         |    / NULLIF((CASE WHEN value >= 0 THEN 1 ELSE 0 END
+         |            + CASE WHEN lagv IS NOT NULL AND lagv >= 0 THEN 1 ELSE 0 END), 0)
+         |      AS avgv
+         |  FROM lg),
+         |runs AS (
+         |  SELECT user_id, grun, ms, cond,
+         |    sum(CASE WHEN cond IS NOT DISTINCT FROM prev THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY user_id, grun ORDER BY ms) AS run_id
+         |  FROM (SELECT *, COALESCE(avgv > 150, FALSE) AS cond,
+         |          lag(COALESCE(avgv > 150, FALSE)) OVER
+         |            (PARTITION BY user_id, grun ORDER BY ms) AS prev
+         |        FROM red)),
+         |seg AS (
+         |  SELECT user_id, min(ms) AS from_ms, max(ms) AS to_ms,
+         |         count(*) AS n_events
+         |  FROM runs WHERE cond GROUP BY user_id, grun, run_id),
+         |$sessSql
+         |$sessSelect""".stripMargin
+  )
+}

