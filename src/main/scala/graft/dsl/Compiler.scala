@@ -331,12 +331,19 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
     case ("mul", Seq(x, y)) => x * y
     case ("div", Seq(x, y)) => x / y
 
-    case ("lt", Seq(x, y)) => x < y
-    case ("le", Seq(x, y)) => x <= y
-    case ("gt", Seq(x, y)) => x > y
-    case ("ge", Seq(x, y)) => x >= y
-    case ("eq", Seq(x, y)) => x === y
-    case ("ne", Seq(x, y)) => x =!= y
+    // Missing numeric data decodes to NaN in the reference
+    // (BasicDecoders.scala:16-77), and comparisons follow *Scala* NaN
+    // ordering: every comparison with NaN is false except `!=`, which is
+    // true. A NULL operand here plays NaN's role, so ordered comparisons and
+    // equality collapse NULL to false while `ne` collapses it to true.
+    // (Spark's native NaN ordering — NaN greatest — would silently flip
+    // `NaN > x` to true, so the NULL path must be explicit.)
+    case ("lt", Seq(x, y)) => coalesce(x < y, lit(false))
+    case ("le", Seq(x, y)) => coalesce(x <= y, lit(false))
+    case ("gt", Seq(x, y)) => coalesce(x > y, lit(false))
+    case ("ge", Seq(x, y)) => coalesce(x >= y, lit(false))
+    case ("eq", Seq(x, y)) => coalesce(x === y, lit(false))
+    case ("ne", Seq(x, y)) => when(x.isNull || y.isNull, lit(true)).otherwise(x =!= y)
 
     case ("and", Seq(x, y)) => x && y
     case ("or", Seq(x, y))  => x || y

@@ -151,8 +151,10 @@ object PatternOps {
                   fillCols: Seq[String],
                   timeoutMs: Option[Long] = None): DataFrame = {
     val base = keyWindow(keys, tsCol)
+    // reference expiry is `now - recorded >= timeout` (strict retain `<`,
+    // SparseRowsDataAccumulator.scala:91-95), hence the open left edge
     val w = timeoutMs match {
-      case Some(t) => base.rangeBetween(-t, 0)
+      case Some(t) => base.rangeBetween(-(t - 1), 0)
       case None    => base.rowsBetween(Window.unboundedPreceding, 0)
     }
     fillCols.foldLeft(df) { (d, c) =>
