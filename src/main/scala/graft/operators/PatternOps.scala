@@ -108,36 +108,41 @@ object PatternOps {
     Segments.segmentize(df, keys, tsCol, cond, tieCols)
       .filter(col("to_ms") - col("from_ms") >= windowMs)
 
-  /** `A andThen B` — sequencing: a success of B that starts at-or-after a
-    * success of A ends; the result interval is the union `[A.from, B.to]`
-    * (reference: core/.../AndThenPattern.scala:11-102, interval cases
-    * :65-88). `toleranceMs` is the adjacency slack (the reference uses
-    * idx-adjacency `end1 + 1`; in event-time terms consecutive events).
+  /** `A andThen B` — sequencing: each A-success pairs with the first
+    * B-success that starts at-or-after `A.to - toleranceMs`; the result
+    * interval is `[A.from, B.to]` (reference:
+    * core/.../AndThenPattern.scala:11-102; the exact queue-merge semantics
+    * including consumption live in [[graft.dsl.PatternCompiler]] — this is
+    * the standalone segment-level combinator).
     *
-    * Implemented as an interval join of the two *segment* frames. Segment
-    * cardinality is orders of magnitude below event cardinality (incidents <<
-    * events), so a key-equi join with a range predicate is cheap; the join
-    * keys are the pattern keys, so it shuffles only the compact segment
-    * frames. Each A-segment pairs with its first following B-segment.
+    * Implemented as one window pass over the *union* of the two segment
+    * frames — no join, so no per-key A-cross-B blowup when a flapping
+    * condition yields thousands of segments on one key. Each A row is
+    * anchored at `a_to - tolerance`; the first B at-or-after that anchor is
+    * the running minimum of `(b_from, b_to)` over the following rows.
     */
   def andThen(segA: DataFrame, segB: DataFrame, keys: Seq[String],
               toleranceMs: Long = 1000L): DataFrame = {
-    val a = segA.select(
-      keys.map(col) ++ Seq(col("seg_from").as("a_from"), col("seg_to").as("a_to"),
-        col("from_ms").as("a_from_ms"), col("to_ms").as("a_to_ms")): _*)
-    val b = segB.select(
-      keys.map(col) ++ Seq(col("seg_from").as("b_from"), col("seg_to").as("b_to"),
-        col("from_ms").as("b_from_ms"), col("to_ms").as("b_to_ms")): _*)
-    val joined = a.join(b, keys)
-      .filter(col("b_from_ms") >= col("a_to_ms") - toleranceMs)
-    // first B following each A (reference pairs each A with the next B)
-    val wA = Window.partitionBy((keys :+ "a_from_ms").map(col): _*)
-      .orderBy(col("b_from_ms"), col("b_to_ms"))
-    joined.withColumn("_g_rk", row_number().over(wA))
-      .filter(col("_g_rk") === 1)
-      .select(keys.map(col) ++ Seq(
-        col("a_from").as("seg_from"), col("b_to").as("seg_to"),
-        col("a_from_ms").as("from_ms"), col("b_to_ms").as("to_ms"),
+    val kc = keys.map(col)
+    val a = segA.select(kc ++ Seq(
+      (col("to_ms") - toleranceMs).as("_g_pos"), lit(0).as("_g_isb"),
+      col("seg_from").as("_g_afrom"), col("from_ms").as("_g_afromms"),
+      lit(null).cast("struct<fms:bigint,tms:bigint,to:timestamp>").as("_g_b")): _*)
+    val b = segB.select(kc ++ Seq(
+      col("from_ms").as("_g_pos"), lit(1).as("_g_isb"),
+      lit(null).cast("timestamp").as("_g_afrom"), lit(null).cast("bigint").as("_g_afromms"),
+      struct(col("from_ms").as("fms"), col("to_ms").as("tms"),
+        col("seg_to").as("to")).as("_g_b")): _*)
+    // B rows sort after A rows at equal position, so an adjacent B (b_from ==
+    // a_to - tol) is inside the A row's following-frame
+    val w = Window.partitionBy(kc: _*).orderBy(col("_g_pos"), col("_g_isb"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    a.unionByName(b)
+      .withColumn("_g_next", min(col("_g_b")).over(w))
+      .filter(col("_g_isb") === 0 && col("_g_next").isNotNull)
+      .select(kc ++ Seq(
+        col("_g_afrom").as("seg_from"), col("_g_next.to").as("seg_to"),
+        col("_g_afromms").as("from_ms"), col("_g_next.tms").as("to_ms"),
         lit(1L).as("n_events")): _*)
   }
 

@@ -94,6 +94,45 @@ object PatternQueries {
       val b = Segments.segmentize(e, K, TS, col("event_type") === "purchase", TIE)
       PatternOps.andThen(a, b, K, toleranceMs = 0L)
         .select(col("user_id"), col("from_ms"), col("to_ms"))
+    },
+
+    // WindowStatistic truthMillis: ms within the trailing 7d window during
+    // which (value > 100) held; durations attributed to the earlier event,
+    // clipped at the window edge (reference: WindowStatistic.scala:66-99).
+    "pat_truth_millis" -> { (s, d) =>
+      PatternOps.withTruthMillis(Tables.events(s, d), K, TS,
+          col("value") > 100, 604800000L, tieCols = TIE)
+        .select(col("user_id"), col("event_id"), col("truth_ms"))
+    },
+
+    // WideDataFilling: carry last non-null value forward with a 2d timeout
+    // (nulls injected at error events to exercise the fill).
+    "pat_fill" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .withColumn("v", when(col("event_type") =!= "error", col("value")))
+      PatternOps.forwardFill(e, K, TS, Seq("v"), timeoutMs = Some(172800000L))
+        .select(col("user_id"), col("event_id"), col("v"))
+    },
+
+    // NarrowDataUnfolding: events-as-kv (event_type is the sensor id) pivoted
+    // to one wide row per (user, ts) with 2d timeout fill.
+    "pat_unfold" -> { (s, d) =>
+      val types = Seq("click", "view", "purchase", "error", "signup")
+      PatternOps.unfoldNarrow(Tables.events(s, d), K, TS,
+          sensorCol = "event_type", defaultValueCol = "value",
+          sensors = types, timeoutMs = Some(172800000L))
+        .select(col("user_id") +: Segments.millis(col(TS)).as("ms") +:
+          types.map(col): _*)
+    },
+
+    // Gap splitter: eventsMaxGapMs state-reset runs (7d) per key.
+    "pat_gap_run" -> { (s, d) =>
+      Segments.withGapRunId(Tables.events(s, d), K, TS, 604800000L,
+          tieCols = TIE)
+        .groupBy(col("user_id"), col("gap_run"))
+        .agg(count(lit(1)).as("n_events"),
+          min(Segments.millis(col(TS))).as("from_ms"),
+          max(Segments.millis(col(TS))).as("to_ms"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -162,5 +201,59 @@ object PatternQueries {
          |  FROM seg a JOIN bseg b ON a.user_id = b.user_id
          |  WHERE b.from_ms >= a.to_ms)
          |SELECT user_id, a_from AS from_ms, b_to AS to_ms FROM j
-         |WHERE rk = 1""".stripMargin)
+         |WHERE rk = 1""".stripMargin,
+    // independent formulation: per (event, contributing interval) self-join
+    // with explicit clipping of each interval to the window
+    "pat_truth_millis" ->
+      s"""$eCte
+         |SELECT a.user_id, a.event_id,
+         |  CAST(COALESCE(SUM(CASE WHEN wprev.prev_cond
+         |    THEN wprev.ms - GREATEST(wprev.prev_ms, a.ms - 604800000)
+         |    ELSE 0 END), 0) AS BIGINT) AS truth_ms
+         |FROM e a
+         |LEFT JOIN (SELECT user_id, ms,
+         |             lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms,
+         |             lag(value > 100) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_cond
+         |           FROM e) wprev
+         |  ON a.user_id = wprev.user_id
+         |  AND wprev.ms BETWEEN a.ms - 604800000 AND a.ms
+         |  AND wprev.prev_ms IS NOT NULL
+         |GROUP BY a.user_id, a.event_id""".stripMargin,
+    "pat_fill" ->
+      s"""$eCte
+         |SELECT user_id, event_id,
+         |  last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ms
+         |          RANGE BETWEEN 172799999 PRECEDING AND CURRENT ROW) AS v
+         |FROM e""".stripMargin,
+    "pat_unfold" ->
+      s"""$eCte, p AS (
+         |  SELECT user_id, ms,
+         |    max(CASE WHEN event_type = 'click' THEN value END) AS click,
+         |    max(CASE WHEN event_type = 'view' THEN value END) AS view,
+         |    max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+         |    max(CASE WHEN event_type = 'error' THEN value END) AS error,
+         |    max(CASE WHEN event_type = 'signup' THEN value END) AS signup
+         |  FROM e GROUP BY user_id, ms)
+         |SELECT user_id, ms,
+         |  last_value(click IGNORE NULLS) OVER w AS click,
+         |  last_value(view IGNORE NULLS) OVER w AS view,
+         |  last_value(purchase IGNORE NULLS) OVER w AS purchase,
+         |  last_value(error IGNORE NULLS) OVER w AS error,
+         |  last_value(signup IGNORE NULLS) OVER w AS signup
+         |FROM p
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ms
+         |  RANGE BETWEEN 172799999 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "pat_gap_run" ->
+      s"""$eCte
+         |SELECT user_id, gap_run, count(*) AS n_events,
+         |       min(ms) AS from_ms, max(ms) AS to_ms
+         |FROM (SELECT user_id, ms,
+         |        sum(CASE WHEN prev_ms IS NOT NULL AND ms - prev_ms > 604800000
+         |                 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap_run
+         |      FROM (SELECT user_id, ms, event_id,
+         |              lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms
+         |            FROM e))
+         |GROUP BY user_id, gap_run""".stripMargin)
 }

@@ -30,14 +30,26 @@ object RelationalQueries {
           count(lit(1)).as("cnt"))
     },
 
-    // Per-group top-k via rank window — k tiny, so a single shuffle on the
-    // group key and an in-memory sort per partition.
+    // Per-group top-k, two-phase. o_orderpriority has only 5 distinct
+    // values, so a direct rank window would funnel the whole table through 5
+    // tasks at scale. Phase 1 ranks within (priority, input-partition) — a
+    // high-cardinality key that spreads the exchange — and keeps at most k
+    // rows per (priority, partition); phase 2 ranks the surviving
+    // k * numPartitions * 5 rows, which is trivially small.
     "q2_topk" -> { (s, d) =>
+      val k = 3
+      val pre = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("_pid", spark_partition_id())
+      val w1 = Window.partitionBy(col("o_orderpriority"), col("_pid"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val cand = pre.withColumn("_rn1", row_number().over(w1))
+        .filter(col("_rn1") <= k)
+        .drop("_pid", "_rn1")
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
         .select(col("o_orderpriority"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("total"), col("rn"))
     },
