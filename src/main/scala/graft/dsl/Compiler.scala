@@ -434,7 +434,10 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
       case "avgof" =>
         val s = foldWith(lit(0.0), _ + _)
         val c = foldWith(lit(0.0), (acc, _) => acc + 1.0)
-        s / c
+        // reference: 0 survivors -> 0.0/0.0 = NaN -> every comparison fails
+        // (Scala ordering). Spark's NaN sorts *greatest*, so emit NULL (our
+        // Fail/NaN stand-in) instead of letting NaN leak into comparisons.
+        when(c > 0, s / c)
       case other => throw Parser.ParseError(s"unknown reducer '$other'", 0)
     }
     when(!nullPoisons, result)
