@@ -21,7 +21,8 @@ object SparkEntry {
     RelationalQueries.queries ++
       PatternQueries.queries ++
       TextQueries.queries ++
-      DslQueries.queries
+      DslQueries.queries ++
+      LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
     RelationalQueries.oracle ++
       PatternQueries.oracle ++
       TextQueries.oracle ++
-      DslQueries.oracle
+      DslQueries.oracle ++
+      LlmQueries.oracle
 }

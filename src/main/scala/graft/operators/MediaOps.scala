@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads ride through the
+  * pipeline as opaque `binary` columns with a typed metadata struct. The
+  * Spark-side mechanics — schema, per-partition batched processing, feature
+  * schema — are real; the actual codec call is stubbed with a deterministic
+  * fake (this environment ships no image/audio libraries), clearly marked
+  * below.
+  */
+object MediaOps {
+
+  val featureDim = 8
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("n_bytes", LongType))))))
+
+  /** Wrap any keyed text frame as a media frame (payload = utf-8 bytes) —
+    * stands in for reading real image/audio blobs.
+    */
+  def asMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(lit("txt").as("format"),
+        octet_length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
+
+  /** ==== STUB ====
+    * A real implementation decodes the payload (JPEG decode, audio
+    * resample, video frame sampling) inside the per-partition batch loop of
+    * [[decodeFeaturesBatched]]. With no codec libraries in this
+    * environment, the "decoded features" are a deterministic function of
+    * the payload's md5, so plumbing is testable end-to-end and
+    * reproducible by external oracles.
+    */
+  def fakeFeatures(md5hex: String): Array[Int] =
+    (0 until featureDim).map(j => md5hex.charAt(j).toInt).toArray
+
+  /** Columnar formulation of the same stub (codegen'd; used as the oracle
+    * for the batched path).
+    */
+  def featureColumns(df: DataFrame): DataFrame =
+    df.withColumn("features",
+        transform(sequence(lit(1), lit(featureDim)),
+          j => ascii(substr(md5(col("payload")), j, lit(1))).cast("int")))
+      .select(col("media_id"), col("meta.format").as("format"),
+        col("meta.n_bytes").as("n_bytes"), col("features"))
+
+  /** The production-shaped path: process payloads in bounded batches per
+    * partition (the shape a vectorized codec / model runtime needs), emit
+    * one feature row per media item. No shuffle: a narrow mapPartitions.
+    */
+  def decodeFeaturesBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("format", StringType),
+      StructField("n_bytes", LongType),
+      StructField("features", ArrayType(IntegerType))))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val projected = df.select(col("media_id"), col("payload"),
+      col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes"))
+    projected.mapPartitions { it: Iterator[Row] =>
+      it.grouped(batchSize).flatMap { batch =>
+        // ==== STUB ==== a real codec would process `batch` vectorized here
+        batch.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(payload).map("%02x".format(_)).mkString
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("format"),
+            r.getAs[Long]("n_bytes"), fakeFeatures(hex).toSeq)
+        }
+      }
+    }(encoder)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language id, quality scoring,
+  * token counting, document fingerprinting. All codegen'd column
+  * expressions — narrow maps that scale embarrassingly.
+  */
+object TextAnalysis {
+
+  /** Tiny function-word profiles. A real pipeline would ship larger
+    * profiles; the operator shape (set-intersect scoring + fixed-order
+    * argmax) is what matters.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "les"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4")
+  )
+
+  private def words(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Per-language score: occurrences of profile words / total words. */
+  def langScore(text: Column, profile: Seq[String]): Column = {
+    val w = words(text)
+    val prof = array(profile.map(lit): _*)
+    size(filter(w, x => array_contains(prof, x))).cast("double") / size(w)
+  }
+
+  /** Most likely language by profile score, ties resolved in profile order. */
+  def langId(text: Column): Column = {
+    val scores = langProfiles.map { case (l, p) => l -> langScore(text, p) }
+    scores.tail.foldLeft[(Column, Column)]((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (l, s)) =>
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }._1
+  }
+
+  /** Whitespace token count. */
+  def wsTokens(text: Column): Column = size(words(text))
+
+  /** BPE-ish subword count: alpha runs, digit runs and single punctuation
+    * marks each count as one token.
+    */
+  def subwordTokens(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Quality features + a composite score in [0, 1]:
+    * penalises very short docs, high digit/punct ratios, low stopword ratio
+    * — the usual cheap pre-filters before expensive dedup/scoring stages.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val n = length(text)
+    val w = words(text)
+    val nWords = size(w)
+    val digitRatio = (n - length(regexp_replace(text, "[0-9]", ""))).cast("double") / n
+    val punctRatio = (n - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double") / n
+    val stopRatio = langScore(text, langProfiles.head._2)
+    val meanWordLen = (n - (nWords - 1)).cast("double") / nWords
+    val score =
+      least(nWords.cast("double") / 20, lit(1.0)) * 0.4 +
+        (lit(1.0) - least(digitRatio * 5, lit(1.0))) * 0.2 +
+        (lit(1.0) - least(punctRatio * 5, lit(1.0))) * 0.2 +
+        least(stopRatio * 5, lit(1.0)) * 0.2
+    Seq(
+      "n_words" -> nWords.cast("long"),
+      "digit_ratio" -> round(digitRatio, 6),
+      "punct_ratio" -> round(punctRatio, 6),
+      "stop_ratio" -> round(stopRatio, 6),
+      "mean_word_len" -> round(meanWordLen, 6),
+      "quality" -> round(score, 6))
+  }
+
+  /** Document fingerprint: lexicographic minimum of the md5 of each 5-word
+    * window — a winnowing-style rolling selection that is stable under small
+    * edits away from the minimum window. md5 keeps it reproducible in any
+    * engine.
+    */
+  def fingerprint(text: Column, window: Int = 5): Column = {
+    val w = words(text)
+    array_min(transform(sequence(lit(0), greatest(size(w) - window, lit(0))),
+      i => md5(concat_ws(" ", slice(w, i + lit(1), lit(window))))))
+  }
+}

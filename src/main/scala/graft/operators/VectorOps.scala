@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    Scale-safe *for a bounded query set*: the query side is broadcast, the
+  *    corpus is scanned once, and top-k is reduced in two phases (partial
+  *    per input partition, then final), so no single task ever sees the
+  *    whole corpus.
+  *  - [[lshTopK]]: random-hyperplane LSH (SimHash for angles). Each vector
+  *    gets `tables` bucket ids of `bits` sign-bits each; candidates are
+  *    vectors sharing a bucket in any table; exact cosine is computed only
+  *    within candidates. P(bucket match | angle θ) = (1 - θ/π)^bits per
+  *    table. At corpus size N choose bits ≈ log2(N / targetBucket) so
+  *    buckets stay O(targetBucket) — the all-pairs product never
+  *    materializes.
+  *
+  * All arithmetic runs in doubles in array order, so results are bit-stable
+  * and reproducible against external oracles.
+  */
+object VectorOps {
+
+  /** Cosine similarity of two double-array columns (dot / norms). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column) =
+      sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact top-k neighbors for each query vector.
+    * @param queries (qid, qvec float array) — must be broadcast-sized
+    * @param corpus  (id, vec float array)
+    * Output: (qid, id, sim, rank), rank 1..k by (sim desc, id).
+    */
+  def bruteForceTopK(queries: DataFrame, qid: String, qvec: String,
+                     corpus: DataFrame, id: String, vec: String,
+                     k: Int): DataFrame = {
+    val q = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
+    val c = corpus.select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+      .select(col("qid"), col("nid"), col("sim"))
+    topKPerKey(scored, "qid", k)
+  }
+
+  /** Two-phase per-key top-k: rank within (key, input partition) first so
+    * the exchange never funnels a key's whole corpus through one task.
+    */
+  def topKPerKey(scored: DataFrame, key: String, k: Int): DataFrame = {
+    val w1 = Window.partitionBy(col(key), col("_pid"))
+      .orderBy(col("sim").desc, col("nid"))
+    val cand = scored.withColumn("_pid", spark_partition_id())
+      .withColumn("_r1", row_number().over(w1))
+      .filter(col("_r1") <= k)
+      .drop("_pid", "_r1")
+    val w = Window.partitionBy(col(key)).orderBy(col("sim").desc, col("nid"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes: tables x bits planes of dim
+    * components, seeded — identical across executors and runs.
+    */
+  def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Array[Double]]] = {
+    val rnd = new Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Bucket ids per table: bit b set iff dot(vec, plane_tb) >= 0. */
+  def lshBuckets(vec: Column, planes: Seq[Seq[Array[Double]]]): Column = {
+    val perTable = planes.zipWithIndex.map { case (tablePlanes, t) =>
+      val bucket = tablePlanes.zipWithIndex.map { case (plane, b) =>
+        val planeCol = array(plane.map(lit): _*)
+        val dot = aggregate(zip_with(vec, planeCol, (x, p) => x * p),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    array(perTable: _*)
+  }
+
+  /** Approximate top-k: candidates from shared LSH buckets, exact cosine on
+    * candidates only.
+    */
+  def lshTopK(queries: DataFrame, qid: String, qvec: String,
+              corpus: DataFrame, id: String, vec: String,
+              k: Int, tables: Int = 32, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(tables, bits, dim)
+    val q = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
+      .withColumn("bks", lshBuckets(col("qv"), planes))
+      .select(col("qid"), col("qv"), explode(col("bks")).as("bk"))
+    val c = corpus.select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
+      .withColumn("bks", lshBuckets(col("nv"), planes))
+      .select(col("nid"), col("nv"), explode(col("bks")).as("bk"))
+    val scored = c.as("c").join(broadcast(q).as("q"),
+        col("q.bk") === col("c.bk") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("qv"), col("nv"))
+      .distinct()
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+      .select(col("qid"), col("nid"), col("sim"))
+    topKPerKey(scored, "qid", k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, candidates via
+    * shared LSH buckets only (never all pairs).
+    */
+  def embeddingDuplicates(corpus: DataFrame, id: String, vec: String,
+                          threshold: Double,
+                          tables: Int = 32, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(tables, bits, dim)
+    val c = corpus.select(col(id).as("id"), asDouble(col(vec)).as("v"))
+      .withColumn("bks", lshBuckets(col("v"), planes))
+      .select(col("id"), col("v"), explode(col("bks")).as("bk"))
+    c.as("x").join(c.as("y"), col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.v").as("va"), col("y.v").as("vb"))
+      .distinct()
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

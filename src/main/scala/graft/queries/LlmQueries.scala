@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{MediaOps, TextAnalysis, TextDedup, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline verification queries over `documents` and
+  * `embeddings` — near-dup detection, similarity search, text analysis,
+  * multimodal plumbing. Oracles re-derive the semantics in DuckDB with
+  * engine-portable primitives (md5, explicit list arithmetic); hash-based
+  * stages (xxhash64 MinHash, LSH buckets) are oracle-checked through their
+  * *verified outputs* (exact jaccard / exact cosine on candidates), which
+  * coincide with brute force when candidate recall is 1 — recall itself is
+  * asserted in the ScalaTest suites.
+  */
+object LlmQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MinHash + LSH banding, verified by exact 3-gram jaccard >= 0.5.
+    "dedup_minhash" -> { (s, d) =>
+      TextDedup.minhashDuplicates(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // SimHash 64-bit near-dup (chunk-bucketed candidates, exact hamming).
+    // Oracle: none (xxhash64 is not portable); locked by DedupSpec instead.
+    "dedup_simhash" -> { (s, d) =>
+      TextDedup.simhashDuplicates(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // Embedding near-dup pairs above cosine 0.45 via LSH buckets.
+    "dedup_embed" -> { (s, d) =>
+      VectorOps.embeddingDuplicates(Tables.embeddings(s, d), "vec_id",
+        "embedding", threshold = 0.45)
+    },
+
+    // Exact cosine top-5 for a fixed query set (every 50th vector).
+    "ann_topk" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      VectorOps.bruteForceTopK(q, "vec_id", "embedding", e, "vec_id",
+        "embedding", k = 5)
+    },
+
+    // LSH-bucketed approximate top-5 over the same queries; rows-only check
+    // here, recall >= 0.9 vs brute force asserted in AnnSpec.
+    "ann_lsh" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      VectorOps.lshTopK(q, "vec_id", "embedding", e, "vec_id", "embedding",
+        k = 5)
+    },
+
+    // Language id + quality features per document.
+    "text_quality" -> { (s, d) =>
+      val feats = TextAnalysis.qualityFeatures(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id") +: TextAnalysis.langId(col("text")).as("lang_id") +:
+          feats.map { case (n, c) => c.as(n) }: _*)
+    },
+
+    // Token counts: whitespace + BPE-ish subword runs.
+    "text_tokens" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.wsTokens(col("text")).as("ws_tokens"),
+        TextAnalysis.subwordTokens(col("text")).as("sub_tokens"))
+    },
+
+    // Winnowing-style md5 fingerprint; grouping by it finds boilerplate.
+    "text_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    },
+
+    // Multimodal plumbing: binary payload + metadata -> batched feature
+    // extraction (decode stubbed deterministically).
+    "media_features" -> { (s, d) =>
+      MediaOps.decodeFeaturesBatched(
+        MediaOps.asMedia(Tables.documents(s, d), "doc_id", "text"))
+    })
+
+  private val docsCte =
+    "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)"
+
+  val oracle: Map[String, String] = Map(
+    "dedup_minhash" ->
+      s"""$docsCte,
+         |sh AS (SELECT doc_id,
+         |         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+         |                        for i in range(1, greatest(len(words) - 1, 2))]) AS grams
+         |       FROM d)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |             len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5""".stripMargin,
+
+    "dedup_embed" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM n)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
+        |             (a.nrm*b.nrm), 6) AS sim
+        |FROM m a JOIN m b ON a.vec_id < b.vec_id
+        |WHERE round(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
+        |            (a.nrm*b.nrm), 6) >= 0.45""".stripMargin,
+
+    "ann_topk" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM n),
+        |q AS (SELECT * FROM m WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |         round(list_sum([q.v[i]*c.v[i] for i in range(1, len(q.v)+1)]) /
+        |               (q.nrm*c.nrm), 6) AS sim
+        |  FROM q JOIN m c ON q.vec_id <> c.vec_id)
+        |SELECT qid, nid, sim, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    "text_quality" ->
+      """WITH d0 AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w,
+        |              length(text) AS n FROM documents),
+        |sc AS (SELECT *,
+        |  len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))::DOUBLE / len(w) AS s_en,
+        |  len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','es','los','por'], x)))::DOUBLE / len(w) AS s_es,
+        |  len(list_filter(w, x -> list_contains(['der','die','das','und','ist','von','mit','den','nicht','ein'], x)))::DOUBLE / len(w) AS s_de,
+        |  len(list_filter(w, x -> list_contains(['le','la','de','et','un','est','que','pour','dans','les'], x)))::DOUBLE / len(w) AS s_fr,
+        |  len(list_filter(w, x -> list_contains(['de5','shi4','le5','zai4','he2','you3','wo3','ta1','zhe4','bu4'], x)))::DOUBLE / len(w) AS s_zh,
+        |  (n - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / n AS digit_r,
+        |  (n - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / n AS punct_r
+        |FROM d0)
+        |SELECT doc_id,
+        |  CASE WHEN s_zh > greatest(s_en, s_es, s_de, s_fr) THEN 'zh'
+        |       WHEN s_fr > greatest(s_en, s_es, s_de) THEN 'fr'
+        |       WHEN s_de > greatest(s_en, s_es) THEN 'de'
+        |       WHEN s_es > s_en THEN 'es'
+        |       ELSE 'en' END AS lang_id,
+        |  len(w)::BIGINT AS n_words,
+        |  round(digit_r, 6) AS digit_ratio,
+        |  round(punct_r, 6) AS punct_ratio,
+        |  round(s_en, 6) AS stop_ratio,
+        |  round((n - (len(w) - 1))::DOUBLE / len(w), 6) AS mean_word_len,
+        |  round(least(len(w)::DOUBLE / 20, 1.0) * 0.4
+        |        + (1.0 - least(digit_r * 5, 1.0)) * 0.2
+        |        + (1.0 - least(punct_r * 5, 1.0)) * 0.2
+        |        + least(s_en * 5, 1.0) * 0.2, 6) AS quality
+        |FROM sc""".stripMargin,
+
+    "text_tokens" ->
+      s"""$docsCte
+         |SELECT doc_id, len(words) AS ws_tokens,
+         |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS sub_tokens
+         |FROM d""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""$docsCte
+         |SELECT doc_id,
+         |  list_min([md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+         |                words[i+3] || ' ' || words[i+4])
+         |            for i in range(1, greatest(len(words) - 3, 2))]) AS fp
+         |FROM d""".stripMargin,
+
+    "media_features" ->
+      """SELECT doc_id AS media_id, 'txt' AS format,
+        |       length(text)::BIGINT AS n_bytes,
+        |       [ascii(md5(text)[j])::INT for j in range(1, 9)] AS features
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Quality gates for the training-data-pipeline operators that hash-based
+  * oracles cannot check directly: LSH recall vs brute force, SimHash
+  * behavior, and the batched media path vs its columnar oracle.
+  */
+class LlmOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ann_lsh recall >= 0.9 against brute-force top-5") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val exact = VectorOps.bruteForceTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorOps.lshTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (|exact|=${exact.size}, hit=${(exact intersect approx).size})")
+  }
+
+  test("minhash candidate recall is total on the planted near-dups") {
+    import spark.implicits._
+    // brute-force 3-gram jaccard >= 0.5 pairs
+    val docs = Tables.documents(spark, sf).cache()
+    val sh = docs.select(col("doc_id"),
+      TextDedup.wordShingles(col("text"), 3).as("sh"))
+    val truth = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+        size(array_union(col("a.sh"), col("b.sh"))))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val found = TextDedup.minhashDuplicates(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain planted near-duplicates")
+    assert(truth == found, s"minhash missed ${truth -- found}, extra ${found -- truth}")
+  }
+
+  test("simhash: identical texts collide, planted near-dups are close") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words about spark shuffles and parquet files")
+    ).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"), TextDedup.simhash64(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 3)
+    val dups = TextDedup.simhashDuplicates(df, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dups == Set((1L, 2L)))
+  }
+
+  test("batched media decode equals the columnar formulation") {
+    val media = MediaOps.asMedia(Tables.documents(spark, sf), "doc_id", "text")
+    val batched = MediaOps.decodeFeaturesBatched(media, batchSize = 7)
+      .orderBy("media_id").collect()
+    val columnar = MediaOps.featureColumns(media)
+      .orderBy("media_id").collect()
+    assert(batched.length == columnar.length && batched.length > 0)
+    batched.zip(columnar).foreach { case (b, c) =>
+      assert(b.getLong(0) == c.getLong(0))
+      assert(b.getSeq[Int](3) == c.getSeq[Int](3),
+        s"features differ for media_id ${b.getLong(0)}")
+    }
+  }
+
+  test("language id picks the profile with the best score") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat of the mat and it is that for sure"),
+      (2L, "el perro de la casa es un amigo de los vecinos por ahora"),
+      (3L, "der hund und die katze ist von den nachbarn mit nicht ein problem")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de"))
+  }
+}
