@@ -1,0 +1,118 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sink configuration + the incident-to-row mapper (reference:
+  * streaming/.../io/OutputConf.scala:37-201,
+  * mappers/PatternsToRowMapper.scala:18-132, SinkSchema.scala:18-62).
+  *
+  * The sink schema maps output columns to typed specs whose string values
+  * may interpolate `$`-macros over the incident:
+  * `$PatternID`, `$IncidentStart`, `$IncidentEnd`, `$Unit`, `$Subunit`,
+  * `$UUID`, `$PatternMetadata@<key>`.
+  */
+final case class ColumnSpec(sqlType: String, template: String)
+
+final case class RowSchema(columns: Map[String, ColumnSpec])
+
+final case class JdbcSinkConf(
+  tableName: String,
+  rowSchema: RowSchema,
+  jdbcUrl: String,
+  driverName: String,
+  userName: Option[String] = None,
+  password: Option[String] = None
+)
+
+final case class KafkaSinkConf(
+  brokers: String,
+  topic: String,
+  rowSchema: RowSchema
+)
+
+object Sinks {
+
+  /** Expected incident-frame columns: pattern_id, unit, subunit, seg_from,
+    * seg_to (+ metadata map column `meta` if `$PatternMetadata@` is used).
+    * Macro expansion is pure column algebra — `concat` of literal fragments
+    * and incident columns — so the mapper stays inside codegen
+    * (reference interpolation: PatternsToRowMapper.scala:54-70).
+    */
+  private val macroRe = """\$(PatternID|IncidentStart|IncidentEnd|Unit|Subunit|UUID|PatternMetadata@[A-Za-z0-9_]+)""".r
+
+  private def macroColumn(name: String): Column = name match {
+    case "PatternID"     => col("pattern_id")
+    case "IncidentStart" => col("seg_from").cast("string")
+    case "IncidentEnd"   => col("seg_to").cast("string")
+    case "Unit"          => col("unit")
+    case "Subunit"       => col("subunit")
+    case "UUID"          => expr("uuid()")
+    case m if m.startsWith("PatternMetadata@") =>
+      element_at(col("meta"), m.stripPrefix("PatternMetadata@"))
+    case other => lit(other)
+  }
+
+  /** A template compiles to: the macro's column if the template is exactly
+    * one macro (keeps the native type before the cast), else a concat of
+    * text fragments and stringified macro values.
+    */
+  def templateColumn(template: String): Column = {
+    val ms = macroRe.findAllMatchIn(template).toSeq
+    if (ms.isEmpty) lit(template)
+    else if (ms.length == 1 && ms.head.start == 0 && ms.head.end == template.length)
+      macroColumn(ms.head.group(1))
+    else {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+      var pos = 0
+      ms.foreach { m =>
+        if (m.start > pos) parts += lit(template.substring(pos, m.start))
+        parts += macroColumn(m.group(1)).cast("string")
+        pos = m.end
+      }
+      if (pos < template.length) parts += lit(template.substring(pos))
+      concat(parts.toSeq: _*)
+    }
+  }
+
+  private def sparkType(t: String): String = t.toLowerCase match {
+    case "int8"      => "tinyint"
+    case "int16"     => "smallint"
+    case "int32"     => "int"
+    case "int64"     => "bigint"
+    case "float32"   => "float"
+    case "float64"   => "double"
+    case "boolean"   => "boolean"
+    case "string"    => "string"
+    case "timestamp" => "timestamp"
+    case "object"    => "string" // JSON-encoded, reference SinkSchema.scala:28-35
+    case other       => other
+  }
+
+  /** Incidents frame -> sink-shaped frame per the row schema. */
+  def toSinkRows(incidents: DataFrame, schema: RowSchema): DataFrame = {
+    val cols = schema.columns.toSeq.map { case (name, spec) =>
+      templateColumn(spec.template).cast(sparkType(spec.sqlType)).as(name)
+    }
+    incidents.select(cols: _*)
+  }
+
+  /** Batch JDBC write (streaming callers wrap this in `foreachBatch`). */
+  def writeJdbc(df: DataFrame, conf: JdbcSinkConf): Unit = {
+    var w = df.write.format("jdbc")
+      .option("url", conf.jdbcUrl)
+      .option("dbtable", conf.tableName)
+      .option("driver", conf.driverName)
+    conf.userName.foreach(u => w = w.option("user", u))
+    conf.password.foreach(p => w = w.option("password", p))
+    w.mode("append").save()
+  }
+
+  /** Rows -> JSON -> Kafka (needs the kafka connector at runtime). */
+  def writeKafka(df: DataFrame, conf: KafkaSinkConf): Unit =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", conf.brokers)
+      .option("topic", conf.topic)
+      .save()
+}

@@ -1,0 +1,150 @@
+package graft.io
+
+import graft.operators.PatternOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+/** Source configuration — the Spark analogue of the reference's input confs
+  * (reference: streaming/.../io/JDBCInputConf.scala:24-49,
+  * KafkaInputConf.scala:6-28, SourceDataTransformation.scala:9-24).
+  *
+  * A config fully describes how to obtain the *event frame*: connection,
+  * time column (numeric-seconds x multiplier -> timestamp), partition
+  * fields, and an optional narrow-unfolding / wide-filling transformation.
+  */
+sealed trait SourceConf {
+  def datetimeField: String
+
+  /** Numeric time values are multiplied by this to get epoch millis
+    * (reference default 1000.0: seconds -> millis, JDBCInputConf.scala:43).
+    */
+  def timestampMultiplier: Double
+  def partitionFields: Seq[String]
+  def unitIdField: Option[String]
+  def eventsMaxGapMs: Long
+  def defaultEventsGapMs: Long
+  def dataTransformation: Option[SourceTransformation]
+}
+
+sealed trait SourceTransformation
+
+/** Narrow (key-value) rows pivoted to wide with timed forward-fill
+  * (reference: SourceDataTransformation.scala:9-18).
+  */
+final case class NarrowDataUnfolding(
+  keyColumn: String,
+  defaultValueColumn: String,
+  sensors: Seq[String],
+  valueColumnMapping: Map[String, String] = Map.empty,
+  defaultTimeoutMs: Option[Long] = None
+) extends SourceTransformation
+
+/** Sparse wide rows forward-filled with timeout
+  * (reference: SourceDataTransformation.scala:20-24).
+  */
+final case class WideDataFilling(
+  fillColumns: Seq[String],
+  defaultTimeoutMs: Option[Long] = None
+) extends SourceTransformation
+
+/** JDBC batch source: arbitrary SQL pushed to the database
+  * (reference: JDBCInputConf + JdbcSource, StreamSource.scala:136-315).
+  */
+final case class JdbcSourceConf(
+  jdbcUrl: String,
+  query: String,
+  driverName: String,
+  datetimeField: String,
+  userName: Option[String] = None,
+  password: Option[String] = None,
+  timestampMultiplier: Double = 1000.0,
+  partitionFields: Seq[String] = Nil,
+  unitIdField: Option[String] = None,
+  eventsMaxGapMs: Long = 60000L,
+  defaultEventsGapMs: Long = 2000L,
+  dataTransformation: Option[SourceTransformation] = None
+) extends SourceConf
+
+/** Kafka JSON source (reference: KafkaInputConf.scala:6-28: user-declared
+  * field types because there is no schema registry).
+  * Note: needs the spark-sql-kafka connector on the classpath at runtime;
+  * the declared `fieldsTypes` drive `from_json` exactly like the
+  * reference's deserializer (serialization/Deserializer.scala:1-38).
+  */
+final case class KafkaSourceConf(
+  brokers: String,
+  topic: String,
+  datetimeField: String,
+  fieldsTypes: Map[String, String],
+  group: String = "graft",
+  timestampMultiplier: Double = 1000.0,
+  partitionFields: Seq[String] = Nil,
+  unitIdField: Option[String] = None,
+  eventsMaxGapMs: Long = 60000L,
+  defaultEventsGapMs: Long = 2000L,
+  dataTransformation: Option[SourceTransformation] = None
+) extends SourceConf {
+  def schema: StructType = StructType(fieldsTypes.toSeq.map { case (n, t) =>
+    StructField(n, DataType.fromDDL(astTypeToDdl(t)))
+  })
+  private def astTypeToDdl(t: String): String = t.toLowerCase match {
+    case "int8"            => "tinyint"
+    case "int16"           => "smallint"
+    case "int32"           => "int"
+    case "int64"           => "bigint"
+    case "float32"         => "float"
+    case "float64"         => "double"
+    case "boolean"         => "boolean"
+    case "string"          => "string"
+    case other             => other
+  }
+}
+
+object Sources {
+
+  /** Read a source conf into the canonical event frame: all configured
+    * transformations applied, `ts` as a TimestampType column.
+    */
+  def read(spark: SparkSession, conf: SourceConf): DataFrame = conf match {
+    case c: JdbcSourceConf =>
+      var r = spark.read.format("jdbc")
+        .option("url", c.jdbcUrl)
+        .option("query", c.query)
+        .option("driver", c.driverName)
+      c.userName.foreach(u => r = r.option("user", u))
+      c.password.foreach(p => r = r.option("password", p))
+      finish(r.load(), c)
+    case c: KafkaSourceConf =>
+      val raw = spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", c.brokers)
+        .option("subscribe", c.topic)
+        .option("startingOffsets", "latest")
+        .load()
+      finish(parseKafkaJson(raw, c.schema), c)
+  }
+
+  /** JSON value bytes -> typed columns (shared by batch tests and the real
+    * stream path).
+    */
+  def parseKafkaJson(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(from_json(col("value").cast("string"), schema).as("j"))
+      .select(col("j.*"))
+
+  /** Time normalization + optional narrow/wide transformation. */
+  def finish(df: DataFrame, conf: SourceConf): DataFrame = {
+    val tsMs = (col(conf.datetimeField).cast("double") * conf.timestampMultiplier)
+      .cast("long")
+    val timed = df.withColumn("ts", timestamp_millis(tsMs))
+    conf.dataTransformation match {
+      case None => timed
+      case Some(w: WideDataFilling) =>
+        PatternOps.forwardFill(timed, conf.partitionFields, "ts",
+          w.fillColumns, w.defaultTimeoutMs)
+      case Some(n: NarrowDataUnfolding) =>
+        PatternOps.unfoldNarrow(timed, conf.partitionFields, "ts",
+          n.keyColumn, n.defaultValueColumn, n.sensors, n.valueColumnMapping,
+          n.defaultTimeoutMs)
+    }
+  }
+}

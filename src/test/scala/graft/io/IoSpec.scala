@@ -1,0 +1,101 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** JDBC round-trip against embedded Derby (the in-memory stand-in for the
+  * reference's ClickHouse/PostgreSQL deployments) plus the $-macro sink
+  * mapper.
+  */
+class IoSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+  test("sink mapper expands $-macros per the reference row schema") {
+    val incidents = Seq(
+      ("p1", 7, 1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), Map("sev" -> "high"))
+    ).toDF("pattern_id", "unit", "subunit", "seg_from", "seg_to", "meta")
+
+    val schema = RowSchema(Map(
+      "id" -> ColumnSpec("string", "$PatternID"),
+      "series_storage" -> ColumnSpec("int32", "$Unit"),
+      "subunit" -> ColumnSpec("int32", "$Subunit"),
+      "from" -> ColumnSpec("timestamp", "$IncidentStart"),
+      "to" -> ColumnSpec("timestamp", "$IncidentEnd"),
+      "app" -> ColumnSpec("int32", "2"),
+      "note" -> ColumnSpec("string", "sev=$PatternMetadata@sev unit=$Unit")))
+
+    val row = Sinks.toSinkRows(incidents, schema).collect().head
+    val byName = schema.columns.keys.toSeq.zipWithIndex.toMap
+    assert(row.getString(byName("id")) == "p1")
+    assert(row.getInt(byName("series_storage")) == 7)
+    assert(row.getInt(byName("subunit")) == 1)
+    assert(row.getTimestamp(byName("from")).toString.startsWith("2024-01-01 00:00"))
+    assert(row.getInt(byName("app")) == 2)
+    assert(row.getString(byName("note")) == "sev=high unit=7")
+  }
+
+  test("JDBC sink + source round-trip through embedded Derby") {
+    val events = Seq(
+      (1L, 100.5, "u1", 1704067200L),
+      (2L, 250.0, "u1", 1704067260L),
+      (3L, 17.25, "u2", 1704067320L)
+    ).toDF("event_id", "value", "user_id", "dt")
+
+    Sinks.writeJdbc(events, JdbcSinkConf(
+      tableName = "events_rt",
+      rowSchema = RowSchema(Map.empty), // writing a prepared frame directly
+      jdbcUrl = url,
+      driverName = driver))
+
+    val conf = JdbcSourceConf(
+      jdbcUrl = url,
+      query = "SELECT * FROM events_rt",
+      driverName = driver,
+      datetimeField = "dt",
+      partitionFields = Seq("user_id"))
+    val back = Sources.read(spark, conf)
+
+    assert(back.count() == 3)
+    // ts column synthesized from dt * 1000 (seconds -> millis)
+    val ts = back.filter(col("event_id") === 1)
+      .select(unix_millis(col("ts"))).as[Long].head()
+    assert(ts == 1704067200000L)
+    val vals = back.select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(vals == Map(1L -> 100.5, 2L -> 250.0, 3L -> 17.25))
+  }
+
+  test("narrow unfolding applies from source conf") {
+    val kv = Seq(
+      ("u1", 10L, "temp", 20.0),
+      ("u1", 10L, "rpm", 900.0),
+      ("u1", 11L, "temp", 21.0)
+    ).toDF("user_id", "dt", "sensor_id", "v")
+
+    val conf = JdbcSourceConf(
+      jdbcUrl = url, query = "unused", driverName = driver,
+      datetimeField = "dt", partitionFields = Seq("user_id"),
+      dataTransformation = Some(NarrowDataUnfolding(
+        "sensor_id", "v", Seq("temp", "rpm"), defaultTimeoutMs = Some(5000L))))
+    val wide = Sources.finish(kv, conf)
+    val rows = wide.orderBy("ts").select("temp", "rpm").as[(Double, Double)].collect()
+    assert(rows.toSeq == Seq((20.0, 900.0), (21.0, 900.0))) // rpm forward-filled
+  }
+
+  test("kafka JSON payload parses with declared field types") {
+    val raw = Seq("""{"dt": 1.5, "loco": "L1", "speed": 42.5}""")
+      .toDF("value").select(col("value").cast("binary").as("value"))
+    val conf = KafkaSourceConf(
+      brokers = "unused:9092", topic = "t", datetimeField = "dt",
+      fieldsTypes = Map("dt" -> "float64", "loco" -> "string", "speed" -> "float64"))
+    val parsed = Sources.parseKafkaJson(raw, conf.schema)
+    val r = Sources.finish(parsed, conf)
+      .select("loco", "speed", "ts").collect().head
+    assert(r.getString(0) == "L1" && r.getDouble(1) == 42.5)
+    assert(r.getTimestamp(2).getTime == 1500L)
+  }
+}

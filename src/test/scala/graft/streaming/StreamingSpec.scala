@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming pattern evaluation over a MemoryStream: timer semantics,
+  * incident session merge, gap reset and watermark-driven pending flush must
+  * match the batch engine.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+  import StreamingPatterns._
+
+  test("timer + session merge + watermark flush over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val df = ms.toDF().toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "5 seconds")
+
+    val inc = StreamingPatterns.incidents(df, Seq("k"), "ts", col("v") > 50,
+      StreamConfig(eventsMaxGapMs = 60000L, sessionGapMs = 1000L,
+        minDurationMs = 2000L))
+
+    val query = inc.writeStream.format("memory").queryName("stream_inc")
+      .outputMode("append").start()
+    try {
+      // run of v>50 at t=0..3 (4s: timer(2s) succeeds from t=2), break at 4
+      ms.addData(("a", 10000L, 60.0), ("a", 10001L, 61.0), ("a", 10002L, 62.0),
+        ("a", 10003L, 63.0), ("a", 10004L, 10.0))
+      query.processAllAvailable()
+      // second run 10..11 (too short for the 2s timer: no incident), then a
+      // much later event to push the watermark far past pending.to + gap
+      ms.addData(("a", 10010L, 70.0), ("a", 10011L, 71.0), ("a", 10012L, 5.0))
+      query.processAllAvailable()
+      ms.addData(("a", 10500L, 1.0))
+      query.processAllAvailable()
+      ms.addData(("a", 10600L, 1.0)) // one more batch so the timeout fires
+      query.processAllAvailable()
+
+      val got = spark.table("stream_inc")
+        .select("key", "fromMs", "toMs", "nEvents")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == Set(("a", 10002000L, 10003000L, 2L)),
+        s"expected the timer incident [10002s, 10003s], got $got")
+    } finally query.stop()
+  }
+
+  test("incidents within the session gap merge across runs") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val df = ms.toDF().toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "5 seconds")
+
+    // plain segmentization (no timer): runs [10000..10001] and
+    // [10003..10004] are 2 s apart, inside the 3 s merge window -> one
+    // incident
+    val inc = StreamingPatterns.incidents(df, Seq("k"), "ts", col("v") > 50,
+      StreamConfig(eventsMaxGapMs = 60000L, sessionGapMs = 3000L,
+        minDurationMs = 0L))
+    val query = inc.writeStream.format("memory").queryName("stream_inc2")
+      .outputMode("append").start()
+    try {
+      ms.addData(("b", 10000L, 60.0), ("b", 10001L, 60.0), ("b", 10002L, 0.0),
+        ("b", 10003L, 60.0), ("b", 10004L, 60.0), ("b", 10005L, 0.0))
+      query.processAllAvailable()
+      ms.addData(("b", 10500L, 0.0))
+      query.processAllAvailable()
+      ms.addData(("b", 10600L, 0.0))
+      query.processAllAvailable()
+
+      val got = spark.table("stream_inc2")
+        .select("fromMs", "toMs", "nEvents").as[(Long, Long, Long)]
+        .collect().toSet
+      // 3s merge window: run [0,1] and [3,4] are 2s apart -> merged
+      assert(got == Set((10000000L, 10004000L, 4L)), s"got $got")
+    } finally query.stop()
+  }
+
+  test("data gap resets an open run") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val df = ms.toDF().toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "5 seconds")
+    // timer 3s; condition true continuously but a 120s data gap splits the
+    // run: neither half reaches 3s of continuous data
+    val inc = StreamingPatterns.incidents(df, Seq("k"), "ts", col("v") > 50,
+      StreamConfig(eventsMaxGapMs = 60000L, sessionGapMs = 1000L,
+        minDurationMs = 3000L))
+    val query = inc.writeStream.format("memory").queryName("stream_inc3")
+      .outputMode("append").start()
+    try {
+      ms.addData(("c", 10000L, 60.0), ("c", 10001L, 60.0),
+        ("c", 10121L, 60.0), ("c", 10122L, 60.0), ("c", 10123L, 0.0))
+      query.processAllAvailable()
+      ms.addData(("c", 10500L, 0.0))
+      query.processAllAvailable()
+      ms.addData(("c", 10600L, 0.0))
+      query.processAllAvailable()
+      assert(spark.table("stream_inc3").isEmpty)
+    } finally query.stop()
+  }
+}
