@@ -61,6 +61,13 @@ object PatternOps {
                  windowMs: Long): Column =
     sum(when(cond, 1L).otherwise(0L)).over(trailing(keys, tsCol, windowMs))
 
+  /** failCount — events in the trailing window where `cond` did NOT hold
+    * (reference: WindowStatistic failCount projection, Patterns.scala:91-113).
+    */
+  def failCount(cond: Column, keys: Seq[String], tsCol: String,
+                windowMs: Long): Column =
+    sum(when(cond, 0L).otherwise(1L)).over(trailing(keys, tsCol, windowMs))
+
   /** truthMillis: milliseconds within the trailing window during which `cond`
     * held. Duration between consecutive events is attributed to the *earlier*
     * event's truth value, clipped to the window — the reference's
@@ -97,6 +104,18 @@ object PatternOps {
         .cast("long"))
       .drop("_g_ms", "_g_prev_ms", "_g_prev_cond", "_g_held")
   }
+
+  /** failMillis — the complement duration statistic: ms within the trailing
+    * window during which `cond` did NOT hold (reference:
+    * WindowStatistic.scala:66-99, fail branch). Same attribution/clipping
+    * rules as [[withTruthMillis]] with the condition inverted.
+    */
+  def withFailMillis(df: DataFrame, keys: Seq[String], tsCol: String,
+                     cond: Column, windowMs: Long,
+                     out: String = "fail_ms",
+                     tieCols: Seq[String] = Nil): DataFrame =
+    withTruthMillis(df, keys, tsCol, !coalesce(cond, lit(false)), windowMs,
+      out, tieCols)
 
   /** Timer — `X for T`: the condition holds continuously for at least
     * `windowMs` (reference: core/.../aggregators/TimerPattern.scala:15-119).

@@ -29,20 +29,34 @@ object TextDedup {
         i => concat_ws(" ", slice(words, i + lit(1), lit(k)))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum `xxhash64(shingle, seed)` over the shingle set.
+  /** MinHash signature over pre-hashed shingles (`array<long>`): the i-th
+    * permutation is `xxhash64(shingleHash, i)`. Each shingle string is
+    * hashed exactly once upstream; re-hashing fixed-width longs per
+    * permutation is cheap (and stays inside ANSI arithmetic — the classic
+    * affine family needs wrapping multiplication, which ANSI mode rejects).
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(1), lit(numHashes)),
-      h => array_min(transform(shingles, s => xxhash64(s, h))))
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
+    array((1 to numHashes).map { i =>
+      array_min(transform(shingleHashes, h => xxhash64(h, lit(i))))
+    }: _*)
 
-  /** LSH band keys: the signature split into `bands` bands of
-    * `numHashes / bands` rows, each hashed to one bucket id.
+  /** LSH band keys straight from the hashed shingle set: band `b` hashes
+    * its own `numHashes / bands` minhash coordinates.
+    *
+    * Built per-band rather than as a slice of one signature array: slicing
+    * a composed 128-element signature expression would inline the whole
+    * signature into every band (bands x numHashes higher-order nodes), which
+    * blows up Catalyst's optimizer and codegen — planning time was 80x the
+    * execution time before this restructuring.
     */
-  def bandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+  def bandKeys(shingleHashes: Column, numHashes: Int, bands: Int): Column = {
     val r = numHashes / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"), xxhash64(slice(sig, b * lit(r) + lit(1), lit(r))).as("bucket")))
+    array((0 until bands).map { b =>
+      val coords = (b * r until (b + 1) * r).map { i =>
+        array_min(transform(shingleHashes, h => xxhash64(h, lit(i + 1))))
+      }
+      struct(lit(b).as("band"), xxhash64(coords: _*).as("bucket"))
+    }: _*)
   }
 
   /** Candidate pairs (idA < idB) that share at least one LSH bucket,
@@ -58,22 +72,27 @@ object TextDedup {
     bands: Int = 64,
     threshold: Double = 0.5
   ): DataFrame = {
+    // one string hash per distinct shingle; signature + verification both
+    // work on the hashed set. Cached because the self-join and the verify
+    // join would otherwise recompute the whole shingling lineage per use
+    // (at production scale this frame is a materialized signature table).
     val sh = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleK).as("sh"))
+        array_distinct(transform(wordShingles(col(textCol), shingleK),
+          s => xxhash64(s))).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh
       .select(col("id"),
-        explode(bandKeys(minhashSignature(col("sh"), numHashes), numHashes, bands))
-          .as("bk"))
+        explode(bandKeys(col("hs"), numHashes, bands)).as("bk"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

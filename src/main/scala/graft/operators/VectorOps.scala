@@ -119,13 +119,21 @@ object VectorOps {
                           threshold: Double,
                           tables: Int = 32, bits: Int = 4, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(tables, bits, dim)
-    val c = corpus.select(col(id).as("id"), asDouble(col(vec)).as("v"))
+    // cache: the bucket computation (tables x bits dot products) would
+    // otherwise run once per self-join side; candidate dedup happens on ids
+    // only so vector arrays never enter the distinct's shuffle
+    val base = corpus.select(col(id).as("id"), asDouble(col(vec)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = base
       .withColumn("bks", lshBuckets(col("v"), planes))
-      .select(col("id"), col("v"), explode(col("bks")).as("bk"))
-    c.as("x").join(c.as("y"), col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.v").as("va"), col("y.v").as("vb"))
+      .select(col("id"), explode(col("bks")).as("bk"))
+    val cand = c.as("x").join(c.as("y"),
+        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))

@@ -96,13 +96,17 @@ object PatternQueries {
         .select(col("user_id"), col("from_ms"), col("to_ms"))
     },
 
-    // WindowStatistic truthMillis: ms within the trailing 7d window during
-    // which (value > 100) held; durations attributed to the earlier event,
-    // clipped at the window edge (reference: WindowStatistic.scala:66-99).
+    // WindowStatistic truthMillis/failMillis/failCount: duration + count
+    // statistics over the trailing 7d window; durations attributed to the
+    // earlier event, clipped at the window edge (reference:
+    // WindowStatistic.scala:66-99).
     "pat_truth_millis" -> { (s, d) =>
-      PatternOps.withTruthMillis(Tables.events(s, d), K, TS,
-          col("value") > 100, 604800000L, tieCols = TIE)
-        .select(col("user_id"), col("event_id"), col("truth_ms"))
+      val withTm = PatternOps.withTruthMillis(Tables.events(s, d), K, TS,
+        col("value") > 100, 604800000L, tieCols = TIE)
+      PatternOps.withFailMillis(withTm, K, TS, col("value") > 100,
+          604800000L, tieCols = TIE)
+        .select(col("user_id"), col("event_id"), col("truth_ms"), col("fail_ms"),
+          PatternOps.failCount(col("value") > 100, K, TS, 604800000L).as("fail_cnt"))
     },
 
     // WideDataFilling: carry last non-null value forward with a 2d timeout
@@ -205,20 +209,32 @@ object PatternQueries {
     // independent formulation: per (event, contributing interval) self-join
     // with explicit clipping of each interval to the window
     "pat_truth_millis" ->
-      s"""$eCte
-         |SELECT a.user_id, a.event_id,
-         |  CAST(COALESCE(SUM(CASE WHEN wprev.prev_cond
-         |    THEN wprev.ms - GREATEST(wprev.prev_ms, a.ms - 604800000)
-         |    ELSE 0 END), 0) AS BIGINT) AS truth_ms
-         |FROM e a
-         |LEFT JOIN (SELECT user_id, ms,
-         |             lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms,
-         |             lag(value > 100) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_cond
-         |           FROM e) wprev
-         |  ON a.user_id = wprev.user_id
-         |  AND wprev.ms BETWEEN a.ms - 604800000 AND a.ms
-         |  AND wprev.prev_ms IS NOT NULL
-         |GROUP BY a.user_id, a.event_id""".stripMargin,
+      s"""$eCte,
+         |fc AS (
+         |  SELECT user_id, event_id,
+         |    CAST(sum(CASE WHEN value > 100 THEN 0 ELSE 1 END) OVER
+         |      (PARTITION BY user_id ORDER BY ms
+         |       RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW) AS BIGINT) AS fail_cnt
+         |  FROM e),
+         |tm AS (
+         |  SELECT a.user_id, a.event_id,
+         |    CAST(COALESCE(SUM(CASE WHEN wprev.prev_cond
+         |      THEN wprev.ms - GREATEST(wprev.prev_ms, a.ms - 604800000)
+         |      ELSE 0 END), 0) AS BIGINT) AS truth_ms,
+         |    CAST(COALESCE(SUM(CASE WHEN NOT wprev.prev_cond
+         |      THEN wprev.ms - GREATEST(wprev.prev_ms, a.ms - 604800000)
+         |      ELSE 0 END), 0) AS BIGINT) AS fail_ms
+         |  FROM e a
+         |  LEFT JOIN (SELECT user_id, ms,
+         |               lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms,
+         |               lag(value > 100) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_cond
+         |             FROM e) wprev
+         |    ON a.user_id = wprev.user_id
+         |    AND wprev.ms BETWEEN a.ms - 604800000 AND a.ms
+         |    AND wprev.prev_ms IS NOT NULL
+         |  GROUP BY a.user_id, a.event_id)
+         |SELECT tm.user_id, tm.event_id, tm.truth_ms, tm.fail_ms, fc.fail_cnt
+         |FROM tm JOIN fc ON tm.event_id = fc.event_id""".stripMargin,
     "pat_fill" ->
       s"""$eCte
          |SELECT user_id, event_id,

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan assertions: the scale properties the queries claim
+  * (predicate pushdown reaching the scan, broadcast joins for dimensions,
+  * no cartesian products, pruned scan schemas) must be visible in the plan,
+  * not just hoped for.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q7 filter reaches the parquet scan as pushed filters") {
+    val p = plan("q7_filter_agg")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate")),
+      s"no pushed filter on l_shipdate:\n${p.take(2000)}")
+  }
+
+  test("q3 joins dimensions by broadcast, facts by shuffle") {
+    val p = plan("q3_join")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins for customer/nation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q2 top-k has no single-key window over the full table") {
+    val p = plan("q2_topk")
+    // phase-1 window partitions by (priority, partition id): the hash
+    // exchange must carry both columns
+    assert(p.contains("_pid"), "expected partition-id salted first phase")
+  }
+
+  test("scan schemas are pruned to referenced columns") {
+    val p = plan("q1_agg")
+    assert(!p.contains("l_comment"), "q1 should not read l_comment")
+    val p2 = plan("text_tokens")
+    assert(!p2.contains("lang,") && !p2.contains("source,"),
+      "text_tokens should only read doc_id and text")
+  }
+
+  test("no cartesian products anywhere in the catalog") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      plan(name).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("dsl pattern plans reuse one exchange for the window pipeline") {
+    val p = plan("dsl_timer")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // one exchange for the window pipeline + at most one for the final
+    // segment aggregation chain
+    assert(exchanges <= 3, s"dsl_timer shuffles $exchanges times:\n${p.take(3000)}")
+  }
+}
