@@ -71,6 +71,11 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
       .withColumn(IDX, row_number().over(keyW).cast("long"))
   }
 
+  /** The working frame with everything compiled so far (for multi-pattern
+    * shared evaluation).
+    */
+  def currentFrame: DataFrame = df
+
   /** Compile to the final success column; returns the enriched frame and the
     * name of a non-null boolean column (true == the pattern holds at the
     * event).
@@ -90,6 +95,11 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
     */
   def incidents(ast: Ast): DataFrame = {
     val (frame, res) = compile(ast)
+    extractIncidents(frame, res)
+  }
+
+  /** Segments + sessionization for an already-compiled success column. */
+  def extractIncidents(frame: DataFrame, res: String): DataFrame = {
     val runCol = fresh("irun")
     val prev = lag(col(res), 1).over(w)
     val withRun = frame.withColumn(runCol,

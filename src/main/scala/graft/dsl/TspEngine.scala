@@ -33,6 +33,32 @@ object TspEngine {
       .map(p => incidents(df, p.sourceCode, cfg).withColumn("pattern_id", lit(p.id)))
       .reduce(_ unionByName _)
 
+  /** All patterns in ONE pass over the events: a single compiler accumulates
+    * every pattern's success column on one frame (one scan, one window
+    * exchange + sort shared by all patterns — the reference likewise
+    * evaluates the whole pattern set per chunk,
+    * ProcessorCombinator.scala:16-29), which is cached once; per-pattern
+    * incident extraction then aggregates the compact cached frame. At fleet
+    * scale this turns N scans of the events table into one.
+    */
+  def incidentsAllShared(df: DataFrame, patterns: Seq[RawPattern], cfg: PatternConfig): DataFrame = {
+    val compiler = new PatternCompiler(df, cfg)
+    val compiled = patterns.map { p =>
+      val ast = Parser.parse(p.sourceCode, cfg.toleranceFraction) match {
+        case Right(a)  => a
+        case Left(err) => throw err
+      }
+      p.id -> compiler.compile(ast)._2
+    }
+    val cached = compiler.currentFrame
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    compiled
+      .map { case (id, res) =>
+        compiler.extractIncidents(cached, res).withColumn("pattern_id", lit(id))
+      }
+      .reduce(_ unionByName _)
+  }
+
   /** Parse-only validation — the `/patterns/validate` endpoint analogue
     * (reference: dsl/.../PatternsValidator.scala:9-37): for each pattern,
     * either the AST's referenced fields or a parse error.

@@ -121,11 +121,26 @@ object PatternOps {
     * `windowMs` (reference: core/.../aggregators/TimerPattern.scala:15-119).
     * Returns the segment frame of qualifying runs: the run must span >= T of
     * wall time; the emitted incident is the full run interval.
+    *
+    * With `gapMs` set, a run is additionally split wherever the inter-event
+    * delta exceeds it — the reference's `eventsMaxGapMs` state reset
+    * (mappers/PatternProcessor.scala:33-41): a condition spanning a data
+    * outage must not count the outage as held time. (The DSL engine always
+    * evaluates gap-aware; this standalone combinator makes it opt-in.)
     */
   def timer(df: DataFrame, keys: Seq[String], tsCol: String, cond: Column,
-            windowMs: Long, tieCols: Seq[String] = Nil): DataFrame =
-    Segments.segmentize(df, keys, tsCol, cond, tieCols)
+            windowMs: Long, tieCols: Seq[String] = Nil,
+            gapMs: Option[Long] = None): DataFrame = {
+    val (frame, segKeys) = gapMs match {
+      case Some(g) =>
+        (Segments.withGapRunId(df, keys, tsCol, g, tieCols = tieCols),
+          keys :+ "gap_run")
+      case None => (df, keys)
+    }
+    Segments.segmentize(frame, segKeys, tsCol, cond, tieCols)
       .filter(col("to_ms") - col("from_ms") >= windowMs)
+      .drop("gap_run")
+  }
 
   /** `A andThen B` — sequencing: each A-success pairs with the first
     * B-success that starts at-or-after `A.to - toleranceMs`; the result

@@ -80,10 +80,11 @@ object PatternQueries {
         PatternOps.truthCount(col("value") > 100, K, TS, 3600000L).as("truth_cnt"))
     },
 
-    // TimerPattern `X for T`: value > 50 continuously for >= 30 minutes.
+    // TimerPattern `X for T`: value > 50 continuously for >= 30 minutes,
+    // runs split at 7d data gaps (eventsMaxGapMs reset).
     "pat_timer" -> { (s, d) =>
       PatternOps.timer(Tables.events(s, d), K, TS, col("value") > 50,
-        1800000L, TIE)
+        1800000L, TIE, gapMs = Some(604800000L))
         .select(col("user_id"), col("from_ms"), col("to_ms"), col("n_events"))
     },
 
@@ -182,7 +183,25 @@ object PatternQueries {
          |     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT) AS truth_cnt
          |FROM e""".stripMargin,
     "pat_timer" ->
-      s"""$eCte, ${segSql("value > 50")}
+      s"""$eCte,
+         |g AS (SELECT user_id, event_id, ms, value,
+         |        sum(CASE WHEN prev_ms IS NOT NULL AND ms - prev_ms > 604800000
+         |                 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY user_id ORDER BY ms, event_id) AS grun
+         |      FROM (SELECT user_id, event_id, ms, value,
+         |              lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms
+         |            FROM e)),
+         |runs AS (
+         |  SELECT user_id, grun, ms, cond,
+         |    sum(CASE WHEN cond IS NOT DISTINCT FROM prev THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY user_id, grun ORDER BY ms, event_id) AS run_id
+         |  FROM (SELECT *, (value > 50) AS cond,
+         |          lag((value > 50)) OVER (PARTITION BY user_id, grun ORDER BY ms, event_id) AS prev
+         |        FROM g)),
+         |seg AS (
+         |  SELECT user_id, min(ms) AS from_ms, max(ms) AS to_ms,
+         |         count(*) AS n_events
+         |  FROM runs WHERE cond GROUP BY user_id, grun, run_id)
          |SELECT user_id, from_ms, to_ms, n_events FROM seg
          |WHERE to_ms - from_ms >= 1800000""".stripMargin,
     "pat_andthen" ->

@@ -1,0 +1,94 @@
+package graft.server
+
+import graft.SparkSpec
+import graft.dsl.{PatternConfig, TspEngine}
+import graft.io.{ColumnSpec, JdbcSinkConf, JdbcSourceConf, RowSchema}
+import org.apache.spark.sql.functions._
+
+/** End-to-end job lifecycle: submit a pattern job over a JDBC (Derby)
+  * source, let the scheduler run it, and read incidents back from the JDBC
+  * sink — the reference's `/job/submit` happy path without the HTTP shim.
+  */
+class JobServiceSpec extends SparkSpec {
+
+  import JobService._
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:jobdb;create=true"
+  private val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+  test("submit -> run -> incidents in the sink; status transitions; validation") {
+    // seed source table: one key, a 3-event high-value run
+    val events = Seq(
+      ("u1", 1000L, 10.0), ("u1", 1001L, 80.0), ("u1", 1002L, 85.0),
+      ("u1", 1003L, 90.0), ("u1", 1004L, 5.0)
+    ).toDF("user_id", "dt", "value")
+    events.write.format("jdbc").option("url", url)
+      .option("dbtable", "src_events").option("driver", driver).mode("append").save()
+
+    val svc = new JobService(spark)
+    try {
+      val req = FindPatternsRequest(
+        uuid = "job-1",
+        inputConf = JdbcSourceConf(
+          jdbcUrl = url, query = "SELECT * FROM src_events",
+          driverName = driver, datetimeField = "dt",
+          partitionFields = Seq("user_id"),
+          eventsMaxGapMs = 60000L, defaultEventsGapMs = 1000L),
+        outConfs = Seq(JdbcSinkConf(
+          tableName = "sink_incidents",
+          rowSchema = RowSchema(Map(
+            "id" -> ColumnSpec("string", "$PatternID"),
+            "from_ts" -> ColumnSpec("timestamp", "$IncidentStart"),
+            "to_ts" -> ColumnSpec("timestamp", "$IncidentEnd"))),
+          jdbcUrl = url, driverName = driver)),
+        priority = 50,
+        patterns = Seq(TspEngine.RawPattern("p42", "value > 50")))
+
+      assert(svc.submit(req) == Right("job-1"))
+      // invalid pattern rejected at submit
+      assert(svc.submit(req.copy(uuid = "bad",
+        patterns = Seq(TspEngine.RawPattern("x", "value >>> 1")))).isLeft)
+
+      val deadline = System.currentTimeMillis() + 120000
+      while (System.currentTimeMillis() < deadline &&
+        !Set[JobStatus](JobStatus.Finished, JobStatus.Failed)
+          .contains(svc.status("job-1").get.status)) Thread.sleep(200)
+
+      val info = svc.status("job-1").get
+      assert(info.status == JobStatus.Finished, s"job ended as $info")
+      assert(info.rowsWritten == 1L)
+
+      val sunk = spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "sink_incidents").option("driver", driver).load()
+      val row = sunk.collect().head
+      assert(row.getAs[String]("id") == "p42")
+      assert(row.getAs[java.sql.Timestamp]("from_ts").getTime == 1001000L)
+      assert(row.getAs[java.sql.Timestamp]("to_ts").getTime == 1003000L)
+
+      assert(svc.overview.exists(_.uuid == "job-1"))
+    } finally svc.shutdown()
+  }
+
+  test("shared multi-pattern evaluation matches per-pattern evaluation") {
+    val df = Seq(
+      ("u1", 1000L, 10.0), ("u1", 1001L, 80.0), ("u1", 1002L, 85.0),
+      ("u1", 1003L, 20.0), ("u1", 1004L, 90.0), ("u2", 1000L, 70.0)
+    ).toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val cfg = PatternConfig(Seq("user_id"), "ts",
+      eventsMaxGapMs = 60000L, sessionGapMs = 0L)
+    val pats = Seq(
+      TspEngine.RawPattern("a", "value > 50"),
+      TspEngine.RawPattern("b", "value > 50 for 1 sec"),
+      TspEngine.RawPattern("c", "value < 50 andThen value > 85"))
+
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("pattern_id", "user_id", "from_ms", "to_ms", "n_events")
+        .collect().map(_.toSeq).toSet
+
+    val shared = canon(TspEngine.incidentsAllShared(df, pats, cfg))
+    val separate = canon(TspEngine.incidentsAll(df, pats, cfg))
+    assert(shared == separate && shared.nonEmpty)
+  }
+}
