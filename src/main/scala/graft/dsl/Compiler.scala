@@ -39,6 +39,125 @@ final case class PatternConfig(
   *
   * Reference semantics sources are cited per method.
   */
+
+/** The window-free scalar subset of the compiler — shared between the batch
+  * engine and the streaming path (which cannot use window functions and
+  * compiles conditions through [[TspEngine.streamingCondition]]).
+  */
+private[dsl] object ScalarFunctions {
+
+  /** Scalar function registry (reference: FunctionRegistry.scala:114-454).
+    * Everything maps to a codegen'd Catalyst expression; degree-variant trig
+    * composes with `radians`.
+    */
+  def call(fn: String, a: Seq[Column]): Column = (fn, a) match {
+    case ("add", Seq(x, y)) => x + y
+    case ("sub", Seq(x, y)) => x - y
+    case ("mul", Seq(x, y)) => x * y
+    case ("div", Seq(x, y)) => x / y
+
+    // Missing numeric data decodes to NaN in the reference
+    // (BasicDecoders.scala:16-77), and comparisons follow *Scala* NaN
+    // ordering: every comparison with NaN is false except `!=`, which is
+    // true. A NULL operand here plays NaN's role, so ordered comparisons and
+    // equality collapse NULL to false while `ne` collapses it to true.
+    // (Spark's native NaN ordering — NaN greatest — would silently flip
+    // `NaN > x` to true, so the NULL path must be explicit.)
+    case ("lt", Seq(x, y)) => coalesce(x < y, lit(false))
+    case ("le", Seq(x, y)) => coalesce(x <= y, lit(false))
+    case ("gt", Seq(x, y)) => coalesce(x > y, lit(false))
+    case ("ge", Seq(x, y)) => coalesce(x >= y, lit(false))
+    case ("eq", Seq(x, y)) => coalesce(x === y, lit(false))
+    case ("ne", Seq(x, y)) => when(x.isNull || y.isNull, lit(true)).otherwise(x =!= y)
+
+    case ("and", Seq(x, y)) => x && y
+    case ("or", Seq(x, y))  => x || y
+    case ("xor", Seq(x, y)) => x =!= y
+    case ("not", Seq(x))    => !x
+    case ("neq", Seq(x, y)) => x =!= y
+
+    case ("abs", Seq(x))  => abs(x)
+    case ("sin", Seq(x))  => sin(x)
+    case ("cos", Seq(x))  => cos(x)
+    case ("tan" | "tg", Seq(x))  => tan(x)
+    case ("cot" | "ctg", Seq(x)) => lit(1.0) / tan(x)
+    case ("sind", Seq(x)) => sin(radians(x))
+    case ("cosd", Seq(x)) => cos(radians(x))
+    case ("tand" | "tgd", Seq(x))  => tan(radians(x))
+    case ("cotd" | "ctgd", Seq(x)) => lit(1.0) / tan(radians(x))
+    // documented in the reference's docs (docs/writing-patterns.md:149-156)
+    // though absent from its registry; cheap to support properly
+    case ("exp", Seq(x))     => exp(x)
+    case ("ln", Seq(x))      => log(x)
+    case ("log", Seq(x))     => log(x)
+    case ("sigmoid", Seq(x)) => lit(1.0) / (lit(1.0) + exp(-x))
+
+    case (other, args) =>
+      throw Parser.ParseError(s"unknown function '$other'/${args.length}", 0)
+  }
+
+  /** Row-wise reducers with per-argument filters (reference:
+    * FunctionRegistry.scala:456-518, ReducePattern.scala:40-70: arguments
+    * failing the filter are excluded from the fold; a Fail argument that
+    * *passes* the filter fails the whole result; the filter sees Fail as NaN
+    * with Scala — not SQL — NaN ordering).
+    */
+  def reducer(r: ReducerCall, value: Ast => Column): Column = {
+    val args = r.args.map(a => value(a).cast("double"))
+    val condCol: Column => Column = r.cond match {
+      case None    => _ => lit(true)
+      case Some(u) => x => uToColumn(u, x)
+    }
+    val passNaN: Boolean = r.cond.forall(u => UExpr.eval(u, Double.NaN))
+    // a NULL (Fail) argument: if the filter passes NaN, the whole reducer
+    // fails; otherwise the argument is just excluded
+    val nullPoisons = args.map(a => a.isNull && lit(passNaN)).reduce(_ || _)
+    val pass = args.map(a => a.isNotNull && coalesce(condCol(a), lit(false)))
+
+    def foldWith(init: Column, f: (Column, Column) => Column): Column =
+      args.zip(pass).foldLeft(init) { case (acc, (a, p)) => when(p, f(acc, a)).otherwise(acc) }
+
+    val result = r.fn match {
+      case "sumof"   => foldWith(lit(0.0), _ + _)
+      case "minof"   => foldWith(lit(Double.MaxValue), least(_, _))
+      case "maxof"   => foldWith(lit(Double.MinValue), greatest(_, _))
+      case "countof" => foldWith(lit(0.0), (acc, _) => acc + 1.0)
+      case "avgof" =>
+        val s = foldWith(lit(0.0), _ + _)
+        val c = foldWith(lit(0.0), (acc, _) => acc + 1.0)
+        // reference: 0 survivors -> 0.0/0.0 = NaN -> every comparison fails
+        // (Scala ordering). Spark's NaN sorts *greatest*, so emit NULL (our
+        // Fail/NaN stand-in) instead of letting NaN leak into comparisons.
+        when(c > 0, s / c)
+      case other => throw Parser.ParseError(s"unknown reducer '$other'", 0)
+    }
+    when(!nullPoisons, result)
+  }
+
+  def uToColumn(u: UExpr, hole: Column): Column = u match {
+    case UNum(v)    => lit(v)
+    case UHole      => hole
+    case UBool(b)   => lit(b)
+    case UNot(e)    => !uToColumn(e, hole)
+    case UAnd(l, r) => uToColumn(l, hole) && uToColumn(r, hole)
+    case UOr(l, r)  => uToColumn(l, hole) || uToColumn(r, hole)
+    case UXor(l, r) => uToColumn(l, hole) =!= uToColumn(r, hole)
+    case UBin(op, l, r) =>
+      val (a, b) = (uToColumn(l, hole), uToColumn(r, hole))
+      op match {
+        case "+" => a + b; case "-" => a - b
+        case "*" => a * b; case "/" => a / b
+      }
+    case UCmp(op, l, r) =>
+      val (a, b) = (uToColumn(l, hole), uToColumn(r, hole))
+      op match {
+        case "<" => a < b; case "<=" => a <= b
+        case ">" => a > b; case ">=" => a >= b
+        case "=" => a === b; case "!=" => a =!= b
+      }
+  }
+}
+
 final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
 
   import PatternCompiler._
@@ -321,64 +440,14 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
       }
       value(inner).cast(t)
 
-    case Call(fn, args) => scalarCall(fn, args.map(value))
+    case Call(fn, args) => ScalarFunctions.call(fn, args.map(value))
 
     case Agg(fn, arg, windowMs) => aggregate(fn, arg, windowMs)
 
-    case r: ReducerCall => reducer(r)
+    case r: ReducerCall => ScalarFunctions.reducer(r, value)
 
     // trilean node used in a value position (e.g. compared with a boolean)
     case other => trilean(other)
-  }
-
-  /** Scalar function registry (reference: FunctionRegistry.scala:114-454).
-    * Everything maps to a codegen'd Catalyst expression; degree-variant trig
-    * composes with `radians`.
-    */
-  private def scalarCall(fn: String, a: Seq[Column]): Column = (fn, a) match {
-    case ("add", Seq(x, y)) => x + y
-    case ("sub", Seq(x, y)) => x - y
-    case ("mul", Seq(x, y)) => x * y
-    case ("div", Seq(x, y)) => x / y
-
-    // Missing numeric data decodes to NaN in the reference
-    // (BasicDecoders.scala:16-77), and comparisons follow *Scala* NaN
-    // ordering: every comparison with NaN is false except `!=`, which is
-    // true. A NULL operand here plays NaN's role, so ordered comparisons and
-    // equality collapse NULL to false while `ne` collapses it to true.
-    // (Spark's native NaN ordering — NaN greatest — would silently flip
-    // `NaN > x` to true, so the NULL path must be explicit.)
-    case ("lt", Seq(x, y)) => coalesce(x < y, lit(false))
-    case ("le", Seq(x, y)) => coalesce(x <= y, lit(false))
-    case ("gt", Seq(x, y)) => coalesce(x > y, lit(false))
-    case ("ge", Seq(x, y)) => coalesce(x >= y, lit(false))
-    case ("eq", Seq(x, y)) => coalesce(x === y, lit(false))
-    case ("ne", Seq(x, y)) => when(x.isNull || y.isNull, lit(true)).otherwise(x =!= y)
-
-    case ("and", Seq(x, y)) => x && y
-    case ("or", Seq(x, y))  => x || y
-    case ("xor", Seq(x, y)) => x =!= y
-    case ("not", Seq(x))    => !x
-    case ("neq", Seq(x, y)) => x =!= y
-
-    case ("abs", Seq(x))  => abs(x)
-    case ("sin", Seq(x))  => sin(x)
-    case ("cos", Seq(x))  => cos(x)
-    case ("tan" | "tg", Seq(x))  => tan(x)
-    case ("cot" | "ctg", Seq(x)) => lit(1.0) / tan(x)
-    case ("sind", Seq(x)) => sin(radians(x))
-    case ("cosd", Seq(x)) => cos(radians(x))
-    case ("tand" | "tgd", Seq(x))  => tan(radians(x))
-    case ("cotd" | "ctgd", Seq(x)) => lit(1.0) / tan(radians(x))
-    // documented in the reference's docs (docs/writing-patterns.md:149-156)
-    // though absent from its registry; cheap to support properly
-    case ("exp", Seq(x))     => exp(x)
-    case ("ln", Seq(x))      => log(x)
-    case ("log", Seq(x))     => log(x)
-    case ("sigmoid", Seq(x)) => lit(1.0) / (lit(1.0) + exp(-x))
-
-    case (other, args) =>
-      throw Parser.ParseError(s"unknown function '$other'/${args.length}", 0)
   }
 
   /** Windowed aggregates `sum/count/avg/lag(x, T)` (reference:
@@ -415,66 +484,6 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
     }
   }
 
-  /** Row-wise reducers with per-argument filters (reference:
-    * FunctionRegistry.scala:456-518, ReducePattern.scala:40-70: arguments
-    * failing the filter are excluded from the fold; a Fail argument that
-    * *passes* the filter fails the whole result; the filter sees Fail as NaN
-    * with Scala — not SQL — NaN ordering).
-    */
-  private def reducer(r: ReducerCall): Column = {
-    val args = r.args.map(a => value(a).cast("double"))
-    val condCol: Column => Column = r.cond match {
-      case None    => _ => lit(true)
-      case Some(u) => x => uToColumn(u, x)
-    }
-    val passNaN: Boolean = r.cond.forall(u => UExpr.eval(u, Double.NaN))
-    // a NULL (Fail) argument: if the filter passes NaN, the whole reducer
-    // fails; otherwise the argument is just excluded
-    val nullPoisons = args.map(a => a.isNull && lit(passNaN)).reduce(_ || _)
-    val pass = args.map(a => a.isNotNull && coalesce(condCol(a), lit(false)))
-
-    def foldWith(init: Column, f: (Column, Column) => Column): Column =
-      args.zip(pass).foldLeft(init) { case (acc, (a, p)) => when(p, f(acc, a)).otherwise(acc) }
-
-    val result = r.fn match {
-      case "sumof"   => foldWith(lit(0.0), _ + _)
-      case "minof"   => foldWith(lit(Double.MaxValue), least(_, _))
-      case "maxof"   => foldWith(lit(Double.MinValue), greatest(_, _))
-      case "countof" => foldWith(lit(0.0), (acc, _) => acc + 1.0)
-      case "avgof" =>
-        val s = foldWith(lit(0.0), _ + _)
-        val c = foldWith(lit(0.0), (acc, _) => acc + 1.0)
-        // reference: 0 survivors -> 0.0/0.0 = NaN -> every comparison fails
-        // (Scala ordering). Spark's NaN sorts *greatest*, so emit NULL (our
-        // Fail/NaN stand-in) instead of letting NaN leak into comparisons.
-        when(c > 0, s / c)
-      case other => throw Parser.ParseError(s"unknown reducer '$other'", 0)
-    }
-    when(!nullPoisons, result)
-  }
-
-  private def uToColumn(u: UExpr, hole: Column): Column = u match {
-    case UNum(v)    => lit(v)
-    case UHole      => hole
-    case UBool(b)   => lit(b)
-    case UNot(e)    => !uToColumn(e, hole)
-    case UAnd(l, r) => uToColumn(l, hole) && uToColumn(r, hole)
-    case UOr(l, r)  => uToColumn(l, hole) || uToColumn(r, hole)
-    case UXor(l, r) => uToColumn(l, hole) =!= uToColumn(r, hole)
-    case UBin(op, l, r) =>
-      val (a, b) = (uToColumn(l, hole), uToColumn(r, hole))
-      op match {
-        case "+" => a + b; case "-" => a - b
-        case "*" => a * b; case "/" => a / b
-      }
-    case UCmp(op, l, r) =>
-      val (a, b) = (uToColumn(l, hole), uToColumn(r, hole))
-      op match {
-        case "<" => a < b; case "<=" => a <= b
-        case ">" => a > b; case ">=" => a >= b
-        case "=" => a === b; case "!=" => a =!= b
-      }
-  }
 }
 
 object PatternCompiler {

@@ -59,6 +59,56 @@ object TspEngine {
       .reduce(_ unionByName _)
   }
 
+  /** Compile a pattern for the streaming evaluator: the scalar condition as
+    * a window-free Column plus the timer duration (for a top-level
+    * `X for T`). Window-dependent constructs (aggregates, andThen, wait,
+    * for-ranges) are not stream-compilable with per-event columns and are
+    * rejected with a clear error — they belong to the stateful evaluator's
+    * roadmap, not to silent wrong answers.
+    */
+  def streamingCondition(pattern: String): (org.apache.spark.sql.Column, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val ast = Parser.parse(pattern) match {
+      case Right(a)  => a
+      case Left(err) => throw err
+    }
+    def scalar(a: Ast): org.apache.spark.sql.Column = a match {
+      case Const(v)           => lit(v)
+      case Ident(n)           => org.apache.spark.sql.functions.col(n)
+      case CastAst(inner, to) =>
+        val t = to match {
+          case "int32" => "int"; case "int64" => "bigint"
+          case "float64" => "double"; case "boolean" => "boolean"
+          case "string" => "string"
+        }
+        scalar(inner).cast(t)
+      case Call(fn, args)  => ScalarFunctions.call(fn, args.map(scalar))
+      case r: ReducerCall  => ScalarFunctions.reducer(r, scalar)
+      case AssertAst(b)    => coalesce(scalar(b), lit(false))
+      case UntilAst(c, b)  => scalar(c) && coalesce(!scalar(b), lit(false))
+      case other => throw Parser.ParseError(
+        s"construct not supported in the streaming evaluator: ${other.productPrefix}", 0)
+    }
+    ast match {
+      case TimerAst(cond, _, maxMs) => (scalar(cond), maxMs)
+      case other                    => (scalar(other), 0L)
+    }
+  }
+
+  /** Streaming incidents for a DSL pattern over a watermarked frame —
+    * parse -> scalar condition -> stateful evaluation
+    * (graft.streaming.StreamingPatterns).
+    */
+  def incidentsStream(df: DataFrame, pattern: String, cfg: PatternConfig):
+      org.apache.spark.sql.Dataset[graft.streaming.StreamingPatterns.StreamIncident] = {
+    val (cond, timerMs) = streamingCondition(pattern)
+    graft.streaming.StreamingPatterns.incidents(df, cfg.keys, cfg.tsCol, cond,
+      graft.streaming.StreamingPatterns.StreamConfig(
+        eventsMaxGapMs = cfg.eventsMaxGapMs,
+        sessionGapMs = cfg.sessionGapMs,
+        minDurationMs = timerMs))
+  }
+
   /** Parse-only validation — the `/patterns/validate` endpoint analogue
     * (reference: dsl/.../PatternsValidator.scala:9-37): for each pattern,
     * either the AST's referenced fields or a parse error.

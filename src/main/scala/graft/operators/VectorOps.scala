@@ -97,16 +97,24 @@ object VectorOps {
               corpus: DataFrame, id: String, vec: String,
               k: Int, tables: Int = 32, bits: Int = 4, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(tables, bits, dim)
-    val q = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
-      .withColumn("bks", lshBuckets(col("qv"), planes))
-      .select(col("qid"), col("qv"), explode(col("bks")).as("bk"))
-    val c = corpus.select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
-      .withColumn("bks", lshBuckets(col("nv"), planes))
-      .select(col("nid"), col("nv"), explode(col("bks")).as("bk"))
-    val scored = c.as("c").join(broadcast(q).as("q"),
+    // candidate dedup runs on bare id pairs — vector arrays join back in
+    // afterwards from the cached bases, so neither the bucket join nor the
+    // distinct shuffles 64-dim payloads
+    val qBase = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cBase = corpus.select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = qBase.withColumn("bks", lshBuckets(col("qv"), planes))
+      .select(col("qid"), explode(col("bks")).as("bk"))
+    val c = cBase.withColumn("bks", lshBuckets(col("nv"), planes))
+      .select(col("nid"), explode(col("bks")).as("bk"))
+    val cand = c.as("c").join(broadcast(q).as("q"),
         col("q.bk") === col("c.bk") && col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("qv"), col("nv"))
+      .select(col("qid"), col("nid"))
       .distinct()
+    val scored = cand
+      .join(broadcast(qBase), "qid")
+      .join(cBase, "nid")
       .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
       .select(col("qid"), col("nid"), col("sim"))
     topKPerKey(scored, "qid", k)

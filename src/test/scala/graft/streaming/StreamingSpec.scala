@@ -80,6 +80,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("DSL pattern drives the streaming evaluator end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val df = ms.toDF().toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "5 seconds")
+    val inc = graft.dsl.TspEngine.incidentsStream(df, "v > 50 for 2 sec",
+      graft.dsl.PatternConfig(Seq("k"), "ts", eventsMaxGapMs = 60000L,
+        sessionGapMs = 1000L))
+    val query = inc.writeStream.format("memory").queryName("stream_dsl")
+      .outputMode("append").start()
+    try {
+      ms.addData(("d", 10000L, 60.0), ("d", 10001L, 61.0), ("d", 10002L, 62.0),
+        ("d", 10003L, 63.0), ("d", 10004L, 10.0))
+      query.processAllAvailable()
+      ms.addData(("d", 10500L, 1.0))
+      query.processAllAvailable()
+      ms.addData(("d", 10600L, 1.0))
+      query.processAllAvailable()
+      val got = spark.table("stream_dsl")
+        .select("fromMs", "toMs").as[(Long, Long)].collect().toSet
+      assert(got == Set((10002000L, 10003000L)), s"got $got")
+    } finally query.stop()
+
+    // window-dependent constructs are rejected, not silently wrong
+    val err = intercept[Exception] {
+      graft.dsl.TspEngine.streamingCondition("a > 1 andThen b > 2")
+    }
+    assert(err.getMessage.contains("not supported in the streaming evaluator"))
+  }
+
   test("data gap resets an open run") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(String, Long, Double)]
