@@ -28,13 +28,21 @@ import scala.util.Random
 object VectorOps {
 
   /** Cosine similarity of two double-array columns (dot / norms). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    def norm(x: Column) =
-      sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
-  }
+
+  /** Cosine with precomputed norms — per-pair work drops to one dot product
+    * (norms are per-vector and belong on the base frame, not in the pair
+    * loop).
+    */
+  def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  def norm(x: Column): Column =
+    sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -47,9 +55,12 @@ object VectorOps {
                      corpus: DataFrame, id: String, vec: String,
                      k: Int): DataFrame = {
     val q = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
+      .withColumn("nn", norm(col("nv")))
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("sim",
+        round(cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")), 6))
       .select(col("qid"), col("nid"), col("sim"))
     topKPerKey(scored, "qid", k)
   }
@@ -101,8 +112,10 @@ object VectorOps {
     // afterwards from the cached bases, so neither the bucket join nor the
     // distinct shuffles 64-dim payloads
     val qBase = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cBase = corpus.select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
+      .withColumn("nn", norm(col("nv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = qBase.withColumn("bks", lshBuckets(col("qv"), planes))
       .select(col("qid"), explode(col("bks")).as("bk"))
@@ -115,7 +128,8 @@ object VectorOps {
     val scored = cand
       .join(broadcast(qBase), "qid")
       .join(cBase, "nid")
-      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("sim",
+        round(cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")), 6))
       .select(col("qid"), col("nid"), col("sim"))
     topKPerKey(scored, "qid", k)
   }
@@ -131,6 +145,7 @@ object VectorOps {
     // otherwise run once per self-join side; candidate dedup happens on ids
     // only so vector arrays never enter the distinct's shuffle
     val base = corpus.select(col(id).as("id"), asDouble(col(vec)).as("v"))
+      .withColumn("nrm", norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c = base
       .withColumn("bks", lshBuckets(col("v"), planes))
@@ -140,9 +155,10 @@ object VectorOps {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     cand
-      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("sim",
+        round(cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
