@@ -177,6 +177,8 @@ object PatternOps {
       .select(kc ++ Seq(
         col("_g_afrom").as("seg_from"), col("_g_next.to").as("seg_to"),
         col("_g_afromms").as("from_ms"), col("_g_next.tms").as("to_ms"),
+        // event counts would need a join back to the event frame; segment
+        // consumers only use the interval, so this stays a placeholder
         lit(1L).as("n_events")): _*)
   }
 

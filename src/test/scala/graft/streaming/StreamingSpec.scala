@@ -111,6 +111,45 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("not supported in the streaming evaluator"))
   }
 
+  test("state survives a query restart through the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ms = MemoryStream[(String, Long, Double)]
+    val df = ms.toDF().toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "5 seconds")
+    val inc = StreamingPatterns.incidents(df, Seq("k"), "ts", col("v") > 50,
+      StreamConfig(eventsMaxGapMs = 60000L, sessionGapMs = 1000L,
+        minDurationMs = 2000L))
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString
+    // the memory sink cannot recover from a checkpoint; a file sink can
+    def start() = inc.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // first half of a qualifying run, then stop mid-pattern
+    val q1 = start()
+    ms.addData(("e", 10000L, 60.0), ("e", 10001L, 61.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the checkpoint; the run continues and closes
+    val q2 = start()
+    ms.addData(("e", 10002L, 62.0), ("e", 10003L, 63.0), ("e", 10004L, 1.0))
+    q2.processAllAvailable()
+    ms.addData(("e", 10500L, 1.0))
+    q2.processAllAvailable()
+    ms.addData(("e", 10600L, 1.0))
+    q2.processAllAvailable()
+    try {
+      val got = spark.read.parquet(outDir)
+        .select("fromMs", "toMs").as[(Long, Long)].collect().toSet
+      // timer(2s) over the stitched run [10000..10003]: success [10002, 10003]
+      assert(got == Set((10002000L, 10003000L)), s"got $got")
+    } finally q2.stop()
+  }
+
   test("data gap resets an open run") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(String, Long, Double)]
