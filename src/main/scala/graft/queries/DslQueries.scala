@@ -52,7 +52,18 @@ object DslQueries {
     // AndThenPattern over the DSL (exact queue-merge semantics; the driver
     // does a rows-only check here — the sequential consumption rule is not
     // expressible in one SQL pass; semantics are locked by CorpusWideSpec)
-    "dsl_andthen" -> ((s, d) => run(s, d, "value > 150 andThen event_type = 'purchase'"))
+    "dsl_andthen" -> ((s, d) => run(s, d, "value > 150 andThen event_type = 'purchase'")),
+
+    // shared multi-pattern evaluation: three patterns, one scan, one window
+    // exchange; results must equal running each pattern alone
+    "dsl_multi" -> { (s, d) =>
+      TspEngine.incidentsAllShared(Tables.events(s, d), Seq(
+        TspEngine.RawPattern("simple", "value > 100"),
+        TspEngine.RawPattern("timer", "value > 50 for 24 hr"),
+        TspEngine.RawPattern("until", "value > 50 until event_type = 'error'")), cfg)
+        .select(col("pattern_id"), col("user_id"), col("from_ms"), col("to_ms"),
+          col("n_events"))
+    }
   )
 
   /** Shared oracle scaffolding: events with epoch-ms and a gap-run id that
@@ -101,32 +112,41 @@ object DslQueries {
   private def condIncidents(cond: String): String =
     s"$eCte, ${segSql(cond)}, $sessSql\n$sessSelect"
 
+  /** One pattern's oracle wrapped with its pattern_id, for the multi-pattern
+    * union.
+    */
+  private def tagged(id: String, sql: String): String =
+    s"SELECT '$id' AS pattern_id, * FROM (\n$sql\n)"
+
+  /** timer: within each true-run (split at gaps), success spans from the
+    * first event at-or-after run_start + T through the run end.
+    */
+  private val timerOracle: String =
+    s"""$eCte, ${segSql("value > 50")},
+       |traw AS (
+       |  SELECT r.user_id, min(r.ms) AS from_ms, max(r.ms) AS to_ms,
+       |         count(*) AS n_events
+       |  FROM runs r
+       |  JOIN (SELECT user_id, grun, run_id, min(ms) AS start_ms
+       |        FROM runs WHERE cond GROUP BY user_id, grun, run_id) st
+       |    ON r.user_id = st.user_id AND r.grun = st.grun AND r.run_id = st.run_id
+       |  WHERE r.cond AND r.ms >= st.start_ms + ${86400000L}
+       |  GROUP BY r.user_id, r.grun, r.run_id),
+       |sess AS (
+       |  SELECT user_id, from_ms, to_ms, n_events,
+       |    sum(CASE WHEN prev_max_to IS NULL OR from_ms > prev_max_to + $S
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY from_ms, to_ms) AS sid
+       |  FROM (SELECT *, max(to_ms) OVER (PARTITION BY user_id
+       |          ORDER BY from_ms, to_ms
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_to
+       |        FROM traw))
+       |$sessSelect""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dsl_simple" -> condIncidents("value > 100"),
 
-    // timer: within each true-run (split at gaps), success spans from the
-    // first event at-or-after run_start + T through the run end
-    "dsl_timer" ->
-      s"""$eCte, ${segSql("value > 50")},
-         |traw AS (
-         |  SELECT r.user_id, min(r.ms) AS from_ms, max(r.ms) AS to_ms,
-         |         count(*) AS n_events
-         |  FROM runs r
-         |  JOIN (SELECT user_id, grun, run_id, min(ms) AS start_ms
-         |        FROM runs WHERE cond GROUP BY user_id, grun, run_id) st
-         |    ON r.user_id = st.user_id AND r.grun = st.grun AND r.run_id = st.run_id
-         |  WHERE r.cond AND r.ms >= st.start_ms + ${86400000L}
-         |  GROUP BY r.user_id, r.grun, r.run_id),
-         |sess AS (
-         |  SELECT user_id, from_ms, to_ms, n_events,
-         |    sum(CASE WHEN prev_max_to IS NULL OR from_ms > prev_max_to + $S
-         |             THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY user_id ORDER BY from_ms, to_ms) AS sid
-         |  FROM (SELECT *, max(to_ms) OVER (PARTITION BY user_id
-         |          ORDER BY from_ms, to_ms
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_to
-         |        FROM traw))
-         |$sessSelect""".stripMargin,
+    "dsl_timer" -> timerOracle,
 
     // window statistic: success-count >= 6 in the closed trailing 7-day
     // window, truncated at gap-run boundaries; the result column is a new
@@ -208,6 +228,12 @@ object DslQueries {
          |         count(*) AS n_events
          |  FROM runs WHERE cond GROUP BY user_id, grun, run_id),
          |$sessSql
-         |$sessSelect""".stripMargin
+         |$sessSelect""".stripMargin,
+
+    "dsl_multi" -> Seq(
+      tagged("simple", condIncidents("value > 100")),
+      tagged("timer", timerOracle),
+      tagged("until", condIncidents("value > 50 AND NOT (event_type = 'error')"))
+    ).mkString("\nUNION ALL\n")
   )
 }
