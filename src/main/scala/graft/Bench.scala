@@ -20,6 +20,9 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
+      // operators may persist() intermediates (signatures, vector bases);
+      // drop them so one query's cache never evicts the next one's
+      spark.catalog.clearCache()
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val qs = results.map { case (k, v, ok) =>
