@@ -73,10 +73,13 @@ object LlmQueries {
     },
 
     // Multimodal plumbing: binary payload + metadata -> batched feature
-    // extraction (decode stubbed deterministically).
+    // extraction (decode stubbed deterministically). Features emitted as a
+    // CSV string: the driver's pandas compare cannot hash array columns.
     "media_features" -> { (s, d) =>
       MediaOps.decodeFeaturesBatched(
-        MediaOps.asMedia(Tables.documents(s, d), "doc_id", "text"))
+          MediaOps.asMedia(Tables.documents(s, d), "doc_id", "text"))
+        .withColumn("features",
+          concat_ws(",", col("features").cast("array<string>")))
     })
 
   private val docsCte =
@@ -166,6 +169,7 @@ object LlmQueries {
     "media_features" ->
       """SELECT doc_id AS media_id, 'txt' AS format,
         |       length(text)::BIGINT AS n_bytes,
-        |       [ascii(md5(text)[j])::INT for j in range(1, 9)] AS features
+        |       array_to_string([ascii(md5(text)[j])::INT::VARCHAR
+        |                        for j in range(1, 9)], ',') AS features
         |FROM documents""".stripMargin)
 }

@@ -281,7 +281,7 @@ object PatternQueries {
          |  RANGE BETWEEN 172799999 PRECEDING AND CURRENT ROW)""".stripMargin,
     "pat_gap_run" ->
       s"""$eCte
-         |SELECT user_id, gap_run, count(*) AS n_events,
+         |SELECT user_id, CAST(gap_run AS BIGINT) AS gap_run, count(*) AS n_events,
          |       min(ms) AS from_ms, max(ms) AS to_ms
          |FROM (SELECT user_id, ms,
          |        sum(CASE WHEN prev_ms IS NOT NULL AND ms - prev_ms > 604800000

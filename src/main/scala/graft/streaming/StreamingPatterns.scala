@@ -95,12 +95,9 @@ object StreamingPatterns {
       s = s.copy(startMs = -1L, lastCondMs = -1L, firstSuccMs = -1L, succN = 0L)
     }
 
-    if (state.hasTimedOut) {
-      // watermark passed pending.to + sessionGap: nothing can merge anymore
-      if (s.hasPending) out += StreamIncident(key, s.pendFromMs, s.pendToMs, s.pendN)
-      s = s.copy(hasPending = false)
-      state.update(s)
-    } else {
+    val wm = state.getCurrentWatermarkMs()
+
+    if (!state.hasTimedOut) {
       // micro-batches are unordered; process in event time, drop late rows
       val sorted = events.toArray.sortBy(_.tsMs).iterator
         .filter(_.tsMs > s.lastSeenMs)
@@ -117,9 +114,33 @@ object StreamingPatterns {
         } else closeRun()
         s = s.copy(lastSeenMs = e.tsMs)
       }
+    }
+
+    // Watermark-driven expiry runs on BOTH paths: Spark only fires timeouts
+    // for keys with no data in the batch, so a key under continuous traffic
+    // must flush inline here or its pending incident would never emit.
+    // Once wm > lastSeen + maxGap, every admissible future event (ts > wm)
+    // closes the run on arrival — so close it now (batch end-of-gap
+    // semantics; an open run that never sees another event still emits).
+    if (s.startMs >= 0 && wm > s.lastSeenMs + cfg.eventsMaxGapMs) closeRun()
+    // once wm > pending.to + sessionGap, nothing can merge anymore
+    if (s.hasPending && wm > s.pendToMs + cfg.sessionGapMs) {
+      out += StreamIncident(key, s.pendFromMs, s.pendToMs, s.pendN)
+      s = s.copy(hasPending = false)
+    }
+
+    if (s.startMs < 0 && !s.hasPending && wm > s.lastSeenMs) {
+      // nothing open and the watermark subsumes the late-event cutoff:
+      // retire the key's state entirely (bounded state under key churn)
+      state.remove()
+    } else {
       state.update(s)
-      if (s.hasPending)
-        state.setTimeoutTimestamp(s.pendToMs + cfg.sessionGapMs + 1)
+      val deadline = math.min(
+        if (s.hasPending) s.pendToMs + cfg.sessionGapMs + 1 else Long.MaxValue,
+        if (s.startMs >= 0) s.lastSeenMs + cfg.eventsMaxGapMs + 1
+        else s.lastSeenMs + 1) // lastSeen-only state: retire at next wm pass
+      // clamp: Spark rejects a timeout timestamp at or below the watermark
+      state.setTimeoutTimestamp(math.max(deadline, wm + 1))
     }
     out.iterator
   }

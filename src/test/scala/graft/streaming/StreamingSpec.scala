@@ -150,6 +150,74 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("pending incident flushes under continuous per-key traffic") {
+    // Regression: a key that keeps receiving data never has its timeout
+    // fired by Spark (timeouts only fire for keys with no batch data), and
+    // re-arming a timeout below the advancing watermark used to throw
+    // IllegalArgumentException and kill the query. The flush must happen
+    // inline on the data path, clamped above the watermark.
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val df = ms.toDF().toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "5 seconds")
+    val inc = StreamingPatterns.incidents(df, Seq("k"), "ts", col("v") > 50,
+      StreamConfig(eventsMaxGapMs = 600000L, sessionGapMs = 1000L,
+        minDurationMs = 0L))
+    val query = inc.writeStream.format("memory").queryName("stream_inc4")
+      .outputMode("append").start()
+    try {
+      // incident closes at 10002, then the key keeps sending cond=false
+      // traffic every batch while the watermark overtakes pendTo+sessionGap
+      ms.addData(("f", 10000L, 60.0), ("f", 10001L, 61.0), ("f", 10002L, 0.0))
+      query.processAllAvailable()
+      ms.addData(("f", 10010L, 0.0))
+      query.processAllAvailable()
+      ms.addData(("f", 10020L, 0.0))
+      query.processAllAvailable()
+      ms.addData(("f", 10030L, 0.0))
+      query.processAllAvailable()
+      assert(query.exception.isEmpty, s"query failed: ${query.exception}")
+      val got = spark.table("stream_inc4")
+        .select("key", "fromMs", "toMs", "nEvents")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == Set(("f", 10000000L, 10001000L, 2L)), s"got $got")
+    } finally query.stop()
+  }
+
+  test("a key that goes quiet mid-run still emits once the watermark passes") {
+    // Divergence fix: the batch engine emits an open qualifying run at end
+    // of data; streaming must emit it once the watermark proves no event
+    // can extend the run (wm > lastSeen + eventsMaxGap), even if the key
+    // never sends another event.
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val df = ms.toDF().toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "5 seconds")
+    val inc = StreamingPatterns.incidents(df, Seq("k"), "ts", col("v") > 50,
+      StreamConfig(eventsMaxGapMs = 10000L, sessionGapMs = 1000L,
+        minDurationMs = 0L))
+    val query = inc.writeStream.format("memory").queryName("stream_inc5")
+      .outputMode("append").start()
+    try {
+      ms.addData(("g", 10000L, 60.0), ("g", 10001L, 61.0))
+      query.processAllAvailable()
+      // only key "h" advances the watermark from here on
+      ms.addData(("h", 10100L, 0.0))
+      query.processAllAvailable()
+      ms.addData(("h", 10200L, 0.0))
+      query.processAllAvailable()
+      ms.addData(("h", 10300L, 0.0))
+      query.processAllAvailable()
+      assert(query.exception.isEmpty, s"query failed: ${query.exception}")
+      val got = spark.table("stream_inc5")
+        .select("key", "fromMs", "toMs", "nEvents")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == Set(("g", 10000000L, 10001000L, 2L)), s"got $got")
+    } finally query.stop()
+  }
+
   test("data gap resets an open run") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(String, Long, Double)]
