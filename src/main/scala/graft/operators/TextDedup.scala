@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Near-duplicate detection over document corpora — the load-bearing
   * operators of a training-data pipeline. Everything is built from codegen'd
@@ -16,8 +17,19 @@ import org.apache.spark.sql.functions._
   *  - band count / rows-per-band trade recall for bucket skew: with r rows
   *    per band and b bands, P(candidate | jaccard s) = 1 - (1 - s^r)^b.
   *    Defaults (r=2, b=64) give recall > 0.9999 at s = 0.5;
-  *  - a hot bucket (e.g. boilerplate shingles) is bounded by salting the
-  *    band key with `doc_id % salt` on the build side if skew shows up.
+  *  - hot buckets (boilerplate shingles / signatures) are CAPPED: a bucket
+  *    above `bucketCap` members never enters the pairwise self-join (which
+  *    would be quadratic in its size). Its members are instead exact-grouped
+  *    by their full signature — an over-cap bucket is boilerplate, and the
+  *    true duplicates inside it agree on the whole signature, so the
+  *    exact group recovers them at O(n log n). A mid-similarity pair loses
+  *    recall only if EVERY band it agrees on is over-cap, which for
+  *    jaccard >= 0.5 (expected agreeing bands = b * s^r = 16) requires 16
+  *    independent boilerplate collisions;
+  *  - the narrow (id, band, bucket) frame is materialized before the
+  *    self-join: joining the raw banding expression would plan the full
+  *    128-hash tree on both sides (Catalyst planning dominated execution
+  *    before this).
   */
 object TextDedup {
 
@@ -59,6 +71,52 @@ object TextDedup {
     }: _*)
   }
 
+  /** All ordered pairs (a < b) of a sorted id array, generated inline:
+    * bounded by the bucket cap, so the nested transform never explodes.
+    */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        b => struct(a.as("id_a"), b.as("id_b")))))
+
+  /** Pairs (id_a < id_b) sharing a bucket, with over-cap buckets routed to
+    * an exact-signature group instead of the quadratic pairwise expansion.
+    * `keyed`: (id, bk); `exactKey`: (id, k) full-signature group key.
+    *
+    * Shape: count-per-bucket first (map-side partial agg — safe on any
+    * skew), broadcast the few over-cap bucket keys, then collect each
+    * under-cap bucket's ids (bounded arrays) and explode the combinations.
+    * One shuffle on the bucket key + one distinct on the pair — no
+    * self-join, no window sort.
+    */
+  private def cappedPairs(keyed0: DataFrame, exactKey: DataFrame,
+                          bucketCap: Int): DataFrame = {
+    // three consumers (bucket census, light path, heavy path) — materialize
+    // the narrow (id, bk) frame once instead of re-running the signature
+    // pipeline per consumer
+    val keyed = keyed0.persist(StorageLevel.MEMORY_AND_DISK)
+    val heavyBuckets = keyed.groupBy("bk").count()
+      .filter(col("count") > bucketCap).select("bk")
+    val lightPairs = keyed
+      .join(broadcast(heavyBuckets), Seq("bk"), "left_anti")
+      .groupBy("bk").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    // over-cap buckets: exact grouping by full signature. Group sizes are
+    // bounded by true-duplicate multiplicity (the pair contract is
+    // inherently quadratic in an exact-duplicate group; nothing smaller
+    // satisfies "emit every pair above threshold").
+    val heavyPairs = keyed.join(broadcast(heavyBuckets), Seq("bk"))
+      .select("id").distinct()
+      .join(exactKey, "id")
+      .groupBy("k").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    lightPairs.union(heavyPairs).distinct()
+  }
+
   /** Candidate pairs (idA < idB) that share at least one LSH bucket,
     * verified with their exact jaccard similarity over the shingle sets.
     * Output: (id_a, id_b, jaccard), jaccard >= `threshold`.
@@ -70,7 +128,8 @@ object TextDedup {
     shingleK: Int = 3,
     numHashes: Int = 128,
     bands: Int = 64,
-    threshold: Double = 0.5
+    threshold: Double = 0.5,
+    bucketCap: Int = 200
   ): DataFrame = {
     // one string hash per distinct shingle; signature + verification both
     // work on the hashed set. Cached because the self-join and the verify
@@ -79,15 +138,27 @@ object TextDedup {
     val sh = df.select(col(idCol).as("id"),
         array_distinct(transform(wordShingles(col(textCol), shingleK),
           s => xxhash64(s))).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sh
-      .select(col("id"),
-        explode(bandKeys(col("hs"), numHashes, bands)).as("bk"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    cand
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // minhash coordinates via explode + flat min-aggregates rather than the
+    // [[bandKeys]] higher-order form: 128 plain `min(xxhash64(h, i))` exprs
+    // optimize and codegen in milliseconds where 128 HOF traversals cost
+    // ~10 s of Catalyst planning per query. Map-side partial agg keeps the
+    // shuffle at one row per doc. Seeds match [[minhashSignature]] exactly.
+    val r = numHashes / bands
+    val mins = sh.select(col("id"), explode(col("hs")).as("h"))
+      .groupBy("id")
+      .agg(min(xxhash64(col("h"), lit(1))).as("m1"),
+        (2 to numHashes).map(i =>
+          min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
+    val banded = mins.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        val coords = (b * r + 1 to (b + 1) * r).map(i => col(s"m$i"))
+        struct(lit(b).as("band"), xxhash64(coords: _*).as("bucket"))
+      }: _*)).as("bk"))
+    // identical shingle SETS <=> identical docs under jaccard: the exact
+    // fallback key for boilerplate buckets
+    val exactKey = sh.select(col("id"), xxhash64(array_sort(col("hs"))).as("k"))
+    cappedPairs(banded, exactKey, bucketCap)
       .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("jaccard",
@@ -99,6 +170,12 @@ object TextDedup {
 
   /** 64-bit SimHash over the word multiset: bit j of the signature is the
     * sign of the sum of +-1 votes from each word's hash bit j.
+    *
+    * Column-level formulation (64 higher-order traversals); fine for ad-hoc
+    * use on single frames. [[simhashSignatures]] computes the same value
+    * through one explode + aggregate — the shape the dedup pipeline uses,
+    * since 64 `aggregate()` nodes cost more in planning + codegen than the
+    * one shuffle they save.
     */
   def simhash64(text: Column): Column = {
     val words = split(text, "\\s+")
@@ -110,27 +187,49 @@ object TextDedup {
     }.reduce(_ + _)
   }
 
+  /** (id, sig) frame: same value as [[simhash64]] via explode + one
+    * aggregate with 64 flat conditional sums (map-side partial agg; a
+    * single narrow shuffle on `id`).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), "\\s+")).as("w"))
+    val h = xxhash64(col("w"))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"v$j")
+    }
+    words.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map { j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as("sig"))
+  }
+
   /** SimHash near-duplicates: candidates share one of four 16-bit chunks
     * (any pair within hamming distance 3 of a 64-bit signature must agree on
     * at least one chunk), verified by exact hamming distance <= `maxHamming`.
+    * Over-cap chunk buckets fall back to exact signature equality (hamming
+    * 0), which is what survives inside a boilerplate bucket anyway.
     */
   def simhashDuplicates(
     df: DataFrame,
     idCol: String,
     textCol: String,
-    maxHamming: Int = 3
+    maxHamming: Int = 3,
+    bucketCap: Int = 200
   ): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
-    val chunked = sig.select(col("id"), col("sig"),
+    val sig = simhashSignatures(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val chunked = sig.select(col("id"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
-        .as("ck"))
-    chunked.as("x").join(chunked.as("y"),
-        col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .distinct()
+        .as("bk"))
+    val exactKey = sig.select(col("id"), col("sig").as("k"))
+    cappedPairs(chunked, exactKey, bucketCap)
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
