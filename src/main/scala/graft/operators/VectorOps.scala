@@ -87,7 +87,15 @@ object VectorOps {
     Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
-  /** Bucket ids per table: bit b set iff dot(vec, plane_tb) >= 0. */
+  /** Bucket ids per table: bit b set iff dot(vec, plane_tb) >= 0.
+    *
+    * Column-level reference formulation. Do NOT use in pipelines: the
+    * tables x bits x dim literal arrays inline ~8k literal nodes into the
+    * plan — Catalyst planning plus 1.5 MiB codegen units dominated the
+    * runtime. [[bucketRows]] computes the same buckets in one
+    * per-partition loop over a broadcast plane matrix; this stays as its
+    * test oracle.
+    */
   def lshBuckets(vec: Column, planes: Seq[Seq[Array[Double]]]): Column = {
     val perTable = planes.zipWithIndex.map { case (tablePlanes, t) =>
       val bucket = tablePlanes.zipWithIndex.map { case (plane, b) =>
@@ -99,6 +107,56 @@ object VectorOps {
       struct(lit(t).as("table"), bucket.as("bucket"))
     }
     array(perTable: _*)
+  }
+
+  /** (id, bk struct<table,bucket>) rows — all tables x bits plane dot
+    * products in one vectorized per-partition loop over a broadcast plane
+    * matrix. Dot products accumulate left-to-right like the Column form, so
+    * buckets are bit-identical to [[lshBuckets]]. The rare justified exit
+    * from Catalyst: the planes are per-query constants, and inlining them
+    * as literals broke planning, not semantics.
+    *
+    * @param df frame holding `idName` and a pre-cast `array<double>`
+    *           column `vecName`
+    */
+  def bucketRows(df: DataFrame, idName: String, vecName: String,
+                 planes: Seq[Seq[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tables = planes.size
+    val bits = planes.head.size
+    val dim = planes.head.head.length
+    val flat = new Array[Double](tables * bits * dim)
+    for (t <- 0 until tables; b <- 0 until bits; i <- 0 until dim)
+      flat((t * bits + b) * dim + i) = planes(t)(b)(i)
+    val bc = df.sparkSession.sparkContext.broadcast(flat)
+    val in = df.select(col(idName), col(vecName))
+    val idField = in.schema.fields.head
+    val outSchema = StructType(Seq(idField,
+      StructField("bk", StructType(Seq(
+        StructField("table", IntegerType, nullable = false),
+        StructField("bucket", LongType, nullable = false))))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      val p = bc.value
+      rows.flatMap { r =>
+        val id = r.get(0)
+        val v = r.getSeq[Double](1).toArray
+        (0 until tables).iterator.map { t =>
+          var bucket = 0L
+          var b = 0
+          while (b < bits) {
+            val off = (t * bits + b) * dim
+            var s = 0.0
+            var i = 0
+            while (i < dim) { s += v(i) * p(off + i); i += 1 }
+            if (s >= 0) bucket |= (1L << b)
+            b += 1
+          }
+          Row(id, Row(t, bucket))
+        }
+      }
+    }(enc)
   }
 
   /** Approximate top-k: candidates from shared LSH buckets, exact cosine on
@@ -117,10 +175,8 @@ object VectorOps {
     val cBase = corpus.select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
       .withColumn("nn", norm(col("nv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val q = qBase.withColumn("bks", lshBuckets(col("qv"), planes))
-      .select(col("qid"), explode(col("bks")).as("bk"))
-    val c = cBase.withColumn("bks", lshBuckets(col("nv"), planes))
-      .select(col("nid"), explode(col("bks")).as("bk"))
+    val q = bucketRows(qBase, "qid", "qv", planes)
+    val c = bucketRows(cBase, "nid", "nv", planes)
     val cand = c.as("c").join(broadcast(q).as("q"),
         col("q.bk") === col("c.bk") && col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
@@ -147,9 +203,7 @@ object VectorOps {
     val base = corpus.select(col(id).as("id"), asDouble(col(vec)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c = base
-      .withColumn("bks", lshBuckets(col("v"), planes))
-      .select(col("id"), explode(col("bks")).as("bk"))
+    val c = bucketRows(base, "id", "v", planes)
     val cand = c.as("x").join(c.as("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))

@@ -22,6 +22,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (|exact|=${exact.size}, hit=${(exact intersect approx).size})")
   }
 
+  test("bucketRows matches the Column-level lshBuckets oracle") {
+    import spark.implicits._
+    val planes = VectorOps.hyperplanes(tables = 8, bits = 4, dim = 64)
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val fast = VectorOps.bucketRows(base, "id", "v", planes)
+      .select(col("id"), col("bk.table"), col("bk.bucket"))
+      .as[(Long, Int, Long)].collect().toSet
+    val oracle = base
+      .select(col("id"), explode(VectorOps.lshBuckets(col("v"), planes)).as("bk"))
+      .select(col("id"), col("bk.table"), col("bk.bucket"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(fast == oracle,
+      s"mismatch: only-fast=${(fast -- oracle).take(3)}, only-oracle=${(oracle -- fast).take(3)}")
+  }
+
   test("minhash candidate recall is total on the planted near-dups") {
     import spark.implicits._
     // brute-force 3-gram jaccard >= 0.5 pairs
