@@ -22,7 +22,12 @@ final case class PatternConfig(
   tsCol: String,
   eventsMaxGapMs: Long = 60000L,
   sessionGapMs: Long = 2000L,
-  toleranceFraction: Double = 0.0
+  toleranceFraction: Double = 0.0,
+  /** Column whose value becomes the incident's `unit` (reference:
+    * ToIncidentsMapper.scala:19-21 — per-event extraction, Int.MinValue on
+    * parse failure). None = no unit column on incidents.
+    */
+  unitIdField: Option[String] = None
 )
 
 /** AST -> Spark compiler.
@@ -223,17 +228,29 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
     val prev = lag(col(res), 1).over(w)
     val withRun = frame.withColumn(runCol,
       sum(when(col(res) <=> prev, 0).otherwise(1)).over(w).cast("long"))
+    // unit rides along as the stringified field value of the segment's
+    // earliest event (deterministic via the ms axis; the field is a
+    // per-equipment constant in practice). Parsed to int after
+    // sessionization, Int.MinValue on failure — ToIncidentsMapper.scala:19-21.
+    val unitAgg = cfg.unitIdField.map(f =>
+      min_by(col(f).cast("string"), col(MS)).as("_p_unit")).toSeq
     val segs = withRun
       .filter(col(res))
       .groupBy((pcols :+ runCol).map(col): _*)
-      .agg(
-        min(col(cfg.tsCol)).as("seg_from"),
-        max(col(cfg.tsCol)).as("seg_to"),
-        min(col(MS)).as("from_ms"),
-        max(col(MS)).as("to_ms"),
-        count(lit(1)).as("n_events"))
+      .agg(min(col(cfg.tsCol)).as("seg_from"),
+        Seq(
+          max(col(cfg.tsCol)).as("seg_to"),
+          min(col(MS)).as("from_ms"),
+          max(col(MS)).as("to_ms"),
+          count(lit(1)).as("n_events")) ++ unitAgg: _*)
       .drop(runCol, GAP)
-    graft.operators.Segments.sessionize(segs, cfg.keys, cfg.sessionGapMs)
+    val merged = graft.operators.Segments.sessionize(segs, cfg.keys,
+      cfg.sessionGapMs, carry = cfg.unitIdField.map(_ => "_p_unit").toSeq)
+    if (cfg.unitIdField.isEmpty) merged
+    else merged
+      .withColumn("unit",
+        coalesce(expr("try_cast(_p_unit AS int)"), lit(Int.MinValue)))
+      .drop("_p_unit")
   }
 
   // ------------------------------------------------------------ trilean

@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object TspEngine {
 
-  final case class RawPattern(id: String, sourceCode: String, subunit: Int = 0)
+  /** Reference: core/.../RawPattern.scala — id + DSL source + per-pattern
+    * subunit and metadata, both carried verbatim into every incident.
+    */
+  final case class RawPattern(id: String, sourceCode: String, subunit: Int = 0,
+                              metadata: Map[String, String] = Map.empty)
 
   /** Incidents for one pattern: `(keys..., seg_from, seg_to, from_ms, to_ms,
     * n_events)`, one row per merged incident.
@@ -30,8 +34,17 @@ object TspEngine {
     */
   def incidentsAll(df: DataFrame, patterns: Seq[RawPattern], cfg: PatternConfig): DataFrame =
     patterns
-      .map(p => incidents(df, p.sourceCode, cfg).withColumn("pattern_id", lit(p.id)))
+      .map(p => incidents(df, p.sourceCode, cfg).transform(tagIncidents(p)))
       .reduce(_ unionByName _)
+
+  /** Per-pattern incident attributes (reference ToIncidentsMapper.scala:9-33:
+    * pattern id, RawPattern.subunit, RawPattern.metadata on every incident).
+    */
+  private def tagIncidents(p: RawPattern)(incidents: DataFrame): DataFrame =
+    incidents
+      .withColumn("pattern_id", lit(p.id))
+      .withColumn("subunit", lit(p.subunit))
+      .withColumn("meta", typedLit(p.metadata))
 
   /** All patterns in ONE pass over the events: a single compiler accumulates
     * every pattern's success column on one frame (one scan, one window
@@ -48,13 +61,20 @@ object TspEngine {
         case Right(a)  => a
         case Left(err) => throw err
       }
-      p.id -> compiler.compile(ast)._2
+      p -> compiler.compile(ast)._2
     }
-    val cached = compiler.currentFrame
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint rather than persist: each per-pattern extraction
+    // branch would otherwise re-run Catalyst over the full stacked-window
+    // lineage before hitting the cache — at fleet pattern counts that
+    // planning is quadratic in patterns. Checkpointing truncates the
+    // lineage so every branch plans against a flat scan of the compact
+    // evaluated frame. (Tradeoff: blocks are not recomputable on executor
+    // loss; acceptable for a deterministic batch job, and the frame is
+    // one row per event with only key/ts/success columns.)
+    val cached = compiler.currentFrame.localCheckpoint()
     compiled
-      .map { case (id, res) =>
-        compiler.extractIncidents(cached, res).withColumn("pattern_id", lit(id))
+      .map { case (p, res) =>
+        compiler.extractIncidents(cached, res).transform(tagIncidents(p))
       }
       .reduce(_ unionByName _)
   }

@@ -101,7 +101,7 @@ object Segments {
     * plain batch frames.
     */
   def sessionize(segments: DataFrame, keys: Seq[String],
-                 maxGapMs: Long): DataFrame = {
+                 maxGapMs: Long, carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("from_ms"), col("to_ms"))
     // running max of to_ms over preceding rows: a new session starts when this
@@ -111,15 +111,20 @@ object Segments {
     val newSession = when(
       prevMaxTo.isNull || (col("from_ms") > prevMaxTo + maxGapMs), 1
     ).otherwise(0)
+    // carried columns take the earliest segment's value (deterministic by
+    // segment span) — the incident-merge semigroup keeps the first
+    // incident's attributes, reference core/.../Incident.scala:27-49
+    val carryAggs = carry.map(c =>
+      min_by(col(c), struct(col("from_ms"), col("to_ms"))).as(c))
     segments
       .withColumn("_g_sess", sum(newSession).over(w).cast("long"))
       .groupBy((keys :+ "_g_sess").map(col): _*)
-      .agg(
-        min(col("seg_from")).as("seg_from"),
-        max(col("seg_to")).as("seg_to"),
-        min(col("from_ms")).as("from_ms"),
-        max(col("to_ms")).as("to_ms"),
-        sum(col("n_events")).as("n_events"))
+      .agg(min(col("seg_from")).as("seg_from"),
+        Seq(
+          max(col("seg_to")).as("seg_to"),
+          min(col("from_ms")).as("from_ms"),
+          max(col("to_ms")).as("to_ms"),
+          sum(col("n_events")).as("n_events")) ++ carryAggs: _*)
       .drop("_g_sess")
   }
 }

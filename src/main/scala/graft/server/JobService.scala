@@ -82,20 +82,28 @@ final class JobService(spark: SparkSession, maxConcurrent: Int = 1) {
         keys = s.req.inputConf.partitionFields,
         tsCol = "ts",
         eventsMaxGapMs = s.req.inputConf.eventsMaxGapMs,
-        sessionGapMs = s.req.inputConf.defaultEventsGapMs)
-      val incidents = TspEngine
-        .incidentsAllShared(events, s.req.patterns, cfg)
-        .withColumn("unit", org.apache.spark.sql.functions.lit(0))
-        .withColumn("subunit", org.apache.spark.sql.functions.lit(0))
-        .withColumn("meta",
-          org.apache.spark.sql.functions.map().cast("map<string,string>"))
-      var written = 0L
-      s.req.outConfs.foreach { out =>
-        val rows = Sinks.toSinkRows(incidents, out.rowSchema)
-        Sinks.writeJdbc(rows, out)
-        written += rows.count()
-      }
-      written
+        sessionGapMs = s.req.inputConf.defaultEventsGapMs,
+        unitIdField = s.req.inputConf.unitIdField)
+      // unit comes from the configured unitIdField per incident; subunit and
+      // meta ride in from each RawPattern (reference ToIncidentsMapper).
+      // Without a unitIdField the reference's new-sink path is unusable
+      // (it `.get`s the option); we default unit=0 for old-sink schemas.
+      val incidents0 = TspEngine.incidentsAllShared(events, s.req.patterns, cfg)
+      val incidents =
+        if (incidents0.columns.contains("unit")) incidents0
+        else incidents0.withColumn("unit", org.apache.spark.sql.functions.lit(0))
+      // materialize once: each sink writes AND counts, and without this the
+      // whole incidents pipeline would re-execute per action
+      incidents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var written = 0L
+        s.req.outConfs.foreach { out =>
+          val rows = Sinks.toSinkRows(incidents, out.rowSchema)
+          Sinks.writeJdbc(rows, out)
+          written += rows.count()
+        }
+        written
+      } finally incidents.unpersist()
     } match {
       case Success(n) => jobs.put(uuid, JobInfo(uuid, JobStatus.Finished, None, n))
       case Failure(e) => jobs.put(uuid, JobInfo(uuid, JobStatus.Failed, Some(e.getMessage), 0L))

@@ -18,11 +18,12 @@ class JobServiceSpec extends SparkSpec {
   private val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
 
   test("submit -> run -> incidents in the sink; status transitions; validation") {
-    // seed source table: one key, a 3-event high-value run
+    // seed source table: one key, a 3-event high-value run; unit_id is the
+    // per-equipment unit column the incident must carry
     val events = Seq(
-      ("u1", 1000L, 10.0), ("u1", 1001L, 80.0), ("u1", 1002L, 85.0),
-      ("u1", 1003L, 90.0), ("u1", 1004L, 5.0)
-    ).toDF("user_id", "dt", "value")
+      ("u1", 1000L, 10.0, 7), ("u1", 1001L, 80.0, 7), ("u1", 1002L, 85.0, 7),
+      ("u1", 1003L, 90.0, 7), ("u1", 1004L, 5.0, 7)
+    ).toDF("user_id", "dt", "value", "unit_id")
     events.write.format("jdbc").option("url", url)
       .option("dbtable", "src_events").option("driver", driver).mode("append").save()
 
@@ -34,16 +35,21 @@ class JobServiceSpec extends SparkSpec {
           jdbcUrl = url, query = "SELECT * FROM src_events",
           driverName = driver, datetimeField = "dt",
           partitionFields = Seq("user_id"),
+          unitIdField = Some("unit_id"),
           eventsMaxGapMs = 60000L, defaultEventsGapMs = 1000L),
         outConfs = Seq(JdbcSinkConf(
           tableName = "sink_incidents",
           rowSchema = RowSchema(Map(
             "id" -> ColumnSpec("string", "$PatternID"),
             "from_ts" -> ColumnSpec("timestamp", "$IncidentStart"),
-            "to_ts" -> ColumnSpec("timestamp", "$IncidentEnd"))),
+            "to_ts" -> ColumnSpec("timestamp", "$IncidentEnd"),
+            "unit" -> ColumnSpec("int32", "$Unit"),
+            "subunit" -> ColumnSpec("int32", "$Subunit"),
+            "sev" -> ColumnSpec("string", "sev=$PatternMetadata@severity"))),
           jdbcUrl = url, driverName = driver)),
         priority = 50,
-        patterns = Seq(TspEngine.RawPattern("p42", "value > 50")))
+        patterns = Seq(TspEngine.RawPattern("p42", "value > 50", subunit = 3,
+          metadata = Map("severity" -> "critical"))))
 
       assert(svc.submit(req) == Right("job-1"))
       // invalid pattern rejected at submit
@@ -65,6 +71,11 @@ class JobServiceSpec extends SparkSpec {
       assert(row.getAs[String]("id") == "p42")
       assert(row.getAs[java.sql.Timestamp]("from_ts").getTime == 1001000L)
       assert(row.getAs[java.sql.Timestamp]("to_ts").getTime == 1003000L)
+      // unit from the source's unit_id column; subunit + metadata from the
+      // RawPattern, interpolated through the $-macros
+      assert(row.getAs[Int]("unit") == 7)
+      assert(row.getAs[Int]("subunit") == 3)
+      assert(row.getAs[String]("sev") == "sev=critical")
 
       assert(svc.overview.exists(_.uuid == "job-1"))
     } finally svc.shutdown()
