@@ -284,15 +284,7 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
 
     case AndThenAst(a, b) => andThen(a, b)
 
-    case WaitAst(windowMs, inner) =>
-      // stretch success left by up to windowMs (WaitPattern.scala:41-87:
-      // emitted interval starts at succ-head time minus window): an event is
-      // true iff some success lies within [t, t + W] in the same gap-run
-      val c = materialize(trilean(inner), "waitin")
-      val m = fresh("wait")
-      df = df.withColumn(m,
-        max(when(col(c), col(MS))).over(w.rangeBetween(0, windowMs)).isNotNull)
-      col(m)
+    case WaitAst(windowMs, inner) => waitOp(windowMs, inner)
 
     case other =>
       // a bare boolean expression at trilean position (e.g. output of `or`
@@ -429,6 +421,43 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
         exists(col("_p_iv"), iv => col(IDX) >= iv.getField("_1") && col(IDX) <= iv.getField("_2")))
       .withColumn(out, coalesce(col(out), lit(false)))
       .drop("_p_iv")
+    col(out)
+  }
+
+  // ------------------------------------------------------------ wait
+
+  /** `wait(T, X)`: exact port of the reference's wait state machine
+    * (aggregators/WaitPattern.scala:29-89, driven per inner RLE run as
+    * AccumPattern.scala:60-85 feeds it). Like [[andThen]], the sequential
+    * machine runs over per-(key, gap-run) compressed data — here each
+    * event's (idx, ms, cond), because the machine's windowQueue selects
+    * individual events near run boundaries — and the emitted idx intervals
+    * join back to events on the partition key. An earlier columnar
+    * formulation ("success within [t, t+W]") diverged from the reference on
+    * short-window and part-boundary cases (caught by the randomized
+    * differential spec).
+    *
+    * Scale note: one array row per (key, gap-run), like the andThen runs —
+    * bounded by part size; the production-scale escape hatch is an
+    * iterator-based mapGroups, not needed at current incident cardinality.
+    */
+  private def waitOp(windowMs: Long, inner: Ast): Column = {
+    val c = materialize(coalesce(trilean(inner), lit(false)), "waitin")
+    val evs = df
+      .select((pcols.map(col) :+
+        struct(col(IDX), col(MS), col(c)).as("_p_wev")): _*)
+      .groupBy(pcols.map(col): _*)
+      .agg(sort_array(collect_list(col("_p_wev"))).as("_p_wevs"))
+      .withColumn("_p_wiv", waitUdf(lit(windowMs), col("_p_wevs")))
+      .select((pcols.map(col) :+ col("_p_wiv")): _*)
+    val out = fresh("wait")
+    df = df
+      .join(evs, pcols, "left")
+      .withColumn(out,
+        exists(col("_p_wiv"), iv =>
+          col(IDX) >= iv.getField("_1") && col(IDX) <= iv.getField("_2")))
+      .withColumn(out, coalesce(col(out), lit(false)))
+      .drop("_p_wiv")
     col(out)
   }
 
@@ -570,5 +599,59 @@ object PatternCompiler {
     val maxIdx = math.max(ar.lastOption.map(_._2).getOrElse(0L),
       br.lastOption.map(_._2).getOrElse(0L))
     andThenMerge(ar, br).map { case (s, e) => (s, math.min(e, maxIdx)) }
+  }
+
+  /** Exact port of the reference wait state machine over one part's events
+    * (aggregators/WaitPattern.scala:29-89 — WaitAccumState.updated — called
+    * once per inner RLE run with that run's (idx, time) map, exactly as
+    * AccumPattern.processQueue drives it; state resets per part like all
+    * pattern state). Returns the emitted SUCCESS idx intervals.
+    *
+    * Faithfulness notes, mirrored from the reference source:
+    *  - a fail run shifts the accumulation window: `start`/`end` move left
+    *    by the window for lastFail / current-fail respectively;
+    *  - the windowQueue clean keeps one element before `start`
+    *    (`length > 1 && wq(1) < start`), so an emitted interval can begin
+    *    one event before the window;
+    *  - `cleanedWindowQueue.lastOption` in the reference reads the queue
+    *    AFTER takeWhileFromQueue mutated it, i.e. the REMAINING queue.
+    */
+  def waitMerge(windowMs: Long,
+                events: Seq[(Long, Long, Boolean)]): Seq[(Long, Long)] = {
+    // RLE the per-event cond into runs (SimplePattern unites adjacent equal
+    // results, so the inner queue holds one IdxValue per cond run)
+    val runs = ArrayBuffer.empty[(Boolean, ArrayBuffer[(Long, Long)])]
+    events.foreach { case (idx, ms, cond) =>
+      if (runs.nonEmpty && runs.last._1 == cond) runs.last._2 += ((idx, ms))
+      else runs += ((cond, ArrayBuffer((idx, ms))))
+    }
+    var windowQueue = Vector.empty[(Long, Long)] // (idx, ms)
+    var lastFail = false
+    var lastTime = (0L, 0L)
+    val out = ArrayBuffer.empty[(Long, Long)]
+    runs.foreach { case (succ, times) =>
+      val start = if (lastFail) times.head._2 - windowMs else times.head._2
+      val end = if (!succ) times.last._2 - windowMs else times.last._2
+      var wq = windowQueue ++ times
+      while (wq.length > 1 && wq(1)._2 < start) wq = wq.tail
+      val (outputs, remaining) = wq.span(_._2 <= end)
+      val waitStart =
+        if (lastTime._2 != 0L && outputs.nonEmpty &&
+          outputs.head._2 + windowMs <= outputs.last._2) outputs.headOption
+        else Some(remaining.lastOption.getOrElse(lastTime))
+      val waitEnd = outputs.lastOption
+      for (s <- waitStart; e <- waitEnd; if s._1 <= e._1; if succ)
+        out += ((s._1, e._1))
+      windowQueue = remaining
+      lastFail = !succ
+      lastTime = times.last
+    }
+    out.toSeq
+  }
+
+  /** UDF wrapper: rows are structs (idx, ms, cond) sorted by idx. */
+  val waitUdf = udf { (windowMs: Long, evs: Seq[Row]) =>
+    waitMerge(windowMs,
+      evs.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))))
   }
 }

@@ -64,6 +64,9 @@ class CorpusNarrowSpec extends SparkSpec {
     * and leaves 51 with no `SpeedThrustMin = 11` match at all.
     */
   private val knownDivergent: Map[Int, Seq[(Long, Long)]] = Map(
+    // same trace as CorpusWideSpec case 46: WaitAccumState's span guard
+    // fails and waitStart falls back to the previous run's last event 404
+    46 -> Seq((1553545404L, 1553545405L), (1553545420L, 1553545423L)),
     47 -> Seq((1553545405L, 1553545410L)),
     48 -> Seq((1553545410L, 1553545416L)),
     50 -> Seq((1553545423L, 1553545428L)),

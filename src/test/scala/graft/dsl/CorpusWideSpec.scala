@@ -65,6 +65,14 @@ class CorpusWideSpec extends SparkSpec {
     * says (1553545425, 1553545428), which matches no reading of the code.
     */
   private val knownDivergent: Map[Int, Seq[(Long, Long)]] = Map(
+    // wait(3s, local-max): the inner cond is true only at 405 (fail run
+    // 403..404 precedes it). WaitAccumState: outputs=[403,404,405], the
+    // span guard `head + 3s <= last` fails (406 > 405), so waitStart falls
+    // back to lastTime = the previous run's last event 404 →
+    // [404, 405]. The fixture's 403 predates the current WaitPattern
+    // (verified per-run AND per-event driving both give 404; second
+    // incident 420..423 matches the fixture under both readings).
+    46 -> Seq((1553545404L, 1553545405L), (1553545420L, 1553545423L)),
     // [min(s1,s2), max(e1+1,e2)] over A=[1553545426], B=[..423-426] gives
     // 423..427; the fixture's (425,428) fits no reading of the merge
     50 -> Seq((1553545423L, 1553545427L)),

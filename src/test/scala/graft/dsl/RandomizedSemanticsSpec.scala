@@ -112,6 +112,200 @@ class RandomizedSemanticsSpec extends SparkSpec {
       s"stat mismatch; missing=${(expected -- got).take(5)}, extra=${(got -- expected).take(5)}")
   }
 
+  // ---------------------------------------------------------------- andThen
+
+  /** Independent transliteration of the reference's queue merge
+    * (AndThenPattern.scala:42-94), written functionally over Lists — a second
+    * implementation against PatternCompiler.andThenMerge's mutable-queue
+    * port, so a transcription slip in either shows up as a diff.
+    */
+  private def refAndThen(a: List[(Long, Long, Boolean)],
+                         b: List[(Long, Long, Boolean)]): List[(Long, Long)] = {
+    def rewindTo(q: List[(Long, Long, Boolean)], n: Long) =
+      q.dropWhile(_._2 < n) match {
+        case (s, e, v) :: t if s <= n => (n, e, v) :: t
+        case other                    => other
+      }
+    (a, b) match {
+      case (Nil, _) | (_, Nil) => Nil
+      case ((s1, e1, v1) :: at, (s2, e2, v2) :: bt) =>
+        if (!v1) refAndThen(at, b.dropWhile(_._2 <= s1))
+        else if (!v2) {
+          if (a.size == 1) refAndThen(rewindTo(a, e2 + 1), bt)
+          else refAndThen(a, bt)
+        } else if (s1 > e2) refAndThen(a, bt)
+        else if (e1 + 1 < s2) refAndThen(at, b)
+        else {
+          val start = math.min(s1, s2)
+          val end = math.max(e1 + 1, e2)
+          (start, end) :: refAndThen(rewindTo(a, end + 1), rewindTo(b, end + 1))
+        }
+    }
+  }
+
+  /** RLE of a boolean series (1-based global idx per key) within one part. */
+  private def rle(evs: Vector[(Long, Boolean)]): List[(Long, Long, Boolean)] =
+    evs.foldLeft(List.empty[(Long, Long, Boolean)]) {
+      case ((s, e, v) :: t, (i, c)) if v == c => (s, i, v) :: t
+      case (acc, (i, c))                      => (i, i, c) :: acc
+    }.reverse
+
+  test("andThen matches a direct port of the reference queue merge") {
+    // two independent random conditions on fresh streams
+    val rnd2 = new Random(99173L)
+    case class E2(k: Int, ms: Long, a: Boolean, b: Boolean)
+    val streams2: Map[Int, Vector[E2]] = (1 to 50).map { k =>
+      var t = 1000000000000L + rnd2.nextInt(100000)
+      val evs = Vector.fill(30 + rnd2.nextInt(40)) {
+        t += 500L + (if (rnd2.nextInt(12) == 0) 60000L + rnd2.nextInt(60000)
+                     else rnd2.nextInt(20000))
+        E2(k, t, rnd2.nextBoolean(), rnd2.nextBoolean())
+      }
+      k -> evs
+    }.toMap
+    val df2 = streams2.values.flatten.toSeq
+      .map(e => (e.k, e.ms, if (e.a) 100.0 else 0.0, if (e.b) 100.0 else 0.0))
+      .toDF("k", "ms", "va", "vb")
+      .withColumn("ts", timestamp_millis(col("ms")))
+
+    // .toSeq first: flatMap over a Map with pair results would collapse
+    // into Map semantics (one entry per key) and silently drop events
+    val expected = streams2.toSeq.flatMap { case (k, evs) =>
+      val idxed = evs.zipWithIndex.map { case (e, i) => (e, i + 1L) }
+      // gap-runs preserve the global per-key idx
+      val parts = {
+        val out = Vector.newBuilder[Vector[(E2, Long)]]
+        var cur = Vector.newBuilder[(E2, Long)]
+        var prev = Long.MinValue
+        idxed.foreach { case (e, i) =>
+          if (prev != Long.MinValue && e.ms - prev > GapMs) {
+            out += cur.result(); cur = Vector.newBuilder[(E2, Long)]
+          }
+          cur += ((e, i)); prev = e.ms
+        }
+        out += cur.result()
+        out.result().filter(_.nonEmpty)
+      }
+      parts.flatMap { part =>
+        val aR = rle(part.map { case (e, i) => (i, e.a) })
+        val bR = rle(part.map { case (e, i) => (i, e.b) })
+        val maxIdx = part.last._2
+        refAndThen(aR, bR).flatMap { case (s, e) =>
+          part.collect { case (_, i) if i >= s && i <= math.min(e, maxIdx) => (k.toLong, i) }
+        }
+      }
+    }.toSet
+
+    val compiler = new PatternCompiler(df2, cfg)
+    val ast = Parser.parse("va > 50 andThen vb > 50", 0.0)
+      .fold(e => fail(e.toString), identity)
+    val (frame, res) = compiler.compile(ast)
+    val got = frame.filter(col(res))
+      .select(col("k").cast("long"), col("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // map expected idx back to ms for comparison
+    val idxToMs = streams2.flatMap { case (k, evs) =>
+      evs.zipWithIndex.map { case (e, i) => (k.toLong, i + 1L) -> e.ms }
+    }
+    val expectedMs = expected.map { case (k, i) => (k, idxToMs((k, i))) }
+    assert(got == expectedMs,
+      s"andThen mismatch; missing=${(expectedMs -- got).take(5)}, extra=${(got -- expectedMs).take(5)}")
+  }
+
+  // ------------------------------------------------------------------- wait
+
+  /** Port of WaitAccumState.updated driven per part, as AccumPattern feeds
+    * it (reference: aggregators/WaitPattern.scala:29-89 + AccumPattern
+    * .scala:60-85): one call per RLE cond run with that run's (idx, ms)
+    * times; state (windowQueue, lastFail, lastTime) carries across runs and
+    * resets at gap-runs like every pattern state. Returns emitted
+    * (startIdx, endIdx, isSucc) intervals.
+    */
+  private def refWait(windowMs: Long,
+                      runs: Seq[(Boolean, Vector[(Long, Long)])]): Seq[(Long, Long, Boolean)] = {
+    var windowQueue = Vector.empty[(Long, Long)]
+    var lastFail = false
+    var lastTime = (0L, 0L)
+    val out = Vector.newBuilder[(Long, Long, Boolean)]
+    runs.foreach { case (succ, times) =>
+      if (times.nonEmpty) {
+        val start = if (lastFail) times.head._2 - windowMs else times.head._2
+        val end = if (!succ) times.last._2 - windowMs else times.last._2
+        var wq = windowQueue ++ times
+        while (wq.length > 1 && wq(1)._2 < start) wq = wq.tail
+        val (outputs, remaining) = wq.span(_._2 <= end)
+        // reference: cleanedWindowQueue is mutated by takeWhileFromQueue, so
+        // its lastOption at this point is the REMAINING queue's last
+        val waitStart =
+          if (lastTime._2 != 0L && outputs.nonEmpty &&
+            outputs.head._2 + windowMs <= outputs.last._2) outputs.headOption
+          else Some(remaining.lastOption.getOrElse(lastTime))
+        val waitEnd = outputs.lastOption
+        for (s <- waitStart; e <- waitEnd; if s._1 <= e._1)
+          out += ((s._1, e._1, succ))
+        windowQueue = remaining
+        lastFail = !succ
+        lastTime = times.last
+      }
+    }
+    out.result()
+  }
+
+  test("wait matches a direct port of the reference WaitAccumState") {
+    val W = 10000L
+    // .toSeq first: see the andThen test — Map.flatMap would drop events
+    val expected = streams.toSeq.flatMap { case (k, evs) =>
+      val idxed = evs.zipWithIndex.map { case (e, i) => (e, i + 1L) }
+      val parts = {
+        val out = Vector.newBuilder[Vector[(Ev, Long)]]
+        var cur = Vector.newBuilder[(Ev, Long)]
+        var prev = Long.MinValue
+        idxed.foreach { case (e, i) =>
+          if (prev != Long.MinValue && e.ms - prev > GapMs) {
+            out += cur.result(); cur = Vector.newBuilder[(Ev, Long)]
+          }
+          cur += ((e, i)); prev = e.ms
+        }
+        out += cur.result()
+        out.result().filter(_.nonEmpty)
+      }
+      parts.flatMap { part =>
+        // RLE cond runs with times, in order
+        val runs = {
+          val rs = Vector.newBuilder[(Boolean, Vector[(Long, Long)])]
+          var cur = Vector.newBuilder[(Long, Long)]
+          var curV: Option[Boolean] = None
+          part.foreach { case (e, i) =>
+            if (curV.exists(_ != e.cond)) {
+              rs += ((curV.get, cur.result())); cur = Vector.newBuilder[(Long, Long)]
+            }
+            curV = Some(e.cond); cur += ((i, e.ms))
+          }
+          curV.foreach(v => rs += ((v, cur.result())))
+          rs.result()
+        }
+        refWait(W, runs).collect { case (s, e, true) =>
+          part.collect { case (_, i) if i >= s && i <= e => (k.toLong, i) }
+        }.flatten
+      }
+    }.toSet
+
+    val compiler = new PatternCompiler(df, cfg)
+    val ast = Parser.parse("wait(10 sec, v > 50)", 0.0)
+      .fold(e => fail(e.toString), identity)
+    val (frame, res) = compiler.compile(ast)
+    val got = frame.filter(col(res))
+      .select(col("k").cast("long"), col("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idxToMs = streams.flatMap { case (k, evs) =>
+      evs.zipWithIndex.map { case (e, i) => (k.toLong, i + 1L) -> e.ms }
+    }
+    val expectedMs = expected.map { case (k, i) => (k, idxToMs((k, i))) }
+    assert(got == expectedMs,
+      s"wait mismatch (${(expectedMs -- got).size} missing, ${(got -- expectedMs).size} extra); " +
+        s"missing=${(expectedMs -- got).take(5)}, extra=${(got -- expectedMs).take(5)}")
+  }
+
   test("truthMillis matches an interval-clipping simulation on random streams") {
     val W = 30000L
     val expected = streams.flatMap { case (k, evs) =>
