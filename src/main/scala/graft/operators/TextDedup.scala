@@ -168,6 +168,18 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Bit `j` (0-63) of a word's 64-bit hash, derived from the first 16 hex
+    * digits of its md5: digit j/4's value, bit j%4. md5 is the one hash
+    * both this engine and external SQL oracles (DuckDB) share, which makes
+    * [[simhashDuplicates]] fully oracle-checkable — xxhash64 was not
+    * portable.
+    */
+  private def md5Bit(hx: Column, j: Int): Column = {
+    val a = ascii(substring(hx, 1 + j / 4, 1))
+    val dv = when(a >= 97, a - 87).otherwise(a - 48) // lowercase hex digit
+    shiftright(dv, j % 4).bitwiseAND(1)
+  }
+
   /** 64-bit SimHash over the word multiset: bit j of the signature is the
     * sign of the sum of +-1 votes from each word's hash bit j.
     *
@@ -178,11 +190,10 @@ object TextDedup {
     * one shuffle they save.
     */
   def simhash64(text: Column): Column = {
-    val words = split(text, "\\s+")
-    val hashes = transform(words, w => xxhash64(w))
+    val hexes = transform(split(text, "\\s+"), w => substring(md5(w), 1, 16))
     (0 until 64).map { j =>
-      val votes = aggregate(hashes, lit(0L),
-        (a, h) => a + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      val votes = aggregate(hexes, lit(0L),
+        (a, hx) => a + when(md5Bit(hx, j) === 1, 1L).otherwise(-1L))
       when(votes > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -194,10 +205,9 @@ object TextDedup {
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = df.select(col(idCol).as("id"),
       explode(split(col(textCol), "\\s+")).as("w"))
-    val h = xxhash64(col("w"))
+      .withColumn("hx", substring(md5(col("w")), 1, 16))
     val votes = (0 until 64).map { j =>
-      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-        .as(s"v$j")
+      sum(when(md5Bit(col("hx"), j) === 1, 1L).otherwise(-1L)).as(s"v$j")
     }
     words.groupBy("id").agg(votes.head, votes.tail: _*)
       .select(col("id"),

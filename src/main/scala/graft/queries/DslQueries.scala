@@ -49,9 +49,9 @@ object DslQueries {
     // ReducePattern avgOf with a per-argument filter
     "dsl_reducer" -> ((s, d) => run(s, d, "avgOf(value, lag(value); _ >= 0) > 150")),
 
-    // AndThenPattern over the DSL (exact queue-merge semantics; the driver
-    // does a rows-only check here — the sequential consumption rule is not
-    // expressible in one SQL pass; semantics are locked by CorpusWideSpec)
+    // AndThenPattern over the DSL: exact queue-merge semantics. The oracle
+    // simulates the sequential merge with a DuckDB recursive CTE (one merge
+    // step per iteration, rewinds in closed form over the RLE run arrays).
     "dsl_andthen" -> ((s, d) => run(s, d, "value > 150 andThen event_type = 'purchase'")),
 
     // shared multi-pattern evaluation: three patterns, one scan, one window
@@ -234,6 +234,118 @@ object DslQueries {
       tagged("simple", condIncidents("value > 100")),
       tagged("timer", timerOracle),
       tagged("until", condIncidents("value > 50 AND NOT (event_type = 'error')"))
-    ).mkString("\nUNION ALL\n")
+    ).mkString("\nUNION ALL\n"),
+
+    "dsl_andthen" -> andThenOracle
   )
+
+  /** Recursive-CTE simulation of the reference's andThen queue merge
+    * (AndThenPattern.scala:42-94, mirrored by PatternCompiler.andThenMerge):
+    * per (user, gap-run) the two conditions RLE into run arrays; each CTE
+    * iteration applies one merge step, with queue rewinds computed in
+    * closed form via list_filter; every step advances a pointer so the
+    * recursion terminates in <= |runsA| + |runsB| iterations. Emitted idx
+    * intervals mark events, which then segment + sessionize as usual.
+    */
+  private def rewindSql(arr: String, i: String, s: String, t: String): (String, String) = {
+    val drop = s"len(list_filter($arr[$i:], x -> x.e < $t))"
+    (s"$i + $drop",
+      s"""(CASE WHEN $i + $drop > len($arr) THEN NULL
+         |      WHEN $drop = 0 THEN (CASE WHEN $s <= $t THEN $t ELSE $s END)
+         |      ELSE (CASE WHEN $arr[$i + $drop].s <= $t THEN $t
+         |                 ELSE $arr[$i + $drop].s END) END)""".stripMargin)
+  }
+
+  private def rleSql(c: String): String =
+    s"""(SELECT user_id, grun, $c AS v, min(idx) AS s, max(idx) AS e FROM
+       |  (SELECT *, sum(CASE WHEN $c IS NOT DISTINCT FROM prev THEN 0 ELSE 1 END)
+       |     OVER (PARTITION BY user_id, grun ORDER BY idx) AS rid
+       |   FROM (SELECT *, lag($c) OVER (PARTITION BY user_id, grun ORDER BY idx) AS prev
+       |         FROM cnd))
+       | GROUP BY user_id, grun, rid, $c)""".stripMargin
+
+  // lazy: referenced from the `oracle` map defined above this declaration
+  private lazy val andThenOracle: String = {
+    val endU = "greatest(ar[ai].e + 1, br[bi].e)"
+    val (a2u, as2u) = rewindSql("ar", "ai", "a_s", s"($endU + 1)")
+    val (b2u, bs2u) = rewindSql("br", "bi", "b_s", s"($endU + 1)")
+    val (a2f, as2f) = rewindSql("ar", "ai", "a_s", "(br[bi].e + 1)")
+    val skipb = "len(list_filter(br[bi:], x -> x.e <= a_s))"
+    s"""WITH RECURSIVE
+       |e0 AS (SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms FROM events),
+       |e AS (SELECT *,
+       |        sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > $G THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY user_id ORDER BY ms) AS grun,
+       |        row_number() OVER (PARTITION BY user_id ORDER BY ms) AS idx
+       |      FROM (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev_ms
+       |            FROM e0)),
+       |cnd AS (SELECT user_id, grun, idx, ms,
+       |          COALESCE(value > 150, FALSE) AS ca,
+       |          COALESCE(event_type = 'purchase', FALSE) AS cb
+       |        FROM e),
+       |ra AS ${rleSql("ca")},
+       |rb AS ${rleSql("cb")},
+       |arr AS (
+       |  SELECT a.user_id, a.grun, a.ar, b.br
+       |  FROM (SELECT user_id, grun, list(struct_pack(s := s, e := e, v := v) ORDER BY s) AS ar
+       |        FROM ra GROUP BY user_id, grun) a
+       |  JOIN (SELECT user_id, grun, list(struct_pack(s := s, e := e, v := v) ORDER BY s) AS br
+       |        FROM rb GROUP BY user_id, grun) b
+       |    USING (user_id, grun)),
+       |step AS (
+       |  SELECT user_id, grun, ar, br,
+       |         1::BIGINT AS ai, ar[1].s AS a_s, 1::BIGINT AS bi, br[1].s AS b_s,
+       |         NULL::BIGINT AS em_s, NULL::BIGINT AS em_e
+       |  FROM arr
+       |  UNION ALL
+       |  SELECT user_id, grun, ar, br,
+       |    CASE WHEN NOT ar[ai].v THEN ai + 1
+       |         WHEN NOT br[bi].v THEN CASE WHEN ai = len(ar) THEN $a2f ELSE ai END
+       |         WHEN a_s > br[bi].e THEN ai
+       |         WHEN ar[ai].e + 1 < b_s THEN ai + 1
+       |         ELSE $a2u END AS ai,
+       |    CASE WHEN NOT ar[ai].v THEN (CASE WHEN ai + 1 <= len(ar) THEN ar[ai + 1].s END)
+       |         WHEN NOT br[bi].v THEN CASE WHEN ai = len(ar) THEN $as2f ELSE a_s END
+       |         WHEN a_s > br[bi].e THEN a_s
+       |         WHEN ar[ai].e + 1 < b_s THEN (CASE WHEN ai + 1 <= len(ar) THEN ar[ai + 1].s END)
+       |         ELSE $as2u END AS a_s,
+       |    CASE WHEN NOT ar[ai].v THEN bi + $skipb
+       |         WHEN NOT br[bi].v THEN bi + 1
+       |         WHEN a_s > br[bi].e THEN bi + 1
+       |         WHEN ar[ai].e + 1 < b_s THEN bi
+       |         ELSE $b2u END AS bi,
+       |    CASE WHEN NOT ar[ai].v THEN
+       |           (CASE WHEN $skipb = 0 THEN b_s
+       |                 WHEN bi + $skipb <= len(br) THEN br[bi + $skipb].s
+       |                 ELSE NULL END)
+       |         WHEN NOT br[bi].v THEN (CASE WHEN bi + 1 <= len(br) THEN br[bi + 1].s END)
+       |         WHEN a_s > br[bi].e THEN (CASE WHEN bi + 1 <= len(br) THEN br[bi + 1].s END)
+       |         WHEN ar[ai].e + 1 < b_s THEN b_s
+       |         ELSE $bs2u END AS b_s,
+       |    CASE WHEN ar[ai].v AND br[bi].v AND a_s <= br[bi].e AND ar[ai].e + 1 >= b_s
+       |         THEN least(a_s, b_s) END AS em_s,
+       |    CASE WHEN ar[ai].v AND br[bi].v AND a_s <= br[bi].e AND ar[ai].e + 1 >= b_s
+       |         THEN $endU END AS em_e
+       |  FROM step
+       |  WHERE ai <= len(ar) AND bi <= len(br)),
+       |emitted AS (SELECT user_id, grun, em_s, em_e FROM step WHERE em_s IS NOT NULL),
+       |mx AS (SELECT user_id, grun, max(idx) AS maxidx FROM cnd GROUP BY user_id, grun),
+       |marked AS (
+       |  SELECT c.user_id, c.grun, c.idx, c.ms,
+       |    EXISTS (SELECT 1 FROM emitted m JOIN mx USING (user_id, grun)
+       |            WHERE m.user_id = c.user_id AND m.grun = c.grun
+       |              AND c.idx BETWEEN m.em_s AND least(m.em_e, mx.maxidx)) AS cond
+       |  FROM cnd c),
+       |runs AS (
+       |  SELECT user_id, grun, ms, cond,
+       |    sum(CASE WHEN cond IS NOT DISTINCT FROM prev THEN 0 ELSE 1 END)
+       |      OVER (PARTITION BY user_id, grun ORDER BY ms) AS run_id
+       |  FROM (SELECT *, lag(cond) OVER (PARTITION BY user_id, grun ORDER BY ms) AS prev
+       |        FROM marked)),
+       |seg AS (
+       |  SELECT user_id, min(ms) AS from_ms, max(ms) AS to_ms, count(*) AS n_events
+       |  FROM runs WHERE cond GROUP BY user_id, grun, run_id),
+       |$sessSql
+       |$sessSelect""".stripMargin
+  }
 }

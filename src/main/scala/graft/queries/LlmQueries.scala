@@ -23,7 +23,8 @@ object LlmQueries {
     },
 
     // SimHash 64-bit near-dup (chunk-bucketed candidates, exact hamming).
-    // Oracle: none (xxhash64 is not portable); locked by DedupSpec instead.
+    // Word-hash bits derive from md5 hex digits, so the oracle re-derives
+    // the identical signatures in DuckDB.
     "dedup_simhash" -> { (s, d) =>
       TextDedup.simhashDuplicates(Tables.documents(s, d), "doc_id", "text")
     },
@@ -42,8 +43,11 @@ object LlmQueries {
         "embedding", k = 5)
     },
 
-    // LSH-bucketed approximate top-5 over the same queries; rows-only check
-    // here, recall >= 0.9 vs brute force asserted in AnnSpec.
+    // LSH-bucketed approximate top-5 over the same queries. The oracle
+    // replays the exact bucket computation: the deterministic hyperplanes
+    // embed in the SQL as a literal DOUBLE[] and the sign-dots re-derive
+    // the same buckets. Recall >= 0.9 vs brute force is asserted in
+    // LlmOpsSpec besides.
     "ann_lsh" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") % 50 === 0)
@@ -166,10 +170,86 @@ object LlmQueries {
          |            for i in range(1, greatest(len(words) - 3, 2))]) AS fp
          |FROM d""".stripMargin,
 
+    "dedup_simhash" -> simhashOracle,
+
+    "ann_lsh" -> annLshOracle,
+
     "media_features" ->
       """SELECT doc_id AS media_id, 'txt' AS format,
         |       length(text)::BIGINT AS n_bytes,
         |       array_to_string([ascii(md5(text)[j])::INT::VARCHAR
         |                        for j in range(1, 9)], ',') AS features
         |FROM documents""".stripMargin)
+
+  /** LSH ANN re-derived in DuckDB: VectorOps.hyperplanes is seeded and
+    * deterministic, so the plane matrix embeds as a literal DOUBLE[].
+    * Sign-dots accumulate left-to-right in both engines (Scala while-loop /
+    * DuckDB list comprehension), so buckets — and therefore the candidate
+    * set, the top-5, and the hash — are identical.
+    */
+  private lazy val annLshOracle: String = {
+    val planes = VectorOps.hyperplanes(tables = 32, bits = 4, dim = 64)
+    val pl = (for (t <- planes; b <- t; x <- b) yield x).mkString("[", ",", "]")
+    def bucket(t: Int) = (0 until 4).map { b =>
+      val off = (t * 4 + b) * 64
+      s"(CASE WHEN list_sum([v[i+1] * p[$off+i+1] for i in range(0,64)]) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val ts = (0 until 32).mkString(", ")
+    val buckets = (0 until 32).map(bucket).mkString(",\n      ")
+    s"""WITH pl AS (SELECT $pl::DOUBLE[] AS p),
+       |n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |m AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM n),
+       |bk AS (SELECT vec_id,
+       |    unnest([$ts]) AS t,
+       |    unnest([
+       |      $buckets
+       |    ]) AS bucket
+       |  FROM n CROSS JOIN pl),
+       |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |         FROM (SELECT * FROM bk WHERE vec_id % 50 = 0) q
+       |         JOIN bk c ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT cand.qid, cand.nid,
+       |         round(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
+       |               (a.nrm*b.nrm), 6) AS sim
+       |  FROM cand JOIN m a ON a.vec_id = cand.qid JOIN m b ON b.vec_id = cand.nid)
+       |SELECT qid, nid, sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  /** SimHash re-derived in DuckDB: same md5-hex bit basis as
+    * TextDedup.md5Bit (digit j/4 of the first 16 hex chars, bit j%4), same
+    * +-1 votes over the word multiset, same 4x16-bit chunk candidates, and
+    * hamming summed over chunk XORs (== the 64-bit hamming). The engine's
+    * over-cap bucket fallback never fires at oracle scale (max chunk bucket
+    * ~17 vs cap 200), so plain chunk equality reproduces its candidates.
+    */
+  private lazy val simhashOracle: String = {
+    def digitVal(pos: Int) =
+      s"(CASE WHEN ascii(substr(hx, $pos, 1)) >= 97 THEN ascii(substr(hx, $pos, 1)) - 87" +
+        s" ELSE ascii(substr(hx, $pos, 1)) - 48 END)"
+    val votes = (0 until 64).map { j =>
+      s"sum(CASE WHEN (${digitVal(1 + j / 4)} >> ${j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n  ")
+    def chunk(c: Int) = (0 until 16).map { j =>
+      s"(CASE WHEN v${16 * c + j} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |h AS (SELECT doc_id, substr(md5(word), 1, 16) AS hx FROM w),
+       |v AS (SELECT doc_id,
+       |  $votes
+       |  FROM h GROUP BY doc_id),
+       |ch AS (SELECT doc_id, ${chunk(0)} AS c0, ${chunk(1)} AS c1,
+       |              ${chunk(2)} AS c2, ${chunk(3)} AS c3 FROM v)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+       |         bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INT) AS hamming
+       |  FROM ch a JOIN ch b
+       |    ON a.doc_id < b.doc_id
+       |   AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3))
+       |WHERE hamming <= 3""".stripMargin
+  }
 }
