@@ -354,8 +354,10 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
 
     val frame = w.rangeBetween(-W, 0)
     val hMs = min(col(MS)).over(frame)
-    val hS = min_by(col(sdur), col(MS)).over(frame)
-    val hF = min_by(col(fdur), col(MS)).over(frame)
+    // tie-break min_by on (MS, IDX): with duplicate timestamps the picked
+    // oldest-in-window row must be deterministic across runs/partitions
+    val hS = min_by(col(sdur), struct(col(MS), col(IDX))).over(frame)
+    val hF = min_by(col(fdur), struct(col(MS), col(IDX))).over(frame)
     // clip the oldest duration to the window (WindowStatistic.scala:86-97)
     val sCorr = when(hS > 0, hS - (lit(W) - (col(MS) - hMs))).otherwise(0L)
     val fCorr = when(hF > 0, hF - (lit(W) - (col(MS) - hMs))).otherwise(0L)
@@ -415,8 +417,11 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
       .select((pcols.map(col) :+ col("_p_iv")): _*)
 
     val out = fresh("andthen")
+    // no broadcast hint: the merged side is small at realistic incident
+    // cardinalities and AQE broadcasts it from runtime stats, but a forced
+    // hint would break at fleet-scale key counts
     df = df
-      .join(broadcast(merged), pcols, "left")
+      .join(merged, pcols, "left")
       .withColumn(out,
         exists(col("_p_iv"), iv => col(IDX) >= iv.getField("_1") && col(IDX) <= iv.getField("_2")))
       .withColumn(out, coalesce(col(out), lit(false)))

@@ -131,6 +131,17 @@ object Sources {
     raw.select(from_json(col("value").cast("string"), schema).as("j"))
       .select(col("j.*"))
 
+  /** Everything [[read]] wires AFTER the broker read, over any
+    * `value`-bearing frame: declared-schema JSON parse -> time
+    * normalization / transformation -> watermark. Factored out so the whole
+    * Kafka event path is drivable from a MemoryStream (no broker ships in
+    * this environment); the real `read(KafkaSourceConf)` differs only in
+    * the source operator.
+    */
+  def kafkaEvents(raw: DataFrame, conf: KafkaSourceConf,
+                  watermark: String): DataFrame =
+    finish(parseKafkaJson(raw, conf.schema), conf).withWatermark("ts", watermark)
+
   /** Time normalization + optional narrow/wide transformation. */
   def finish(df: DataFrame, conf: SourceConf): DataFrame = {
     val tsMs = (col(conf.datetimeField).cast("double") * conf.timestampMultiplier)

@@ -218,6 +218,63 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("Kafka declared-schema path produces batch-identical incidents") {
+    // The Kafka source itself cannot run offline (no broker, no connector
+    // jar); everything after it — declared fieldsTypes -> from_json ->
+    // time normalization -> watermark -> stateful evaluation — runs here
+    // against a MemoryStream and must match the batch engine on the same
+    // records.
+    implicit val sqlCtx = spark.sqlContext
+    val conf = graft.io.KafkaSourceConf(
+      brokers = "unused:9092", topic = "t", datetimeField = "dt",
+      fieldsTypes = Map("k" -> "string", "dt" -> "int64", "v" -> "float64"),
+      partitionFields = Seq("k"))
+    val lines = Seq(
+      """{"k":"a","dt":10000,"v":60.0}""",
+      """{"k":"a","dt":10001,"v":61.0}""",
+      """{"k":"a","dt":10002,"v":5.0}""",
+      """{"k":"a","dt":10004,"v":70.0}""",
+      """{"k":"a","dt":10005,"v":1.0}""")
+
+    val ms = MemoryStream[String]
+    val events = graft.io.Sources.kafkaEvents(
+      ms.toDF().toDF("value"), conf, "5 seconds")
+    val inc = StreamingPatterns.incidents(events, Seq("k"), "ts",
+      col("v") > 50,
+      StreamConfig(eventsMaxGapMs = 60000L, sessionGapMs = 1000L,
+        minDurationMs = 0L))
+    val query = inc.writeStream.format("memory").queryName("stream_kafka")
+      .outputMode("append").start()
+    try {
+      ms.addData(lines: _*)
+      query.processAllAvailable()
+      ms.addData("""{"k":"a","dt":10200,"v":1.0}""")
+      query.processAllAvailable()
+      ms.addData("""{"k":"a","dt":10300,"v":1.0}""")
+      query.processAllAvailable()
+      assert(query.exception.isEmpty, s"query failed: ${query.exception}")
+      val streamed = spark.table("stream_kafka")
+        .select("fromMs", "toMs", "nEvents").as[(Long, Long, Long)]
+        .collect().toSet
+
+      // batch engine over the SAME value records through the SAME parse path
+      val batchEvents = graft.io.Sources.finish(
+        graft.io.Sources.parseKafkaJson(
+          (lines :+ """{"k":"a","dt":10200,"v":1.0}""" :+ """{"k":"a","dt":10300,"v":1.0}""")
+            .toDF("value"), conf.schema), conf)
+      val batch = graft.dsl.TspEngine.incidents(batchEvents, "v > 50",
+        graft.dsl.PatternConfig(Seq("k"), "ts", eventsMaxGapMs = 60000L,
+          sessionGapMs = 1000L))
+        .select("from_ms", "to_ms", "n_events").as[(Long, Long, Long)]
+        .collect().toSet
+
+      // runs [10000,10001] and [10004] are 3s apart (> 1s session gap)
+      assert(streamed == Set((10000000L, 10001000L, 2L), (10004000L, 10004000L, 1L)),
+        s"streamed=$streamed")
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally query.stop()
+  }
+
   test("data gap resets an open run") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(String, Long, Double)]
