@@ -115,18 +115,48 @@ object TspEngine {
     }
   }
 
-  /** Streaming incidents for a DSL pattern over a watermarked frame —
-    * parse -> scalar condition -> stateful evaluation
-    * (graft.streaming.StreamingPatterns).
+  /** Streaming incidents for a DSL pattern over a watermarked frame.
+    * Window-free conditions (plus a top-level timer) compile to a Column
+    * and take the fast path; patterns with trailing aggregates / lag /
+    * `for W <range>` truth statistics run through the incremental per-key
+    * evaluator (graft.dsl.StreamingEval). `andThen` and `wait` stay
+    * unsupported in streaming — their consume/rewind semantics decide
+    * retroactively.
     */
   def incidentsStream(df: DataFrame, pattern: String, cfg: PatternConfig):
       org.apache.spark.sql.Dataset[graft.streaming.StreamingPatterns.StreamIncident] = {
-    val (cond, timerMs) = streamingCondition(pattern)
-    graft.streaming.StreamingPatterns.incidents(df, cfg.keys, cfg.tsCol, cond,
-      graft.streaming.StreamingPatterns.StreamConfig(
-        eventsMaxGapMs = cfg.eventsMaxGapMs,
-        sessionGapMs = cfg.sessionGapMs,
-        minDurationMs = timerMs))
+    val ast = Parser.parse(pattern, cfg.toleranceFraction) match {
+      case Right(a)  => a
+      case Left(err) => throw err
+    }
+    val scalarPath =
+      try Some(streamingCondition(pattern))
+      catch {
+        case e: Parser.ParseError
+          if e.getMessage.contains("not supported in the streaming evaluator") => None
+      }
+    scalarPath match {
+      case Some((cond, timerMs)) =>
+        graft.streaming.StreamingPatterns.incidents(df, cfg.keys, cfg.tsCol, cond,
+          graft.streaming.StreamingPatterns.StreamConfig(
+            eventsMaxGapMs = cfg.eventsMaxGapMs,
+            sessionGapMs = cfg.sessionGapMs,
+            minDurationMs = timerMs))
+      case None =>
+        val fs = fields(ast)
+        val strF = fs.filter(f => df.schema.fields.exists(sf =>
+          sf.name == f && sf.dataType == org.apache.spark.sql.types.StringType))
+          .toVector.sorted
+        val numF = (fs -- strF).toVector.sorted
+        // throws the same clear error for andThen / wait / nested timers
+        val program = StreamingEval.compile(ast, numF, strF)
+        graft.streaming.StreamingPatterns.incidentsEval(df, cfg.keys, cfg.tsCol,
+          program,
+          graft.streaming.StreamingPatterns.StreamConfig(
+            eventsMaxGapMs = cfg.eventsMaxGapMs,
+            sessionGapMs = cfg.sessionGapMs,
+            minDurationMs = program.timerMs))
+    }
   }
 
   /** Parse-only validation — the `/patterns/validate` endpoint analogue

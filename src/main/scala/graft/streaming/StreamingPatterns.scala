@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import graft.dsl.StreamingEval
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import scala.collection.mutable.ArrayBuffer
 
 /** Structured-Streaming pattern evaluation.
   *
@@ -12,6 +15,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * reference's per-key fs2 pipeline with carried pattern state
   * (reference: PatternsSearchJob.scala:89-160, PatternProcessor.scala:23-61).
   *
+  * Two condition paths share one run/session machine:
+  *  - [[incidents]]: a window-free Column condition (plus optional timer);
+  *  - [[incidentsEval]]: a compiled [[graft.dsl.StreamingEval.Program]] for
+  *    patterns with trailing aggregates / truth statistics — each windowed
+  *    node keeps a bounded deque in the group state.
+  *
   * Semantics mirror the batch engine exactly:
   *  - a condition run is a maximal stretch of condition-true events with no
   *    inter-event gap above `eventsMaxGapMs` (gap == state reset);
@@ -20,11 +29,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - closed incidents closer than `sessionGapMs` merge (reduceIncidents);
   *  - late events (behind the per-key high-water mark) are dropped, and the
   *    stream's watermark bounds state via event-time timeouts: a pending
-  *    incident is flushed once the watermark passes `to + sessionGapMs`.
+  *    incident is flushed once the watermark passes `to + sessionGapMs`,
+  *    an open run emits once the watermark proves no event can extend it,
+  *    and fully-idle keys retire their state.
   *
-  * Scale: state per key is O(1) — three longs for the open run, three for
-  * the pending incident — so the state store stays tiny regardless of
-  * window sizes, unlike buffering approaches.
+  * Scale: run/session state per key is O(1); evaluator deques are bounded
+  * by each operator's window.
   */
 object StreamingPatterns {
 
@@ -32,6 +42,15 @@ object StreamingPatterns {
   // timestamp, or the upstream watermark is lost and event-time timeouts
   // are rejected
   case class KeyedEvent(key: String, ts: java.sql.Timestamp, cond: Boolean) {
+    def tsMs: Long = ts.getTime
+  }
+
+  /** Raw event for the evaluator path: referenced fields in Program order
+    * (numerics NaN-coalesced, so missing data follows the reference's
+    * NaN-decode convention).
+    */
+  case class KeyedRaw(key: String, ts: java.sql.Timestamp,
+                      nums: Seq[Double], strs: Seq[String]) {
     def tsMs: Long = ts.getTime
   }
 
@@ -46,6 +65,11 @@ object StreamingPatterns {
   object RunState {
     val empty: RunState = RunState(-1L, -1L, -1L, 0L, Long.MinValue, 0L, 0L, 0L, hasPending = false)
   }
+
+  /** Evaluator-path state: the run machine plus one bounded (ms, value)
+    * deque per windowed operator.
+    */
+  case class EvalState(run: RunState, ops: Seq[Seq[(Long, Double)]])
 
   case class StreamIncident(key: String, fromMs: Long, toMs: Long, nEvents: Long)
 
@@ -72,15 +96,53 @@ object StreamingPatterns {
         process(cfg))
   }
 
-  private def process(cfg: StreamConfig)(
-    key: String,
-    events: Iterator[KeyedEvent],
-    state: GroupState[RunState]
-  ): Iterator[StreamIncident] = {
-    var s = state.getOption.getOrElse(RunState.empty)
-    val out = scala.collection.mutable.ArrayBuffer.empty[StreamIncident]
+  /** Evaluate a compiled windowed-pattern [[StreamingEval.Program]] over a
+    * streaming frame — trailing aggregates, lag, and `for W <range>` truth
+    * statistics, per key, with operator state bounded by the windows.
+    */
+  def incidentsEval(df: DataFrame, keys: Seq[String], tsCol: String,
+                    program: StreamingEval.Program,
+                    cfg: StreamConfig): Dataset[StreamIncident] = {
+    import df.sparkSession.implicits._
+    val inSchema = df.schema.fieldNames.toSet
+    val numCols =
+      if (program.numFields.isEmpty) array().cast("array<double>")
+      else array(program.numFields.map { f =>
+        if (inSchema(f)) coalesce(col(f).cast("double"), lit(Double.NaN))
+        else lit(Double.NaN)
+      }: _*)
+    val strCols =
+      if (program.strFields.isEmpty) array().cast("array<string>")
+      else array(program.strFields.map(col): _*)
+    val keyed = df.select(
+        concat_ws("|", keys.map(col): _*).as("key"),
+        col(tsCol).as("ts"),
+        numCols.as("nums"),
+        strCols.as("strs"))
+      .as[KeyedRaw]
+    implicit val stateEnc: Encoder[EvalState] = Encoders.product[EvalState]
+    keyed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processEval(program, cfg))
+  }
 
-    def emitOrMerge(fromMs: Long, toMs: Long, n: Long): Unit = {
+  /** The shared run/session machine: condition runs, gap resets, timer
+    * qualification, and incident merge (same semantics as the batch
+    * extractIncidents + sessionize pipeline).
+    */
+  /** @param retainMs extra state lifetime past the last event: the
+    *   evaluator path must keep operator deques alive while a future event
+    *   could still reach back into them (max op window, capped at the gap —
+    *   beyond the gap the deques reset on arrival anyway). 0 for the
+    *   scalar path.
+    */
+  private final class RunMachine(cfg: StreamConfig, key: String,
+                                 var s: RunState,
+                                 out: ArrayBuffer[StreamIncident],
+                                 retainMs: Long = 0L) {
+
+    private def emitOrMerge(fromMs: Long, toMs: Long, n: Long): Unit = {
       if (s.hasPending && fromMs - s.pendToMs <= cfg.sessionGapMs) {
         s = s.copy(pendToMs = math.max(s.pendToMs, toMs), pendN = s.pendN + n)
       } else {
@@ -95,52 +157,114 @@ object StreamingPatterns {
       s = s.copy(startMs = -1L, lastCondMs = -1L, firstSuccMs = -1L, succN = 0L)
     }
 
+    def isGap(tsMs: Long): Boolean =
+      s.lastSeenMs != Long.MinValue && tsMs - s.lastSeenMs > cfg.eventsMaxGapMs
+
+    def feed(tsMs: Long, cond: Boolean): Unit = {
+      if (isGap(tsMs))
+        closeRun() // data gap: state reset (PatternProcessor.splitByCondition)
+      if (cond) {
+        if (s.startMs < 0) s = s.copy(startMs = tsMs)
+        s = s.copy(lastCondMs = tsMs)
+        if (tsMs >= s.startMs + cfg.minDurationMs) {
+          if (s.firstSuccMs < 0) s = s.copy(firstSuccMs = tsMs)
+          s = s.copy(succN = s.succN + 1)
+        }
+      } else closeRun()
+      s = s.copy(lastSeenMs = tsMs)
+    }
+
+    /** Watermark-driven expiry; runs on BOTH the data and timeout paths:
+      * Spark only fires timeouts for keys with no data in the batch, so a
+      * key under continuous traffic must flush inline here. Once
+      * wm > lastSeen + maxGap, every admissible future event (ts > wm)
+      * closes the run on arrival — so close it now (batch end-of-gap
+      * semantics); once wm > pending.to + sessionGap nothing can merge.
+      */
+    def expire(wm: Long): Unit = {
+      if (s.startMs >= 0 && wm > s.lastSeenMs + cfg.eventsMaxGapMs) closeRun()
+      if (s.hasPending && wm > s.pendToMs + cfg.sessionGapMs) {
+        out += StreamIncident(key, s.pendFromMs, s.pendToMs, s.pendN)
+        s = s.copy(hasPending = false)
+      }
+    }
+
+    def retired(wm: Long): Boolean =
+      s.startMs < 0 && !s.hasPending && wm > s.lastSeenMs + retainMs
+
+    /** Next event-time deadline, clamped above the watermark (Spark rejects
+      * a timeout timestamp at or below it).
+      */
+    def deadline(wm: Long): Long = {
+      val d = math.min(
+        if (s.hasPending) s.pendToMs + cfg.sessionGapMs + 1 else Long.MaxValue,
+        if (s.startMs >= 0) s.lastSeenMs + cfg.eventsMaxGapMs + 1
+        else s.lastSeenMs + retainMs + 1) // quiescent: retire once safe
+      math.max(d, wm + 1)
+    }
+  }
+
+  private def process(cfg: StreamConfig)(
+    key: String,
+    events: Iterator[KeyedEvent],
+    state: GroupState[RunState]
+  ): Iterator[StreamIncident] = {
+    val out = ArrayBuffer.empty[StreamIncident]
+    val m = new RunMachine(cfg, key, state.getOption.getOrElse(RunState.empty), out)
     val wm = state.getCurrentWatermarkMs()
 
     if (!state.hasTimedOut) {
       // micro-batches are unordered; process in event time, drop late rows
-      val sorted = events.toArray.sortBy(_.tsMs).iterator
-        .filter(_.tsMs > s.lastSeenMs)
-      sorted.foreach { e =>
-        if (s.lastSeenMs != Long.MinValue && e.tsMs - s.lastSeenMs > cfg.eventsMaxGapMs)
-          closeRun() // data gap: state reset (PatternProcessor.splitByCondition)
-        if (e.cond) {
-          if (s.startMs < 0) s = s.copy(startMs = e.tsMs)
-          s = s.copy(lastCondMs = e.tsMs)
-          if (e.tsMs >= s.startMs + cfg.minDurationMs) {
-            if (s.firstSuccMs < 0) s = s.copy(firstSuccMs = e.tsMs)
-            s = s.copy(succN = s.succN + 1)
-          }
-        } else closeRun()
-        s = s.copy(lastSeenMs = e.tsMs)
-      }
+      events.toArray.sortBy(_.tsMs).iterator
+        .filter(_.tsMs > m.s.lastSeenMs)
+        .foreach(e => m.feed(e.tsMs, e.cond))
     }
+    m.expire(wm)
 
-    // Watermark-driven expiry runs on BOTH paths: Spark only fires timeouts
-    // for keys with no data in the batch, so a key under continuous traffic
-    // must flush inline here or its pending incident would never emit.
-    // Once wm > lastSeen + maxGap, every admissible future event (ts > wm)
-    // closes the run on arrival — so close it now (batch end-of-gap
-    // semantics; an open run that never sees another event still emits).
-    if (s.startMs >= 0 && wm > s.lastSeenMs + cfg.eventsMaxGapMs) closeRun()
-    // once wm > pending.to + sessionGap, nothing can merge anymore
-    if (s.hasPending && wm > s.pendToMs + cfg.sessionGapMs) {
-      out += StreamIncident(key, s.pendFromMs, s.pendToMs, s.pendN)
-      s = s.copy(hasPending = false)
-    }
-
-    if (s.startMs < 0 && !s.hasPending && wm > s.lastSeenMs) {
+    if (m.retired(wm)) {
       // nothing open and the watermark subsumes the late-event cutoff:
       // retire the key's state entirely (bounded state under key churn)
       state.remove()
     } else {
-      state.update(s)
-      val deadline = math.min(
-        if (s.hasPending) s.pendToMs + cfg.sessionGapMs + 1 else Long.MaxValue,
-        if (s.startMs >= 0) s.lastSeenMs + cfg.eventsMaxGapMs + 1
-        else s.lastSeenMs + 1) // lastSeen-only state: retire at next wm pass
-      // clamp: Spark rejects a timeout timestamp at or below the watermark
-      state.setTimeoutTimestamp(math.max(deadline, wm + 1))
+      state.update(m.s)
+      state.setTimeoutTimestamp(m.deadline(wm))
+    }
+    out.iterator
+  }
+
+  private def processEval(program: StreamingEval.Program, cfg: StreamConfig)(
+    key: String,
+    events: Iterator[KeyedRaw],
+    state: GroupState[EvalState]
+  ): Iterator[StreamIncident] = {
+    val st = state.getOption.getOrElse(
+      EvalState(RunState.empty, Vector.fill(program.ops.size)(Vector.empty)))
+    val deques: Array[ArrayBuffer[(Long, Double)]] =
+      st.ops.map(v => ArrayBuffer.from(v)).toArray
+    val out = ArrayBuffer.empty[StreamIncident]
+    val retainMs = math.min(
+      if (program.ops.isEmpty) 0L else program.ops.map(_.windowMs).max,
+      cfg.eventsMaxGapMs)
+    val m = new RunMachine(cfg, key, st.run, out, retainMs)
+    val wm = state.getCurrentWatermarkMs()
+
+    if (!state.hasTimedOut) {
+      events.toArray.sortBy(_.tsMs).iterator
+        .filter(_.tsMs > m.s.lastSeenMs)
+        .foreach { e =>
+          // pattern state resets at data gaps, exactly like the batch
+          // engine's per-(key, gap_run) window partitioning
+          if (m.isGap(e.tsMs)) deques.foreach(_.clear())
+          val cond = program.eval(deques, e.tsMs, e.nums.toArray, e.strs.toArray)
+          m.feed(e.tsMs, cond)
+        }
+    }
+    m.expire(wm)
+
+    if (m.retired(wm)) state.remove()
+    else {
+      state.update(EvalState(m.s, deques.map(_.toVector).toSeq))
+      state.setTimeoutTimestamp(m.deadline(wm))
     }
     out.iterator
   }

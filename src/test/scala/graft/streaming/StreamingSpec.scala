@@ -218,6 +218,72 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed patterns stream-evaluate identically to the batch engine") {
+    // Differential: trailing aggregates, lag, and for-stats patterns run
+    // through the incremental evaluator must produce the same incidents as
+    // the batch window pipeline on the same data. Random keyed streams fed
+    // in chunks; a dummy key pushes the watermark far past the data so
+    // everything flushes.
+    val rnd = new scala.util.Random(424242L)
+    val events = (1 to 12).flatMap { k =>
+      var t = 10000L
+      Vector.fill(40 + rnd.nextInt(30)) {
+        t += 1 + (if (rnd.nextInt(12) == 0) 120 + rnd.nextInt(60)
+                  else rnd.nextInt(20))
+        (s"k$k", t, rnd.nextInt(200).toDouble)
+      }
+    }.sortBy(_._2)
+    val cfg = graft.dsl.PatternConfig(Seq("k"), "ts",
+      eventsMaxGapMs = 60000L, sessionGapMs = 5000L)
+    val patterns = Seq(
+      "avg(v, 30 sec) > 110",
+      "lag(v) < v",
+      "lag(v, 20 sec) < v - 10",
+      "v > 100 for 60 sec > 4 times",
+      "v > 100 for 60 sec >= 10 sec",
+      "sum(v, 40 sec) > 500 until v < 5")
+
+    patterns.foreach { pattern =>
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[(String, Long, Double)]
+      val df = ms.toDF().toDF("k", "sec", "v")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .withWatermark("ts", "5 seconds")
+      val inc = graft.dsl.TspEngine.incidentsStream(df, pattern, cfg)
+      val name = "stream_diff"
+      val query = inc.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        events.grouped(events.size / 3 + 1).foreach { chunk =>
+          ms.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+        // push the watermark far past everything, twice (second batch fires
+        // the timeouts registered by the first)
+        ms.addData(("zz", 100000L, 0.0)); query.processAllAvailable()
+        ms.addData(("zz", 200000L, 0.0)); query.processAllAvailable()
+        assert(query.exception.isEmpty, s"<$pattern> failed: ${query.exception}")
+
+        val streamed = spark.table(name)
+          .filter(col("key") =!= "zz")
+          .select("key", "fromMs", "toMs", "nEvents")
+          .as[(String, Long, Long, Long)].collect().toSet
+
+        val batchDf = events.toDF("k", "sec", "v")
+          .withColumn("ts", timestamp_seconds(col("sec")))
+        val batch = graft.dsl.TspEngine.incidents(batchDf, pattern, cfg)
+          .select(col("k"), col("from_ms"), col("to_ms"), col("n_events"))
+          .as[(String, Long, Long, Long)].collect().toSet
+
+        assert(streamed == batch,
+          s"<$pattern>: missing=${(batch -- streamed).take(4)}, extra=${(streamed -- batch).take(4)}")
+      } finally {
+        query.stop()
+        spark.catalog.dropTempView(name)
+      }
+    }
+  }
+
   test("Kafka declared-schema path produces batch-identical incidents") {
     // The Kafka source itself cannot run offline (no broker, no connector
     // jar); everything after it — declared fieldsTypes -> from_json ->
