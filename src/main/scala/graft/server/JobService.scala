@@ -16,8 +16,19 @@ import scala.util.{Failure, Success, Try}
   * parse-only validation. The transport layer (HTTP) is intentionally
   * absent — this environment ships no server library, and every endpoint's
   * semantics live here, one `route` definition away.
+  *
+  * With `checkpointDir` set, each job persists progress (rows read, max
+  * event time, rows written) after completion — the batch analogue of the
+  * reference's CheckpointingService (CheckpointingService.scala:12-168,
+  * which checkpoints read-row counts for resume and monitoring).
+  * Resubmitting a uuid resumes from the recorded event time: only events
+  * strictly after it are read, so append-only sources re-process nothing.
+  * An incident spanning the resume boundary splits (the reference avoids
+  * this by also checkpointing pattern state mid-stream; a from-scratch
+  * batch rerun gives exact results when that matters).
   */
-final class JobService(spark: SparkSession, maxConcurrent: Int = 1) {
+final class JobService(spark: SparkSession, maxConcurrent: Int = 1,
+                       checkpointDir: Option[String] = None) {
 
   import JobService._
 
@@ -77,7 +88,14 @@ final class JobService(spark: SparkSession, maxConcurrent: Int = 1) {
     }
     jobs.put(uuid, JobInfo(uuid, JobStatus.Running, None, 0L))
     Try {
-      val events = Sources.read(spark, s.req.inputConf)
+      val prior = checkpoint(uuid)
+      val all = Sources.read(spark, s.req.inputConf)
+      // resume: skip everything at or before the checkpointed event time
+      val events = prior.filter(_.maxTsMs != Long.MinValue)
+        .map(c => all.filter(
+          org.apache.spark.sql.functions.unix_millis(
+            org.apache.spark.sql.functions.col("ts")) > c.maxTsMs))
+        .getOrElse(all)
       val cfg = PatternConfig(
         keys = s.req.inputConf.partitionFields,
         tsCol = "ts",
@@ -102,13 +120,46 @@ final class JobService(spark: SparkSession, maxConcurrent: Int = 1) {
           Sinks.writeJdbc(rows, out)
           written += rows.count()
         }
-        written
+        // progress metrics: rows read this run + high-water event time, the
+        // CheckpointingService analogue (accumulated across resumes)
+        import org.apache.spark.sql.functions.{count => cnt, max => mx, unix_millis, col, lit}
+        val stats = events.agg(cnt(lit(1)), mx(unix_millis(col("ts")))).head()
+        val rowsRead = stats.getLong(0)
+        val maxTs =
+          if (stats.isNullAt(1)) prior.map(_.maxTsMs).getOrElse(Long.MinValue)
+          else stats.getLong(1)
+        val ck = JobCheckpoint(
+          rowsRead = prior.map(_.rowsRead).getOrElse(0L) + rowsRead,
+          maxTsMs = maxTs,
+          rowsWritten = prior.map(_.rowsWritten).getOrElse(0L) + written)
+        saveCheckpoint(uuid, ck)
+        (written, ck.rowsRead)
       } finally incidents.unpersist()
     } match {
-      case Success(n) => jobs.put(uuid, JobInfo(uuid, JobStatus.Finished, None, n))
-      case Failure(e) => jobs.put(uuid, JobInfo(uuid, JobStatus.Failed, Some(e.getMessage), 0L))
+      case Success((n, read)) =>
+        jobs.put(uuid, JobInfo(uuid, JobStatus.Finished, None, n, read))
+      case Failure(e) =>
+        jobs.put(uuid, JobInfo(uuid, JobStatus.Failed, Some(e.getMessage), 0L))
     }
   }
+
+  /** GET /job/:uuid/checkpoint analogue (monitoring + resume source). */
+  def checkpoint(uuid: String): Option[JobCheckpoint] = checkpointDir.flatMap { d =>
+    val p = java.nio.file.Paths.get(d, s"$uuid.ck")
+    if (!java.nio.file.Files.exists(p)) None
+    else java.nio.file.Files.readString(p).split(',') match {
+      case Array(r, m, w) => Some(JobCheckpoint(r.toLong, m.toLong, w.toLong))
+      case _              => None
+    }
+  }
+
+  private def saveCheckpoint(uuid: String, ck: JobCheckpoint): Unit =
+    checkpointDir.foreach { d =>
+      val dir = java.nio.file.Paths.get(d)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve(s"$uuid.ck"),
+        s"${ck.rowsRead},${ck.maxTsMs},${ck.rowsWritten}")
+    }
 }
 
 object JobService {
@@ -133,7 +184,12 @@ object JobService {
   }
 
   final case class JobInfo(uuid: String, status: JobStatus,
-    error: Option[String], rowsWritten: Long)
+    error: Option[String], rowsWritten: Long, rowsRead: Long = 0L)
+
+  /** Persistent job progress — the CheckpointingService analogue: rows read
+    * and written accumulate across resumes; `maxTsMs` is the resume point.
+    */
+  final case class JobCheckpoint(rowsRead: Long, maxTsMs: Long, rowsWritten: Long)
 
   private final case class Submitted(req: FindPatternsRequest, priority: Int)
 }

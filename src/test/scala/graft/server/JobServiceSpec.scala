@@ -81,6 +81,68 @@ class JobServiceSpec extends SparkSpec {
     } finally svc.shutdown()
   }
 
+  test("checkpointed job resumes from the recorded event time") {
+    // first run processes 3 events (one incident); new rows arrive; the
+    // resubmitted uuid reads only the new rows — the sink gains exactly one
+    // new incident and rowsRead accumulates. A fresh JobService instance
+    // proves the checkpoint survives on disk.
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-jobck").toString
+    def seed(rows: Seq[(String, Long, Double)]): Unit =
+      rows.toDF("user_id", "dt", "value").write.format("jdbc")
+        .option("url", url).option("dbtable", "resume_events")
+        .option("driver", driver).mode("append").save()
+    seed(Seq(("u1", 2000L, 10.0), ("u1", 2001L, 80.0), ("u1", 2002L, 5.0)))
+
+    def req(uuid: String) = FindPatternsRequest(
+      uuid = uuid,
+      inputConf = JdbcSourceConf(
+        jdbcUrl = url, query = "SELECT * FROM resume_events",
+        driverName = driver, datetimeField = "dt",
+        partitionFields = Seq("user_id"),
+        eventsMaxGapMs = 60000L, defaultEventsGapMs = 500L),
+      outConfs = Seq(JdbcSinkConf(
+        tableName = "resume_sink",
+        rowSchema = RowSchema(Map(
+          "from_ts" -> ColumnSpec("timestamp", "$IncidentStart"))),
+        jdbcUrl = url, driverName = driver)),
+      priority = 50,
+      patterns = Seq(TspEngine.RawPattern("p", "value > 50")))
+
+    def awaitDone(svc: JobService, uuid: String): JobService.JobInfo = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (System.currentTimeMillis() < deadline &&
+        !Set[JobStatus](JobStatus.Finished, JobStatus.Failed)
+          .contains(svc.status(uuid).get.status)) Thread.sleep(200)
+      svc.status(uuid).get
+    }
+
+    val svc1 = new JobService(spark, checkpointDir = Some(ckDir))
+    try {
+      val info1 = awaitDone(svc1, { svc1.submit(req("job-r")); "job-r" })
+      assert(info1.status == JobStatus.Finished, s"first run: $info1")
+      assert(info1.rowsWritten == 1L && info1.rowsRead == 3L)
+      assert(svc1.checkpoint("job-r").contains(
+        JobCheckpoint(3L, 2002000L, 1L)))
+    } finally svc1.shutdown()
+
+    // a later second burst: one more qualifying run
+    seed(Seq(("u1", 2100L, 90.0), ("u1", 2101L, 1.0)))
+
+    val svc2 = new JobService(spark, checkpointDir = Some(ckDir))
+    try {
+      val info2 = awaitDone(svc2, { svc2.submit(req("job-r")); "job-r" })
+      assert(info2.status == JobStatus.Finished, s"resume run: $info2")
+      // only the 2 new rows were read; total accumulates in the checkpoint
+      assert(info2.rowsWritten == 1L && info2.rowsRead == 5L)
+      assert(svc2.checkpoint("job-r").contains(
+        JobCheckpoint(5L, 2101000L, 2L)))
+      val sunk = spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "resume_sink").option("driver", driver).load()
+      val starts = sunk.collect().map(_.getAs[java.sql.Timestamp]("from_ts").getTime).sorted
+      assert(starts.toSeq == Seq(2001000L, 2100000L), s"got ${starts.toSeq}")
+    } finally svc2.shutdown()
+  }
+
   test("shared multi-pattern evaluation matches per-pattern evaluation") {
     val df = Seq(
       ("u1", 1000L, 10.0), ("u1", 1001L, 80.0), ("u1", 1002L, 85.0),
