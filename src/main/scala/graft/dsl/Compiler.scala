@@ -597,6 +597,73 @@ object PatternCompiler {
     out.toSeq
   }
 
+  /** Incremental form of [[andThenMerge]] for the streaming evaluator:
+    * processes the CLOSED run prefixes of both queues and stops when either
+    * empties, returning the emitted intervals plus the remaining (possibly
+    * rewound) runs. `aOpen`/`bOpen` signal that an open tail run exists, so
+    * the reference's `first.size` check counts it; with both false this is
+    * exactly the batch merge. Mid-part the size-1 branch can never fire
+    * (the open tail always makes size >= 2), which is what makes prefix
+    * processing produce the same decisions as the eventual full-list merge.
+    */
+  /** Result of one incremental merge round: emitted intervals, remaining
+    * closed runs per side, and the operations that must later apply to each
+    * side's still-open tail run when it closes — a rewind floor (drop if
+    * end < floor, else cut start to floor) and, for the second side, an
+    * unwind bound (drop if end <= bound; unwind never cuts starts).
+    */
+  final case class MergeRound(
+    emitted: List[(Long, Long)],
+    remA: List[(Long, Long, Boolean)],
+    remB: List[(Long, Long, Boolean)],
+    aFloor: Long,
+    bFloor: Long,
+    bUnwind: Long)
+
+  def andThenMergeInc(
+    aRuns: List[(Long, Long, Boolean)],
+    bRuns: List[(Long, Long, Boolean)],
+    aOpen: Boolean,
+    bOpen: Boolean
+  ): MergeRound = {
+    def rewindTo(q: List[(Long, Long, Boolean)], n: Long) =
+      q.dropWhile(_._2 < n) match {
+        case (s, e, v) :: t if s <= n => (n, e, v) :: t
+        case other                    => other
+      }
+    val out = List.newBuilder[(Long, Long)]
+    var a = aRuns
+    var b = bRuns
+    var aFloor = 0L
+    var bFloor = 0L
+    var bUnwind = 0L
+    var done = false
+    while (!done) (a, b) match {
+      case (Nil, _) | (_, Nil) => done = true
+      case ((s1, e1, v1) :: at, (s2, e2, v2) :: bt) =>
+        if (!v1) {
+          a = at
+          b = b.dropWhile(_._2 <= s1)
+          bUnwind = math.max(bUnwind, s1)
+        } else if (!v2) {
+          if (a.size + (if (aOpen) 1 else 0) == 1) {
+            a = rewindTo(a, e2 + 1); aFloor = math.max(aFloor, e2 + 1); b = bt
+          } else b = bt
+        } else if (s1 > e2) b = bt
+        else if (e1 + 1 < s2) a = at
+        else {
+          val start = math.min(s1, s2)
+          val end = math.max(e1 + 1, e2)
+          out += ((start, end))
+          a = rewindTo(a, end + 1)
+          b = rewindTo(b, end + 1)
+          aFloor = math.max(aFloor, end + 1)
+          bFloor = math.max(bFloor, end + 1)
+        }
+    }
+    MergeRound(out.result(), a, b, aFloor, bFloor, bUnwind)
+  }
+
   /** UDF wrapper: rows are structs (s, e, v) sorted by s. */
   val andThenUdf = udf { (a: Seq[Row], b: Seq[Row]) =>
     val ar = a.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

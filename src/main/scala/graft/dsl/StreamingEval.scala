@@ -40,6 +40,13 @@ object StreamingEval {
                            windowMs: Long, interval: IntervalSpec,
                            node: Ast) extends OpSpec
 
+  /** Nested `X for T` timer (non-top-level): success once the current
+    * cond-run has lasted `windowMs` (TimerPattern.scala:63-109; same rule
+    * the batch `timer()` column encodes). State: the current run's start.
+    */
+  final case class TimerSpec(id: Int, inner: Ast, windowMs: Long,
+                             node: Ast) extends OpSpec
+
   /** A compiled streaming pattern: the (timer-stripped) condition AST, its
     * windowed ops in children-first order, and the top-level timer window.
     */
@@ -72,6 +79,7 @@ object StreamingEval {
           }
         case agg: Agg                => opVals(opOf(agg))
         case f: ForWithIntervalAst   => opBools(opOf(f))
+        case tm: TimerAst            => opBools(opOf(tm))
         case CastAst(inner, to) =>
           val v = anyOf(inner)
           to match {
@@ -203,6 +211,12 @@ object StreamingEval {
             case CountIv(s, end)  => succCnt >= s && end.forall(succCnt <= _)
           }
           opBools(id) = in && (!exactly || (succMs + failMs) >= w)
+        case TimerSpec(id, inner, w, _) =>
+          val dq = deques(id)
+          val c = toB(anyOf(inner))
+          if (!c) dq.clear()
+          else if (dq.isEmpty) dq += ((t, 0.0))
+          opBools(id) = c && t >= dq.head._1 + w
       }
 
       toB(anyOf(cond))
@@ -226,25 +240,32 @@ object StreamingEval {
   }
 
   /** Compile an AST for streaming evaluation. Throws ParseError for
-    * forward-looking constructs (`andThen`, `wait`) and nested timers.
-    * `numFields`/`strFields` partition the referenced fields by source
-    * column type.
+    * forward-looking constructs (`andThen`, `wait`). Nested timers become
+    * [[TimerSpec]] ops; a top-level timer is stripped into the run-duration
+    * rule when `stripTimer` (matching the batch max-window compilation,
+    * ASTPatternGenerator.scala:160-162). `numFields`/`strFields` partition
+    * the referenced fields by source column type.
     */
   def compile(ast0: Ast, numFields: Vector[String],
-              strFields: Vector[String]): Program = {
+              strFields: Vector[String], stripTimer: Boolean = true): Program = {
     val (cond, timerMs) = ast0 match {
-      // top-level timer compiles to the run-duration rule, like the batch
-      // engine's max-window compilation (ASTPatternGenerator.scala:160-162)
-      case TimerAst(c, _, maxMs) => (c, maxMs)
-      case other                 => (other, 0L)
+      case TimerAst(c, _, maxMs) if stripTimer => (c, maxMs)
+      case other                               => (other, 0L)
     }
     val ops = Vector.newBuilder[OpSpec]
     val opOf = scala.collection.mutable.LinkedHashMap.empty[Ast, Int]
 
     def walk(a: Ast): Unit = a match {
-      case _: AndThenAst | _: WaitAst | _: TimerAst =>
+      case _: AndThenAst | _: WaitAst =>
         throw Parser.ParseError(
           s"construct not supported in the streaming evaluator: ${a.productPrefix}", 0)
+      case tm @ TimerAst(inner, _, maxMs) =>
+        walk(inner)
+        if (!opOf.contains(tm)) {
+          val id = opOf.size
+          opOf(tm) = id
+          ops += TimerSpec(id, inner, maxMs, tm)
+        }
       case agg @ Agg(fn, arg, w) =>
         walk(arg)
         if (!opOf.contains(agg)) {

@@ -118,10 +118,12 @@ object TspEngine {
   /** Streaming incidents for a DSL pattern over a watermarked frame.
     * Window-free conditions (plus a top-level timer) compile to a Column
     * and take the fast path; patterns with trailing aggregates / lag /
-    * `for W <range>` truth statistics run through the incremental per-key
-    * evaluator (graft.dsl.StreamingEval). `andThen` and `wait` stay
-    * unsupported in streaming — their consume/rewind semantics decide
-    * retroactively.
+    * nested timers / `for W <range>` truth statistics run through the
+    * incremental per-key evaluator (graft.dsl.StreamingEval); a top-level
+    * `A andThen B` runs the exact batch queue-merge incrementally over
+    * closed condition runs. `wait` (and andThen chains / andThen under
+    * other operators) stay unsupported in streaming — their semantics
+    * decide retroactively across parts.
     */
   def incidentsStream(df: DataFrame, pattern: String, cfg: PatternConfig):
       org.apache.spark.sql.Dataset[graft.streaming.StreamingPatterns.StreamIncident] = {
@@ -129,33 +131,44 @@ object TspEngine {
       case Right(a)  => a
       case Left(err) => throw err
     }
-    val scalarPath =
-      try Some(streamingCondition(pattern))
-      catch {
-        case e: Parser.ParseError
-          if e.getMessage.contains("not supported in the streaming evaluator") => None
-      }
-    scalarPath match {
-      case Some((cond, timerMs)) =>
-        graft.streaming.StreamingPatterns.incidents(df, cfg.keys, cfg.tsCol, cond,
-          graft.streaming.StreamingPatterns.StreamConfig(
-            eventsMaxGapMs = cfg.eventsMaxGapMs,
-            sessionGapMs = cfg.sessionGapMs,
-            minDurationMs = timerMs))
-      case None =>
-        val fs = fields(ast)
-        val strF = fs.filter(f => df.schema.fields.exists(sf =>
-          sf.name == f && sf.dataType == org.apache.spark.sql.types.StringType))
-          .toVector.sorted
-        val numF = (fs -- strF).toVector.sorted
-        // throws the same clear error for andThen / wait / nested timers
-        val program = StreamingEval.compile(ast, numF, strF)
-        graft.streaming.StreamingPatterns.incidentsEval(df, cfg.keys, cfg.tsCol,
-          program,
-          graft.streaming.StreamingPatterns.StreamConfig(
-            eventsMaxGapMs = cfg.eventsMaxGapMs,
-            sessionGapMs = cfg.sessionGapMs,
-            minDurationMs = program.timerMs))
+    val sCfg = graft.streaming.StreamingPatterns.StreamConfig(
+      eventsMaxGapMs = cfg.eventsMaxGapMs,
+      sessionGapMs = cfg.sessionGapMs,
+      minDurationMs = 0L)
+    def fieldSplit: (Vector[String], Vector[String]) = {
+      val fs = fields(ast)
+      val strF = fs.filter(f => df.schema.fields.exists(sf =>
+        sf.name == f && sf.dataType == org.apache.spark.sql.types.StringType))
+        .toVector.sorted
+      ((fs -- strF).toVector.sorted, strF)
+    }
+    ast match {
+      case AndThenAst(a, b) =>
+        val (numF, strF) = fieldSplit
+        // operands keep their timers as nested ops; wait / nested andThen
+        // inside an operand still throw the clear unsupported error
+        val pa = StreamingEval.compile(a, numF, strF, stripTimer = false)
+        val pb = StreamingEval.compile(b, numF, strF, stripTimer = false)
+        graft.streaming.StreamingPatterns.incidentsAndThen(
+          df, cfg.keys, cfg.tsCol, pa, pb, sCfg)
+      case _ =>
+        val scalarPath =
+          try Some(streamingCondition(pattern))
+          catch {
+            case e: Parser.ParseError
+              if e.getMessage.contains("not supported in the streaming evaluator") => None
+          }
+        scalarPath match {
+          case Some((cond, timerMs)) =>
+            graft.streaming.StreamingPatterns.incidents(df, cfg.keys, cfg.tsCol,
+              cond, sCfg.copy(minDurationMs = timerMs))
+          case None =>
+            val (numF, strF) = fieldSplit
+            // throws the same clear error for wait / nested andThen
+            val program = StreamingEval.compile(ast, numF, strF)
+            graft.streaming.StreamingPatterns.incidentsEval(df, cfg.keys,
+              cfg.tsCol, program, sCfg.copy(minDurationMs = program.timerMs))
+        }
     }
   }
 

@@ -127,6 +127,184 @@ object StreamingPatterns {
         processEval(program, cfg))
   }
 
+  /** One side's RLE run queue for the streaming andThen merge: closed runs
+    * plus the open tail (extends until its condition flips), with the
+    * rewind floor / unwind bound to apply when the tail closes.
+    */
+  case class ABQueue(runs: Seq[(Long, Long, Boolean)],
+                     openS: Long, openV: Boolean, hasOpen: Boolean,
+                     floorCut: Long, unwindAt: Long)
+  object ABQueue {
+    val empty: ABQueue = ABQueue(Vector.empty, 0L, openV = false,
+      hasOpen = false, 0L, 0L)
+  }
+
+  /** andThen-path state: run machine + both sides' evaluator deques and
+    * run queues, undecided event buffer, and decided-true idx intervals.
+    */
+  case class ABState(run: RunState,
+                     opsA: Seq[Seq[(Long, Double)]], opsB: Seq[Seq[(Long, Double)]],
+                     nextIdx: Long, rawLastMs: Long,
+                     qa: ABQueue, qb: ABQueue,
+                     buf: Seq[(Long, Long)], emitted: Seq[(Long, Long)])
+
+  /** `A andThen B` over a streaming frame: both operand conditions evaluate
+    * incrementally (windowed ops included); their RLE run queues feed the
+    * exact batch queue-merge over CLOSED runs only — the open tail run
+    * always makes the reference's `first.size` check >= 2, so prefix
+    * decisions equal the eventual whole-part merge, and events flush to the
+    * run/session machine in order as the decision frontier passes them.
+    * Undecided events buffer at most one condition flip's worth per side; a
+    * data gap or the watermark passing `lastSeen + eventsMaxGap` finalizes
+    * the part exactly like the batch per-(key, gap-run) evaluation.
+    */
+  def incidentsAndThen(df: DataFrame, keys: Seq[String], tsCol: String,
+                       progA: StreamingEval.Program, progB: StreamingEval.Program,
+                       cfg: StreamConfig): Dataset[StreamIncident] = {
+    import df.sparkSession.implicits._
+    require(progA.numFields == progB.numFields && progA.strFields == progB.strFields,
+      "operand programs must share field layout")
+    val inSchema = df.schema.fieldNames.toSet
+    val numCols =
+      if (progA.numFields.isEmpty) array().cast("array<double>")
+      else array(progA.numFields.map { f =>
+        if (inSchema(f)) coalesce(col(f).cast("double"), lit(Double.NaN))
+        else lit(Double.NaN)
+      }: _*)
+    val strCols =
+      if (progA.strFields.isEmpty) array().cast("array<string>")
+      else array(progA.strFields.map(col): _*)
+    val keyed = df.select(
+        concat_ws("|", keys.map(col): _*).as("key"),
+        col(tsCol).as("ts"),
+        numCols.as("nums"),
+        strCols.as("strs"))
+      .as[KeyedRaw]
+    implicit val stateEnc: Encoder[ABState] = Encoders.product[ABState]
+    keyed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processAndThen(progA, progB, cfg))
+  }
+
+  private def processAndThen(progA: StreamingEval.Program,
+                             progB: StreamingEval.Program, cfg: StreamConfig)(
+    key: String,
+    events: Iterator[KeyedRaw],
+    state: GroupState[ABState]
+  ): Iterator[StreamIncident] = {
+    import graft.dsl.PatternCompiler
+    val st0 = state.getOption.getOrElse(ABState(RunState.empty,
+      Vector.fill(progA.ops.size)(Vector.empty),
+      Vector.fill(progB.ops.size)(Vector.empty),
+      nextIdx = 1L, rawLastMs = Long.MinValue,
+      ABQueue.empty, ABQueue.empty, Vector.empty, Vector.empty))
+    val dequesA = st0.opsA.map(v => ArrayBuffer.from(v)).toArray
+    val dequesB = st0.opsB.map(v => ArrayBuffer.from(v)).toArray
+    val out = ArrayBuffer.empty[StreamIncident]
+    val m = new RunMachine(cfg, key, st0.run, out, retainMs = cfg.eventsMaxGapMs)
+
+    var nextIdx = st0.nextIdx
+    var rawLastMs = st0.rawLastMs
+    var qa = st0.qa
+    var qb = st0.qb
+    var buf = Vector.from(st0.buf)
+    var emitted = Vector.from(st0.emitted)
+
+    // close a queue's open tail (applying its deferred rewind/unwind ops)
+    def closeOpen(q: ABQueue, endIdx: Long): ABQueue =
+      if (!q.hasOpen) q
+      else {
+        val keep = endIdx >= q.floorCut && endIdx > q.unwindAt
+        val runs =
+          if (keep) q.runs :+ ((math.max(q.openS, q.floorCut), endIdx, q.openV))
+          else q.runs
+        q.copy(runs = runs, hasOpen = false)
+      }
+
+    def pushCond(q: ABQueue, v: Boolean, idx: Long): ABQueue =
+      if (q.hasOpen && q.openV == v) q
+      else {
+        val closed = closeOpen(q, idx - 1)
+        closed.copy(openS = idx, openV = v, hasOpen = true)
+      }
+
+    def mergeRound(finalize: Boolean): Unit = {
+      val (ca, cb) =
+        if (finalize) (closeOpen(qa, nextIdx - 1), closeOpen(qb, nextIdx - 1))
+        else (qa, qb)
+      val r = PatternCompiler.andThenMergeInc(
+        ca.runs.toList, cb.runs.toList, ca.hasOpen, cb.hasOpen)
+      emitted ++= r.emitted
+      qa = ca.copy(runs = r.remA.toVector,
+        floorCut = math.max(ca.floorCut, r.aFloor))
+      qb = cb.copy(runs = r.remB.toVector,
+        floorCut = math.max(cb.floorCut, r.bFloor),
+        unwindAt = math.max(cb.unwindAt, r.bUnwind))
+      // decision frontier: everything below the earliest still-undecided
+      // run start on either side is final
+      def front(q: ABQueue): Long =
+        q.runs.headOption.map(_._1).getOrElse(
+          if (q.hasOpen) math.max(q.openS, q.floorCut) else nextIdx)
+      val frontier = if (finalize) nextIdx else math.min(front(qa), front(qb))
+      val (decided, rest) = buf.span(_._1 < frontier)
+      decided.foreach { case (idx, ms) =>
+        m.feed(ms, emitted.exists(iv => idx >= iv._1 && idx <= iv._2))
+      }
+      buf = rest
+      emitted = emitted.filter(_._2 >= frontier)
+      if (finalize) {
+        qa = ABQueue.empty
+        qb = ABQueue.empty
+        emitted = Vector.empty
+        dequesA.foreach(_.clear())
+        dequesB.foreach(_.clear())
+      }
+    }
+
+    val wm = state.getCurrentWatermarkMs()
+
+    if (!state.hasTimedOut) {
+      events.toArray.sortBy(_.tsMs).iterator
+        .filter(_.tsMs > rawLastMs)
+        .foreach { e =>
+          if (rawLastMs != Long.MinValue && e.tsMs - rawLastMs > cfg.eventsMaxGapMs)
+            mergeRound(finalize = true) // part ends at the data gap
+          val idx = nextIdx
+          nextIdx += 1
+          val ca = progA.eval(dequesA, e.tsMs, e.nums.toArray, e.strs.toArray)
+          val cb = progB.eval(dequesB, e.tsMs, e.nums.toArray, e.strs.toArray)
+          qa = pushCond(qa, ca, idx)
+          qb = pushCond(qb, cb, idx)
+          buf = buf :+ ((idx, e.tsMs))
+          rawLastMs = e.tsMs
+        }
+      mergeRound(finalize = false)
+    }
+    // the watermark proving no event can extend the part finalizes it,
+    // mirroring batch end-of-data semantics for quiet keys
+    if (rawLastMs != Long.MinValue && wm > rawLastMs + cfg.eventsMaxGapMs &&
+      buf.nonEmpty) mergeRound(finalize = true)
+
+    // never expire past an undecided event: its incident contribution is
+    // still unknown
+    val effWm = if (buf.nonEmpty) math.min(wm, buf.head._2 - 1) else wm
+    m.expire(effWm)
+
+    if (m.retired(wm) && buf.isEmpty) state.remove()
+    else {
+      state.update(ABState(m.s,
+        dequesA.map(_.toVector).toSeq, dequesB.map(_.toVector).toSeq,
+        nextIdx, rawLastMs, qa, qb, buf, emitted))
+      val d = m.deadline(wm)
+      val dBuf =
+        if (buf.nonEmpty) math.max(rawLastMs + cfg.eventsMaxGapMs + 1, wm + 1)
+        else Long.MaxValue
+      state.setTimeoutTimestamp(math.min(d, dBuf))
+    }
+    out.iterator
+  }
+
   /** The shared run/session machine: condition runs, gap resets, timer
     * qualification, and incident merge (same semantics as the batch
     * extractIncidents + sessionize pipeline).
@@ -242,9 +420,11 @@ object StreamingPatterns {
     val deques: Array[ArrayBuffer[(Long, Double)]] =
       st.ops.map(v => ArrayBuffer.from(v)).toArray
     val out = ArrayBuffer.empty[StreamIncident]
-    val retainMs = math.min(
-      if (program.ops.isEmpty) 0L else program.ops.map(_.windowMs).max,
-      cfg.eventsMaxGapMs)
+    // op state must survive any quiet spell a future event could bridge:
+    // lag's last-value and timer/for-stat run state reach back through the
+    // whole gap-run, so retain for the full gap (after which deques reset
+    // on arrival anyway)
+    val retainMs = if (program.ops.isEmpty) 0L else cfg.eventsMaxGapMs
     val m = new RunMachine(cfg, key, st.run, out, retainMs)
     val wm = state.getCurrentWatermarkMs()
 

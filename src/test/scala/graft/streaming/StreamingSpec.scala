@@ -241,7 +241,11 @@ class StreamingSpec extends SparkSpec {
       "lag(v, 20 sec) < v - 10",
       "v > 100 for 60 sec > 4 times",
       "v > 100 for 60 sec >= 10 sec",
-      "sum(v, 40 sec) > 500 until v < 5")
+      "sum(v, 40 sec) > 500 until v < 5",
+      // andThen: incremental closed-run merge must equal the batch merge
+      "v > 120 andThen v < 40",
+      "v > 100 for 20 sec andThen v < 50",
+      "lag(v) < v andThen v > 150")
 
     patterns.foreach { pattern =>
       implicit val sqlCtx = spark.sqlContext
