@@ -697,28 +697,44 @@ object PatternCompiler {
       if (runs.nonEmpty && runs.last._1 == cond) runs.last._2 += ((idx, ms))
       else runs += ((cond, ArrayBuffer((idx, ms))))
     }
-    var windowQueue = Vector.empty[(Long, Long)] // (idx, ms)
-    var lastFail = false
-    var lastTime = (0L, 0L)
+    var st = WaitSt.empty
     val out = ArrayBuffer.empty[(Long, Long)]
     runs.foreach { case (succ, times) =>
-      val start = if (lastFail) times.head._2 - windowMs else times.head._2
-      val end = if (!succ) times.last._2 - windowMs else times.last._2
-      var wq = windowQueue ++ times
-      while (wq.length > 1 && wq(1)._2 < start) wq = wq.tail
-      val (outputs, remaining) = wq.span(_._2 <= end)
-      val waitStart =
-        if (lastTime._2 != 0L && outputs.nonEmpty &&
-          outputs.head._2 + windowMs <= outputs.last._2) outputs.headOption
-        else Some(remaining.lastOption.getOrElse(lastTime))
-      val waitEnd = outputs.lastOption
-      for (s <- waitStart; e <- waitEnd; if s._1 <= e._1; if succ)
-        out += ((s._1, e._1))
-      windowQueue = remaining
-      lastFail = !succ
-      lastTime = times.last
+      val (st2, emitted) = waitStep(st, windowMs, succ, times.toSeq)
+      st = st2
+      emitted.foreach { case (s, e, v) => if (v) out += ((s, e)) }
     }
     out.toSeq
+  }
+
+  /** Carried wait-machine state (WaitAccumState's fields). */
+  final case class WaitSt(windowQueue: Vector[(Long, Long)],
+                          lastFail: Boolean, lastTime: (Long, Long))
+  object WaitSt { val empty: WaitSt = WaitSt(Vector.empty, lastFail = false, (0L, 0L)) }
+
+  /** One WaitAccumState.updated call (reference WaitPattern.scala:41-87):
+    * consume a closed inner run (`succ` over `times` = that run's (idx, ms)
+    * pairs) and emit at most one (startIdx, endIdx, isSucc) interval.
+    * Shared by the batch [[waitMerge]] loop and the streaming evaluator,
+    * which feeds runs as they close.
+    */
+  def waitStep(st: WaitSt, windowMs: Long, succ: Boolean,
+               times: Seq[(Long, Long)]): (WaitSt, Option[(Long, Long, Boolean)]) = {
+    if (times.isEmpty) return (st, None)
+    val start = if (st.lastFail) times.head._2 - windowMs else times.head._2
+    val end = if (!succ) times.last._2 - windowMs else times.last._2
+    var wq = st.windowQueue ++ times
+    while (wq.length > 1 && wq(1)._2 < start) wq = wq.tail
+    val (outputs, remaining) = wq.span(_._2 <= end)
+    val waitStart =
+      if (st.lastTime._2 != 0L && outputs.nonEmpty &&
+        outputs.head._2 + windowMs <= outputs.last._2) outputs.headOption
+      else Some(remaining.lastOption.getOrElse(st.lastTime))
+    val waitEnd = outputs.lastOption
+    val emitted = for {
+      s <- waitStart; e <- waitEnd; if s._1 <= e._1
+    } yield (s._1, e._1, succ)
+    (WaitSt(remaining, lastFail = !succ, times.last), emitted)
   }
 
   /** UDF wrapper: rows are structs (idx, ms, cond) sorted by idx. */

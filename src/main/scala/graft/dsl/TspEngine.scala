@@ -151,6 +151,11 @@ object TspEngine {
         val pb = StreamingEval.compile(b, numF, strF, stripTimer = false)
         graft.streaming.StreamingPatterns.incidentsAndThen(
           df, cfg.keys, cfg.tsCol, pa, pb, sCfg)
+      case WaitAst(windowMs, inner) =>
+        val (numF, strF) = fieldSplit
+        val p = StreamingEval.compile(inner, numF, strF, stripTimer = false)
+        graft.streaming.StreamingPatterns.incidentsWait(
+          df, cfg.keys, cfg.tsCol, windowMs, p, sCfg)
       case _ =>
         val scalarPath =
           try Some(streamingCondition(pattern))

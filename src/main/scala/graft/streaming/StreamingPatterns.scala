@@ -305,6 +305,154 @@ object StreamingPatterns {
     out.iterator
   }
 
+  /** wait-path state: run machine + inner-condition evaluator deques, the
+    * wait machine (windowQueue/lastFail/lastTime), the open inner run's
+    * (idx, ms) times, undecided events, and decided-true idx intervals.
+    */
+  case class WaitState(run: RunState,
+                       ops: Seq[Seq[(Long, Double)]],
+                       nextIdx: Long, rawLastMs: Long,
+                       wq: Seq[(Long, Long)], lastFail: Boolean,
+                       lastTimeIdx: Long, lastTimeMs: Long,
+                       openV: Boolean, hasOpen: Boolean,
+                       openTimes: Seq[(Long, Long)],
+                       buf: Seq[(Long, Long)], emitted: Seq[(Long, Long)])
+
+  /** `wait(T, X)` over a streaming frame: the exact WaitAccumState machine
+    * consumes inner-condition runs as they close. Emissions can stretch
+    * back into already-closed runs (the windowQueue retains events within
+    * the window, and the machine's lastTime fallback points one event
+    * back), so events are final only once they fall below the frontier
+    * min(windowQueue.head, lastTime); a data gap or the watermark passing
+    * lastSeen + eventsMaxGap finalizes the part like batch end-of-data.
+    */
+  def incidentsWait(df: DataFrame, keys: Seq[String], tsCol: String,
+                    windowMs: Long, prog: StreamingEval.Program,
+                    cfg: StreamConfig): Dataset[StreamIncident] = {
+    import df.sparkSession.implicits._
+    val inSchema = df.schema.fieldNames.toSet
+    val numCols =
+      if (prog.numFields.isEmpty) array().cast("array<double>")
+      else array(prog.numFields.map { f =>
+        if (inSchema(f)) coalesce(col(f).cast("double"), lit(Double.NaN))
+        else lit(Double.NaN)
+      }: _*)
+    val strCols =
+      if (prog.strFields.isEmpty) array().cast("array<string>")
+      else array(prog.strFields.map(col): _*)
+    val keyed = df.select(
+        concat_ws("|", keys.map(col): _*).as("key"),
+        col(tsCol).as("ts"),
+        numCols.as("nums"),
+        strCols.as("strs"))
+      .as[KeyedRaw]
+    implicit val stateEnc: Encoder[WaitState] = Encoders.product[WaitState]
+    keyed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processWait(windowMs, prog, cfg))
+  }
+
+  private def processWait(windowMs: Long, prog: StreamingEval.Program,
+                          cfg: StreamConfig)(
+    key: String,
+    events: Iterator[KeyedRaw],
+    state: GroupState[WaitState]
+  ): Iterator[StreamIncident] = {
+    import graft.dsl.PatternCompiler
+    val st0 = state.getOption.getOrElse(WaitState(RunState.empty,
+      Vector.fill(prog.ops.size)(Vector.empty),
+      nextIdx = 1L, rawLastMs = Long.MinValue,
+      Vector.empty, lastFail = false, 0L, 0L,
+      openV = false, hasOpen = false, Vector.empty, Vector.empty, Vector.empty))
+    val deques = st0.ops.map(v => ArrayBuffer.from(v)).toArray
+    val out = ArrayBuffer.empty[StreamIncident]
+    val m = new RunMachine(cfg, key, st0.run, out, retainMs = cfg.eventsMaxGapMs)
+
+    var nextIdx = st0.nextIdx
+    var rawLastMs = st0.rawLastMs
+    var wst = PatternCompiler.WaitSt(Vector.from(st0.wq), st0.lastFail,
+      (st0.lastTimeIdx, st0.lastTimeMs))
+    var openV = st0.openV
+    var hasOpen = st0.hasOpen
+    var openTimes = Vector.from(st0.openTimes)
+    var buf = Vector.from(st0.buf)
+    var emitted = Vector.from(st0.emitted)
+
+    def stepRun(): Unit = if (hasOpen && openTimes.nonEmpty) {
+      val (w2, em) = PatternCompiler.waitStep(wst, windowMs, openV, openTimes)
+      wst = w2
+      em.foreach { case (s, e, v) => if (v) emitted = emitted :+ ((s, e)) }
+      openTimes = Vector.empty
+    }
+
+    def flushDecided(finalize: Boolean): Unit = {
+      // future emissions can only start at windowQueue entries or lastTime
+      val frontier =
+        if (finalize) nextIdx
+        else {
+          val cands = wst.windowQueue.headOption.map(_._1).toSeq ++
+            (if (wst.lastTime._2 != 0L) Seq(wst.lastTime._1) else Seq.empty) ++
+            openTimes.headOption.map(_._1).toSeq
+          if (cands.isEmpty) nextIdx else cands.min
+        }
+      val (decided, rest) = buf.span(_._1 < frontier)
+      decided.foreach { case (idx, ms) =>
+        m.feed(ms, emitted.exists(iv => idx >= iv._1 && idx <= iv._2))
+      }
+      buf = rest
+      emitted = emitted.filter(_._2 >= frontier)
+    }
+
+    def finalizePart(): Unit = {
+      stepRun()
+      hasOpen = false
+      flushDecided(finalize = true)
+      wst = PatternCompiler.WaitSt.empty
+      emitted = Vector.empty
+      deques.foreach(_.clear())
+    }
+
+    val wm = state.getCurrentWatermarkMs()
+
+    if (!state.hasTimedOut) {
+      events.toArray.sortBy(_.tsMs).iterator
+        .filter(_.tsMs > rawLastMs)
+        .foreach { e =>
+          if (rawLastMs != Long.MinValue && e.tsMs - rawLastMs > cfg.eventsMaxGapMs)
+            finalizePart() // part ends at the data gap
+          val idx = nextIdx
+          nextIdx += 1
+          val c = prog.eval(deques, e.tsMs, e.nums.toArray, e.strs.toArray)
+          if (hasOpen && openV != c) stepRun()
+          if (!hasOpen || openV != c) { hasOpen = true; openV = c }
+          openTimes = openTimes :+ ((idx, e.tsMs))
+          buf = buf :+ ((idx, e.tsMs))
+          rawLastMs = e.tsMs
+        }
+      flushDecided(finalize = false)
+    }
+    if (rawLastMs != Long.MinValue && wm > rawLastMs + cfg.eventsMaxGapMs &&
+      buf.nonEmpty) finalizePart()
+
+    val effWm = if (buf.nonEmpty) math.min(wm, buf.head._2 - 1) else wm
+    m.expire(effWm)
+
+    if (m.retired(wm) && buf.isEmpty) state.remove()
+    else {
+      state.update(WaitState(m.s, deques.map(_.toVector).toSeq,
+        nextIdx, rawLastMs,
+        wst.windowQueue, wst.lastFail, wst.lastTime._1, wst.lastTime._2,
+        openV, hasOpen, openTimes, buf, emitted))
+      val d = m.deadline(wm)
+      val dBuf =
+        if (buf.nonEmpty) math.max(rawLastMs + cfg.eventsMaxGapMs + 1, wm + 1)
+        else Long.MaxValue
+      state.setTimeoutTimestamp(math.min(d, dBuf))
+    }
+    out.iterator
+  }
+
   /** The shared run/session machine: condition runs, gap resets, timer
     * qualification, and incident merge (same semantics as the batch
     * extractIncidents + sessionize pipeline).

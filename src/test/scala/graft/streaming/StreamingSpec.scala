@@ -245,7 +245,10 @@ class StreamingSpec extends SparkSpec {
       // andThen: incremental closed-run merge must equal the batch merge
       "v > 120 andThen v < 40",
       "v > 100 for 20 sec andThen v < 50",
-      "lag(v) < v andThen v > 150")
+      "lag(v) < v andThen v > 150",
+      // wait: incremental WaitAccumState must equal the batch port
+      "wait(15 sec, v > 150)",
+      "wait(10 sec, v > 100 for 10 sec)")
 
     patterns.foreach { pattern =>
       implicit val sqlCtx = spark.sqlContext
