@@ -248,7 +248,11 @@ class StreamingSpec extends SparkSpec {
       "lag(v) < v andThen v > 150",
       // wait: incremental WaitAccumState must equal the batch port
       "wait(15 sec, v > 150)",
-      "wait(10 sec, v > 100 for 10 sec)")
+      "wait(10 sec, v > 100 for 10 sec)",
+      // degenerate conditions: constant-false sides exercise unbounded-run
+      // buffering and must emit nothing, matching batch
+      "wait(20 sec, v > 1000)",
+      "v > 1000 andThen v < 40")
 
     patterns.foreach { pattern =>
       implicit val sqlCtx = spark.sqlContext
