@@ -104,12 +104,14 @@ object StreamingEval {
         case "not" => !toB(anyOf(args(0)))
         case "eq" | "ne" =>
           val (l, r) = (anyOf(args(0)), anyOf(args(1)))
-          val isStr = l.isInstanceOf[String] || r.isInstanceOf[String]
+          // both strings: string equality; mixed string/number: Spark casts
+          // the string side to double, so compare numerically (toD parses)
+          val isStr = l.isInstanceOf[String] && r.isInstanceOf[String]
           val same =
-            if (isStr) l != null && r != null && l == r
+            if (isStr) l == r
             else toD(l) == toD(r) // NaN == x is false, matching the batch coalesce
           if (fn == "eq") same
-          else if (isStr) l == null || r == null || l != r
+          else if (isStr) l != r
           else toD(l) != toD(r) // NaN != x is true, matching the batch `ne`
         case "lt" => toD(anyOf(args(0))) < toD(anyOf(args(1)))
         case "le" => toD(anyOf(args(0))) <= toD(anyOf(args(1)))

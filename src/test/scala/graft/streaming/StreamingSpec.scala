@@ -230,7 +230,8 @@ class StreamingSpec extends SparkSpec {
       Vector.fill(40 + rnd.nextInt(30)) {
         t += 1 + (if (rnd.nextInt(12) == 0) 120 + rnd.nextInt(60)
                   else rnd.nextInt(20))
-        (s"k$k", t, rnd.nextInt(200).toDouble)
+        (s"k$k", t, rnd.nextInt(200).toDouble,
+          if (rnd.nextInt(4) == 0) "err" else "ok")
       }
     }.sortBy(_._2)
     val cfg = graft.dsl.PatternConfig(Seq("k"), "ts",
@@ -242,6 +243,8 @@ class StreamingSpec extends SparkSpec {
       "v > 100 for 60 sec > 4 times",
       "v > 100 for 60 sec >= 10 sec",
       "sum(v, 40 sec) > 500 until v < 5",
+      // string field comparison through the evaluator path
+      "sum(v, 40 sec) > 400 until etype = 'err'",
       // andThen: incremental closed-run merge must equal the batch merge
       "v > 120 andThen v < 40",
       "v > 100 for 20 sec andThen v < 50",
@@ -256,8 +259,8 @@ class StreamingSpec extends SparkSpec {
 
     patterns.foreach { pattern =>
       implicit val sqlCtx = spark.sqlContext
-      val ms = MemoryStream[(String, Long, Double)]
-      val df = ms.toDF().toDF("k", "sec", "v")
+      val ms = MemoryStream[(String, Long, Double, String)]
+      val df = ms.toDF().toDF("k", "sec", "v", "etype")
         .withColumn("ts", timestamp_seconds(col("sec")))
         .withWatermark("ts", "5 seconds")
       val inc = graft.dsl.TspEngine.incidentsStream(df, pattern, cfg)
@@ -271,8 +274,8 @@ class StreamingSpec extends SparkSpec {
         }
         // push the watermark far past everything, twice (second batch fires
         // the timeouts registered by the first)
-        ms.addData(("zz", 100000L, 0.0)); query.processAllAvailable()
-        ms.addData(("zz", 200000L, 0.0)); query.processAllAvailable()
+        ms.addData(("zz", 100000L, 0.0, "ok")); query.processAllAvailable()
+        ms.addData(("zz", 200000L, 0.0, "ok")); query.processAllAvailable()
         assert(query.exception.isEmpty, s"<$pattern> failed: ${query.exception}")
 
         val streamed = spark.table(name)
@@ -280,7 +283,7 @@ class StreamingSpec extends SparkSpec {
           .select("key", "fromMs", "toMs", "nEvents")
           .as[(String, Long, Long, Long)].collect().toSet
 
-        val batchDf = events.toDF("k", "sec", "v")
+        val batchDf = events.toDF("k", "sec", "v", "etype")
           .withColumn("ts", timestamp_seconds(col("sec")))
         val batch = graft.dsl.TspEngine.incidents(batchDf, pattern, cfg)
           .select(col("k"), col("from_ms"), col("to_ms"), col("n_events"))
