@@ -229,11 +229,12 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
     val withRun = frame.withColumn(runCol,
       sum(when(col(res) <=> prev, 0).otherwise(1)).over(w).cast("long"))
     // unit rides along as the stringified field value of the segment's
-    // earliest event (deterministic via the ms axis; the field is a
-    // per-equipment constant in practice). Parsed to int after
-    // sessionization, Int.MinValue on failure — ToIncidentsMapper.scala:19-21.
+    // earliest event (tie-broken on (MS, IDX) so duplicate timestamps pick
+    // a deterministic row; the field is a per-equipment constant in
+    // practice). Parsed to int after sessionization, Int.MinValue on
+    // failure — ToIncidentsMapper.scala:19-21.
     val unitAgg = cfg.unitIdField.map(f =>
-      min_by(col(f).cast("string"), col(MS)).as("_p_unit")).toSeq
+      min_by(col(f).cast("string"), struct(col(MS), col(IDX))).as("_p_unit")).toSeq
     val segs = withRun
       .filter(col(res))
       .groupBy((pcols :+ runCol).map(col): _*)

@@ -16,9 +16,13 @@ import scala.collection.mutable.ArrayBuffer
   * events at or before the current one, so each event's truth value is
   * final on arrival and flows straight into the run/session machine.
   *
-  * Forward-looking operators (`andThen`, `wait`) are rejected with a clear
-  * error, as before — their consume/rewind semantics need cross-run queues
-  * that decide retroactively.
+  * Forward-looking operators at the top level (`A andThen B`, `wait(T, X)`)
+  * are handled by dedicated stateful pipelines
+  * ([[graft.streaming.StreamingPatterns.incidentsAndThen]] /
+  * `incidentsWait`) that consume this evaluator for their operands; only
+  * *nested* occurrences (an `andThen` chain, `wait` under another
+  * operator) are rejected here — their consume/rewind semantics need
+  * cross-run queues that decide retroactively at arbitrary depth.
   *
   * Numeric missing data is NaN (the reference's decode convention), which
   * under Scala arithmetic/comparison semantics reproduces the batch
@@ -86,7 +90,11 @@ object StreamingEval {
             case "int32" | "int64" =>
               val d = toD(v); if (d.isNaN) d else d.toLong.toDouble
             case "float64" => toD(v)
-            case "boolean" => toD(v) != 0.0
+            case "boolean" =>
+              // missing (NaN) casts to false, matching the batch engine's
+              // cast(NULL as boolean) -> NULL -> collapsed false; a
+              // *computed* NaN also lands here (documented divergence above)
+              val d = toD(v); !d.isNaN && d != 0.0
             case "string"  => if (v == null) null else v.toString
           }
         case r: ReducerCall => reduce(r)
@@ -242,7 +250,10 @@ object StreamingEval {
   }
 
   /** Compile an AST for streaming evaluation. Throws ParseError for
-    * forward-looking constructs (`andThen`, `wait`). Nested timers become
+    * forward-looking constructs (`andThen`, `wait`) anywhere in the tree —
+    * top-level occurrences are peeled off by TspEngine's routing before
+    * this is called, so a throw here means a genuinely nested one. Nested
+    * timers become
     * [[TimerSpec]] ops; a top-level timer is stripped into the run-duration
     * rule when `stripTimer` (matching the batch max-window compilation,
     * ASTPatternGenerator.scala:160-162). `numFields`/`strFields` partition

@@ -121,9 +121,12 @@ object TspEngine {
     * nested timers / `for W <range>` truth statistics run through the
     * incremental per-key evaluator (graft.dsl.StreamingEval); a top-level
     * `A andThen B` runs the exact batch queue-merge incrementally over
-    * closed condition runs. `wait` (and andThen chains / andThen under
-    * other operators) stay unsupported in streaming — their semantics
-    * decide retroactively across parts.
+    * closed condition runs, and a top-level `wait(T, X)` runs the exact
+    * WaitAccumState machine over closing inner runs. Only *nested*
+    * forward-looking constructs (a `wait` inside another operator, an
+    * `andThen` chain, `andThen` under another operator) stay unsupported
+    * in streaming — their semantics decide retroactively across parts at
+    * arbitrary depth.
     */
   def incidentsStream(df: DataFrame, pattern: String, cfg: PatternConfig):
       org.apache.spark.sql.Dataset[graft.streaming.StreamingPatterns.StreamIncident] = {

@@ -25,7 +25,12 @@ import scala.util.{Failure, Success, Try}
   * strictly after it are read, so append-only sources re-process nothing.
   * An incident spanning the resume boundary splits (the reference avoids
   * this by also checkpointing pattern state mid-stream; a from-scratch
-  * batch rerun gives exact results when that matters).
+  * batch rerun gives exact results when that matters). The checkpoint is
+  * written only after ALL sinks succeed: a failure between two sinks
+  * leaves no checkpoint, so a resubmit re-reads the window and duplicates
+  * rows already landed in the earlier sink — idempotent sink schemas (or
+  * one sink per job) are the mitigation, same as the reference's
+  * at-least-once sink contract.
   */
 final class JobService(spark: SparkSession, maxConcurrent: Int = 1,
                        checkpointDir: Option[String] = None) {
@@ -102,6 +107,14 @@ final class JobService(spark: SparkSession, maxConcurrent: Int = 1,
         eventsMaxGapMs = s.req.inputConf.eventsMaxGapMs,
         sessionGapMs = s.req.inputConf.defaultEventsGapMs,
         unitIdField = s.req.inputConf.unitIdField)
+      // snapshot the input before anything runs: a live source (JDBC) can
+      // grow between the incident computation and the checkpoint agg, and a
+      // high-water mark taken from a re-scan would record those new rows as
+      // processed — so rows-read and max event time come from the SAME
+      // persisted frame the incidents are computed from
+      events.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      import org.apache.spark.sql.functions.{count => cnt, max => mx, unix_millis, col, lit}
+      val stats = events.agg(cnt(lit(1)), mx(unix_millis(col("ts")))).head()
       // unit comes from the configured unitIdField per incident; subunit and
       // meta ride in from each RawPattern (reference ToIncidentsMapper).
       // Without a unitIdField the reference's new-sink path is unusable
@@ -121,9 +134,8 @@ final class JobService(spark: SparkSession, maxConcurrent: Int = 1,
           written += rows.count()
         }
         // progress metrics: rows read this run + high-water event time, the
-        // CheckpointingService analogue (accumulated across resumes)
-        import org.apache.spark.sql.functions.{count => cnt, max => mx, unix_millis, col, lit}
-        val stats = events.agg(cnt(lit(1)), mx(unix_millis(col("ts")))).head()
+        // CheckpointingService analogue (accumulated across resumes) —
+        // computed above from the persisted snapshot, not a source re-scan
         val rowsRead = stats.getLong(0)
         val maxTs =
           if (stats.isNullAt(1)) prior.map(_.maxTsMs).getOrElse(Long.MinValue)
@@ -134,7 +146,7 @@ final class JobService(spark: SparkSession, maxConcurrent: Int = 1,
           rowsWritten = prior.map(_.rowsWritten).getOrElse(0L) + written)
         saveCheckpoint(uuid, ck)
         (written, ck.rowsRead)
-      } finally incidents.unpersist()
+      } finally { incidents.unpersist(); events.unpersist() }
     } match {
       case Success((n, read)) =>
         jobs.put(uuid, JobInfo(uuid, JobStatus.Finished, None, n, read))

@@ -38,6 +38,9 @@ import scala.collection.mutable.ArrayBuffer
   */
 object StreamingPatterns {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private def logWarning(msg: => String): Unit = log.warn(msg)
+
   // the event-time column must survive into the typed projection as a
   // timestamp, or the upstream watermark is lost and event-time timeouts
   // are rejected
@@ -76,7 +79,15 @@ object StreamingPatterns {
   final case class StreamConfig(
     eventsMaxGapMs: Long = 60000L,
     sessionGapMs: Long = 2000L,
-    minDurationMs: Long = 0L)
+    minDurationMs: Long = 0L,
+    // forward-looking patterns (andThen / wait) buffer events until the
+    // decision frontier passes them; a degenerate pattern whose frontier
+    // never advances (e.g. `A andThen B` with A always true and B never
+    // true) would otherwise grow state linearly in events until a data gap
+    // or watermark-idle finalize. Above this cap the part is force-
+    // finalized (logged) — equivalent to an artificial data gap, so prefix
+    // incidents are still exact; only a success spanning the cut is lost.
+    maxUndecidedEvents: Int = 1 << 20)
 
   /** Evaluate `cond` over a streaming frame keyed by `keys` ordered by
     * `tsCol` (must carry a watermark for state cleanup). Emits incidents in
@@ -154,9 +165,13 @@ object StreamingPatterns {
     * always makes the reference's `first.size` check >= 2, so prefix
     * decisions equal the eventual whole-part merge, and events flush to the
     * run/session machine in order as the decision frontier passes them.
-    * Undecided events buffer at most one condition flip's worth per side; a
-    * data gap or the watermark passing `lastSeen + eventsMaxGap` finalizes
-    * the part exactly like the batch per-(key, gap-run) evaluation.
+    * Undecided events buffer until the frontier passes them — under
+    * alternating conditions that is roughly one flip's worth per side, but
+    * a side whose condition never flips holds the frontier still, so the
+    * buffer is additionally bounded by `cfg.maxUndecidedEvents`
+    * (force-finalize with a log). A data gap or the watermark passing
+    * `lastSeen + eventsMaxGap` finalizes the part exactly like the batch
+    * per-(key, gap-run) evaluation.
     */
   def incidentsAndThen(df: DataFrame, keys: Seq[String], tsCol: String,
                        progA: StreamingEval.Program, progB: StreamingEval.Program,
@@ -280,6 +295,12 @@ object StreamingPatterns {
           rawLastMs = e.tsMs
         }
       mergeRound(finalize = false)
+      if (buf.length > cfg.maxUndecidedEvents) {
+        logWarning(s"andThen state for key '$key' exceeded " +
+          s"${cfg.maxUndecidedEvents} undecided events (frontier stalled); " +
+          "force-finalizing the part")
+        mergeRound(finalize = true)
+      }
     }
     // the watermark proving no event can extend the part finalizes it,
     // mirroring batch end-of-data semantics for quiet keys
@@ -431,6 +452,12 @@ object StreamingPatterns {
           rawLastMs = e.tsMs
         }
       flushDecided(finalize = false)
+      if (buf.length > cfg.maxUndecidedEvents) {
+        logWarning(s"wait state for key '$key' exceeded " +
+          s"${cfg.maxUndecidedEvents} undecided events (frontier stalled); " +
+          "force-finalizing the part")
+        finalizePart()
+      }
     }
     if (rawLastMs != Long.MinValue && wm > rawLastMs + cfg.eventsMaxGapMs &&
       buf.nonEmpty) finalizePart()

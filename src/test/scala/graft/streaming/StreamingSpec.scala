@@ -298,6 +298,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("cast on a missing value streams identically to batch (NaN -> false)") {
+    // cast(w as boolean) where w is NULL: the batch engine's
+    // cast(NULL as boolean) is NULL and collapses to false; the streaming
+    // evaluator sees the missing value as NaN and must also yield false
+    // (regression: `toD(v) != 0.0` mapped NaN to true). The avg() term
+    // forces the pattern through the incremental evaluator path.
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = graft.dsl.PatternConfig(Seq("k"), "ts",
+      eventsMaxGapMs = 60000L, sessionGapMs = 2000L)
+    val pattern = "(w as boolean) or avg(v, 20 sec) > 1000000000.0"
+    val events: Seq[(String, Long, Double, Option[Double])] = Seq(
+      ("m", 10000L, 1.0, Some(1.0)),
+      ("m", 10001L, 2.0, None),       // missing w: must break the run
+      ("m", 10002L, 3.0, Some(1.0)),
+      ("m", 10003L, 4.0, None),
+      ("m", 10004L, 5.0, Some(0.0)),  // explicit false
+      ("m", 10005L, 6.0, Some(2.0)))
+
+    val ms = MemoryStream[(String, Long, Double, Option[Double])]
+    val df = ms.toDF().toDF("k", "sec", "v", "w")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "5 seconds")
+    val inc = graft.dsl.TspEngine.incidentsStream(df, pattern, cfg)
+    val query = inc.writeStream.format("memory").queryName("stream_castmiss")
+      .outputMode("append").start()
+    try {
+      ms.addData(events: _*)
+      query.processAllAvailable()
+      ms.addData(("zz", 100000L, 0.0, Some(0.0))); query.processAllAvailable()
+      ms.addData(("zz", 200000L, 0.0, Some(0.0))); query.processAllAvailable()
+      assert(query.exception.isEmpty, s"query failed: ${query.exception}")
+      val streamed = spark.table("stream_castmiss")
+        .filter(col("key") =!= "zz")
+        .select("key", "fromMs", "toMs", "nEvents")
+        .as[(String, Long, Long, Long)].collect().toSet
+
+      val batchDf = events.toDF("k", "sec", "v", "w")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+      val batch = graft.dsl.TspEngine.incidents(batchDf, pattern, cfg)
+        .select(col("k"), col("from_ms"), col("to_ms"), col("n_events"))
+        .as[(String, Long, Long, Long)].collect().toSet
+
+      // each missing/false w is a run break: three single-event true runs,
+      // the first and second merge via the 2s session gap
+      assert(streamed == batch,
+        s"missing=${batch -- streamed}, extra=${streamed -- batch}")
+      assert(streamed.nonEmpty && streamed.forall(_._4 <= 2),
+        s"expected short runs split at missing w, got $streamed")
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView("stream_castmiss")
+    }
+  }
+
   test("Kafka declared-schema path produces batch-identical incidents") {
     // The Kafka source itself cannot run offline (no broker, no connector
     // jar); everything after it — declared fieldsTypes -> from_json ->
