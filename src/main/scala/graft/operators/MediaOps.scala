@@ -65,8 +65,10 @@ object MediaOps {
       StructField("n_bytes", LongType),
       StructField("features", ArrayType(IntegerType))))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    val projected = df.select(col("media_id"), col("payload"),
-      col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes"))
+    // decode is the per-row hot loop: a single-split scan must spread or
+    // every payload decodes on one core
+    val projected = Spread(df.select(col("media_id"), col("payload"),
+      col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes")))
     projected.mapPartitions { it: Iterator[Row] =>
       it.grouped(batchSize).flatMap { batch =>
         // ==== STUB ==== a real codec would process `batch` vectorized here

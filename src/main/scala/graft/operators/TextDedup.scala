@@ -34,12 +34,22 @@ import org.apache.spark.storage.StorageLevel
 object TextDedup {
 
   /** Distinct word k-shingles of a text column. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val words = split(text, "\\s+")
+  def wordShingles(text: Column, k: Int): Column =
+    shinglesOfWords(split(text, "\\s+"), k)
+
+  /** Distinct k-shingles of a pre-split words array.
+    *
+    * Interpreted higher-order lambdas re-evaluate their body per element:
+    * when `words` is the split expression itself, every shingle position
+    * re-runs the regex split of the whole text (O(words²) per document).
+    * Pass a materialized words *attribute* (a column computed in a lower
+    * projection, e.g. below a shuffle boundary) and the lambda body is a
+    * field read instead.
+    */
+  def shinglesOfWords(words: Column, k: Int): Column =
     array_distinct(
       transform(sequence(lit(0), greatest(size(words) - k, lit(0))),
         i => concat_ws(" ", slice(words, i + lit(1), lit(k)))))
-  }
 
   /** MinHash signature over pre-hashed shingles (`array<long>`): the i-th
     * permutation is `xxhash64(shingleHash, i)`. Each shingle string is
@@ -135,8 +145,15 @@ object TextDedup {
     // work on the hashed set. Cached because the self-join and the verify
     // join would otherwise recompute the whole shingling lineage per use
     // (at production scale this frame is a materialized signature table).
-    val sh = df.select(col(idCol).as("id"),
-        array_distinct(transform(wordShingles(col(textCol), shingleK),
+    // Spread first: shingling is the pipeline's per-row hot loop and must
+    // use every core even when the scan is a single split. The words array
+    // is computed BELOW the Spread shuffle so the shingle lambdas read an
+    // attribute instead of re-splitting the text per shingle position
+    // (projection collapse cannot cross the exchange).
+    val sh = Spread(df.select(col(idCol).as("id"),
+        split(col(textCol), "\\s+").as("_w")))
+      .select(col("id"),
+        array_distinct(transform(shinglesOfWords(col("_w"), shingleK),
           s => xxhash64(s))).as("hs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // minhash coordinates via explode + flat min-aggregates rather than the
@@ -199,20 +216,37 @@ object TextDedup {
   }
 
   /** (id, sig) frame: same value as [[simhash64]] via explode + one
-    * aggregate with 64 flat conditional sums (map-side partial agg; a
-    * single narrow shuffle on `id`).
+    * aggregate with 64 flat sums (map-side partial agg; a single narrow
+    * shuffle on `id`).
+    *
+    * The word hash's 16 hex digits are parsed ONCE per word row into two
+    * 32-bit integer halves; each bit vote is then a long shift+mask instead
+    * of a substring+ascii pair — the +1/-1 vote `2·bit - 1` is summed as
+    * `2·sum(bit) - count` so the per-row work is 64 integer ops total.
+    * Bit layout matches [[md5Bit]] exactly: bit j = bit (j%4) of hex digit
+    * (j/4), digits indexed from the md5 string's first character.
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = df.select(col(idCol).as("id"),
-      explode(split(col(textCol), "\\s+")).as("w"))
-      .withColumn("hx", substring(md5(col("w")), 1, 16))
-    val votes = (0 until 64).map { j =>
-      sum(when(md5Bit(col("hx"), j) === 1, 1L).otherwise(-1L)).as(s"v$j")
+    // the md5 + bit-votes per word row all happen before the first
+    // shuffle — spread a single-split scan or they run on one core
+    val words = Spread(df.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"), explode(split(col("_t"), "\\s+")).as("w"))
+      .select(col("id"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long").as("lo"))
+    // hex digit d (0-based, string order) sits at nibble 7-d (d<8, hi half)
+    // or 15-d (lo half); bit j reads bit (j%4) of digit (j/4)
+    def bitOf(j: Int): Column = {
+      val d = j / 4
+      val src = if (d < 8) col("hi") else col("lo")
+      val sh = (if (d < 8) 7 - d else 15 - d) * 4 + (j % 4)
+      shiftright(src, sh).bitwiseAND(1L)
     }
-    words.groupBy("id").agg(votes.head, votes.tail: _*)
+    val votes = (0 until 64).map(j => sum(bitOf(j)).as(s"s$j"))
+    words.groupBy("id").agg(count(lit(1)).as("_n"), votes: _*)
       .select(col("id"),
         (0 until 64).map { j =>
-          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+          when(col(s"s$j") * 2 > col("_n"), lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _).as("sig"))
   }
 

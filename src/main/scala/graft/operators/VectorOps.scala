@@ -56,12 +56,14 @@ object VectorOps {
                      k: Int): DataFrame = {
     val q = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val c = corpus.select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
+    // the broadcast join is a narrow stage: per-candidate cosine runs on
+    // the corpus scan's partitioning, so a single-split corpus must spread
+    val c = Spread(corpus).select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
       .withColumn("nn", norm(col("nv")))
-    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("sim",
-        round(cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")), 6))
-      .select(col("qid"), col("nid"), col("sim"))
+    val pairs = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("qv"), col("nv"), col("qn"), col("nn"))
+    val scored = scorePairs(pairs)
+      .withColumn("sim", round(col("sim"), 6))
     topKPerKey(scored, "qid", k)
   }
 
@@ -159,6 +161,36 @@ object VectorOps {
     }(enc)
   }
 
+  /** Candidate-pair cosine in one per-partition loop.
+    *
+    * Input: (keyA, keyB, va, vb, na, nb) with `array<double>` vectors and
+    * precomputed norms; output (keyA, keyB, sim) with sim = dot/(na·nb),
+    * UNROUNDED — callers round at the Column layer so rounding semantics
+    * (HALF_UP, like the SQL oracles) stay identical to the HOF form. The
+    * dot accumulates left-to-right like `aggregate(zip_with(...))`, so
+    * values are bit-identical to [[cosinePrenormed]]; the loop exists
+    * because interpreted higher-order lambdas cost ~100 boxed calls per
+    * pair, which dominates candidate verification.
+    */
+  def scorePairs(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val fs = pairs.schema.fields
+    val outSchema = StructType(Seq(fs(0), fs(1), StructField("sim", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    pairs.mapPartitions { rows =>
+      rows.map { r =>
+        val va = r.getSeq[Double](2)
+        val vb = r.getSeq[Double](3)
+        val n = va.length
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += va(i) * vb(i); i += 1 }
+        Row(r.get(0), r.get(1), s / (r.getDouble(4) * r.getDouble(5)))
+      }
+    }(enc)
+  }
+
   /** Approximate top-k: candidates from shared LSH buckets, exact cosine on
     * candidates only.
     */
@@ -172,7 +204,7 @@ object VectorOps {
     val qBase = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cBase = corpus.select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
+    val cBase = Spread(corpus).select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
       .withColumn("nn", norm(col("nv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = bucketRows(qBase, "qid", "qv", planes)
@@ -181,12 +213,12 @@ object VectorOps {
         col("q.bk") === col("c.bk") && col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
       .distinct()
-    val scored = cand
+    val pairs = cand
       .join(broadcast(qBase), "qid")
       .join(cBase, "nid")
-      .withColumn("sim",
-        round(cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")), 6))
-      .select(col("qid"), col("nid"), col("sim"))
+      .select(col("qid"), col("nid"), col("qv"), col("nv"), col("qn"), col("nn"))
+    val scored = scorePairs(pairs)
+      .withColumn("sim", round(col("sim"), 6))
     topKPerKey(scored, "qid", k)
   }
 
@@ -200,7 +232,7 @@ object VectorOps {
     // cache: the bucket computation (tables x bits dot products) would
     // otherwise run once per self-join side; candidate dedup happens on ids
     // only so vector arrays never enter the distinct's shuffle
-    val base = corpus.select(col(id).as("id"), asDouble(col(vec)).as("v"))
+    val base = Spread(corpus).select(col(id).as("id"), asDouble(col(vec)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c = bucketRows(base, "id", "v", planes)
@@ -208,11 +240,12 @@ object VectorOps {
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    cand
+    val pairs = cand
       .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-      .withColumn("sim",
-        round(cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb"))
+    scorePairs(pairs)
+      .withColumn("sim", round(col("sim"), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

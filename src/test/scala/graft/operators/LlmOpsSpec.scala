@@ -73,6 +73,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(dups == Set((1L, 2L)))
   }
 
+  test("simhashSignatures equals the column-level simhash64 oracle") {
+    import spark.implicits._
+    // the aggregate form derives bits from integer halves of the md5 —
+    // must equal the digit-wise column form on every document
+    val docs = Tables.documents(spark, sf)
+    val fast = TextDedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val oracle = docs.select(col("doc_id"), TextDedup.simhash64(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(fast.size == oracle.size && fast.nonEmpty)
+    val diff = fast.collect { case (k, v) if oracle(k) != v => k }
+    assert(diff.isEmpty, s"signatures differ for ${diff.take(5)}")
+  }
+
+  test("scorePairs equals the higher-order cosine form") {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .limit(60).cache()
+    val pairs = base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+    val fast = VectorOps.scorePairs(pairs)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val oracle = pairs.select(col("id_a"), col("id_b"),
+        VectorOps.cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(fast.size == oracle.size && fast.nonEmpty)
+    // bit-identical: both accumulate the dot left-to-right in doubles
+    val diff = fast.collect { case (k, v) if oracle(k) != v => k }
+    assert(diff.isEmpty, s"cosines differ for ${diff.take(5)}")
+  }
+
   test("batched media decode equals the columnar formulation") {
     val media = MediaOps.asMedia(Tables.documents(spark, sf), "doc_id", "text")
     val batched = MediaOps.decodeFeaturesBatched(media, batchSize = 7)
