@@ -185,6 +185,67 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard duplicate pairs via prefix filtering (the
+    * AllPairs / PPJoin family, e.g. Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW'07): order every document's gram set by global
+    * rarity (document frequency, then gram hash); any pair with
+    * jaccard >= t must share at least one gram inside each side's first
+    * `|set| - ceil(t·|set|) + 1` grams under that order, so only pairs
+    * sharing a PREFIX gram are candidates and recall is exactly 1 — this is
+    * the exact counterpart of the probabilistic [[minhashDuplicates]].
+    *
+    * Scale shape: one shuffle to count gram document-frequencies, one
+    * shuffle to rank each document's grams, one shuffle on the prefix gram
+    * for candidate generation. Prefix grams are by construction the rarest
+    * grams of each document, so candidate buckets are naturally small;
+    * boilerplate grams (high df) sort last and never enter a prefix unless
+    * a document consists of nothing else — in which case its near-duplicates
+    * genuinely share those grams and the quadratic pair output is inherent
+    * to the contract.
+    *
+    * Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    */
+  def ngramJaccardDuplicates(
+    df: DataFrame,
+    idCol: String,
+    textCol: String,
+    shingleK: Int = 4,
+    threshold: Double = 0.5
+  ): DataFrame = {
+    val sh = Spread(df.select(col(idCol).as("id"),
+        split(col(textCol), "\\s+").as("_w")))
+      .select(col("id"),
+        array_distinct(transform(shinglesOfWords(col("_w"), shingleK),
+          s => xxhash64(s))).as("hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exploded = sh.select(col("id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h"))
+    // global document frequency per gram (map-side partial agg)
+    val dfreq = exploded.groupBy("h").agg(count(lit(1)).as("gdf"))
+    // rank each doc's grams rarest-first; keep the jaccard prefix
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("gdf"), col("h"))
+    val prefix = exploded.join(dfreq, "h")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("id"), col("h"))
+    // candidates share a prefix gram; verification is exact jaccard
+    val cand = prefix.groupBy("h")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Bit `j` (0-63) of a word's 64-bit hash, derived from the first 16 hex
     * digits of its md5: digit j/4's value, bit j%4. md5 is the one hash
     * both this engine and external SQL oracles (DuckDB) share, which makes

@@ -222,6 +222,89 @@ object VectorOps {
     topKPerKey(scored, "qid", k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    * path alongside [[lshTopK]].
+    *
+    * Centroids are a deterministic systematic sample of the corpus (every
+    * `stride`-th id) rather than trained k-means: no training pass, fully
+    * reproducible by an external SQL oracle, and at production scale the
+    * centroid table is swappable for a trained one without touching the
+    * search path. Every corpus vector is assigned to its max-cosine
+    * centroid (tie: smallest centroid id); a query probes its `nprobe`
+    * nearest centroids and scans exactly those inverted lists with exact
+    * cosine.
+    *
+    * Scale shape: the centroid matrix is broadcast (O(sqrt N) rows by
+    * design); assignment is one narrow per-partition pass over the corpus
+    * (argmax in a tight loop, no shuffle); the probe side is tiny and
+    * broadcast, so candidate generation is one broadcast join on the
+    * centroid id — the corpus shuffles zero times end-to-end. `nprobe /
+    * #centroids` bounds the scanned corpus fraction.
+    */
+  def ivfTopK(queries: DataFrame, qid: String, qvec: String,
+              corpus: DataFrame, id: String, vec: String,
+              k: Int, stride: Int = 25, nprobe: Int = 4): DataFrame = {
+    val cBase = Spread(corpus).select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
+      .withColumn("nn", norm(col("nv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qBase = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic coarse centroids; collect is bounded by design
+    // (sqrt-N-ish) — the same budget a broadcast-join build side gets
+    val cents: Array[(Long, Array[Double], Double)] =
+      cBase.filter(col("nid") % stride === 0)
+        .orderBy("nid")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val assignN = assignCentroids(cBase, "nid", "nv", "nn", cents, 1)
+    val probesQ = assignCentroids(qBase, "qid", "qv", "qn", cents, nprobe)
+    // inverted-list scan: probes are broadcast; each candidate (qid, nid)
+    // appears once because a corpus vector lives in exactly one list
+    val pairs = assignN.join(broadcast(probesQ),
+        assignN("cid") === probesQ("cid") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .join(broadcast(qBase), "qid")
+      .join(cBase, "nid")
+      .select(col("qid"), col("nid"), col("qv"), col("nv"), col("qn"), col("nn"))
+    val scored = scorePairs(pairs)
+      .withColumn("sim", round(col("sim"), 6))
+    topKPerKey(scored, "qid", k)
+  }
+
+  /** (id, cid) rows: each vector's `take` max-cosine centroids, ordered by
+    * (cosine desc, centroid id asc), computed in one per-partition pass over
+    * the broadcast centroid matrix. Cosines accumulate left-to-right like
+    * the Column form, so ranking ties resolve identically to a SQL oracle.
+    */
+  private def assignCentroids(df: DataFrame, idName: String, vecName: String,
+                              normName: String,
+                              cents: Array[(Long, Array[Double], Double)],
+                              take: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val bc = df.sparkSession.sparkContext.broadcast(cents)
+    val in = df.select(col(idName), col(vecName), col(normName))
+    val idField = in.schema.fields.head
+    val outSchema = StructType(Seq(idField, StructField("cid", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      val cs = bc.value
+      rows.flatMap { r =>
+        val v = r.getSeq[Double](1).toArray
+        val nv = r.getDouble(2)
+        val sims = cs.map { case (cid, cv, cn) =>
+          var s = 0.0
+          var i = 0
+          while (i < v.length) { s += v(i) * cv(i); i += 1 }
+          (cid, s / (nv * cn))
+        }
+        sims.sortBy { case (cid, s) => (-s, cid) }.take(take)
+          .map { case (cid, _) => Row(r.get(0), cid) }
+      }
+    }(enc)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates via
     * shared LSH buckets only (never all pairs).
     */

@@ -22,6 +22,12 @@ object LlmQueries {
       TextDedup.minhashDuplicates(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // Exact 4-gram jaccard via prefix filtering (recall 1 by construction;
+    // the probabilistic LSH counterpart is dedup_minhash).
+    "dedup_ngram" -> { (s, d) =>
+      TextDedup.ngramJaccardDuplicates(Tables.documents(s, d), "doc_id", "text")
+    },
+
     // SimHash 64-bit near-dup (chunk-bucketed candidates, exact hamming).
     // Word-hash bits derive from md5 hex digits, so the oracle re-derives
     // the identical signatures in DuckDB.
@@ -53,6 +59,15 @@ object LlmQueries {
       val q = e.filter(col("vec_id") % 50 === 0)
       VectorOps.lshTopK(q, "vec_id", "embedding", e, "vec_id", "embedding",
         k = 5)
+    },
+
+    // IVF approximate top-5: deterministic coarse centroids (every 25th
+    // vector), nprobe nearest lists scanned with exact cosine.
+    "ann_ivf" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      VectorOps.ivfTopK(q, "vec_id", "embedding", e, "vec_id", "embedding",
+        k = 5, stride = 25, nprobe = 4)
     },
 
     // Language id + quality features per document.
@@ -102,6 +117,46 @@ object LlmQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
          |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5""".stripMargin,
+
+    // prefix filtering is exact, so the oracle is the brute-force jaccard
+    // join — no candidate-generation replay needed
+    "dedup_ngram" ->
+      s"""$docsCte,
+         |sh AS (SELECT doc_id,
+         |         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+         |                        for i in range(1, greatest(len(words) - 2, 2))]) AS grams
+         |       FROM d)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |             len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5""".stripMargin,
+
+    "ann_ivf" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM n),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM m WHERE vec_id % 25 = 0),
+        |sims AS (SELECT m.vec_id, cent.cid,
+        |         list_sum([m.v[i]*cent.cv[i] for i in range(1, len(m.v)+1)]) /
+        |           (m.nrm*cent.cn) AS cs
+        |         FROM m CROSS JOIN cent),
+        |assign AS (SELECT vec_id, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM sims WHERE vec_id % 50 = 0) WHERE rn <= 4),
+        |cand AS (SELECT p.qid, a.vec_id AS nid
+        |         FROM probes p JOIN assign a ON p.cid = a.cid AND p.qid <> a.vec_id),
+        |scored AS (SELECT cand.qid, cand.nid,
+        |    round(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
+        |          (a.nrm*b.nrm), 6) AS sim
+        |    FROM cand JOIN m a ON a.vec_id = cand.qid JOIN m b ON b.vec_id = cand.nid)
+        |SELECT qid, nid, sim, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
 
     "dedup_embed" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
