@@ -51,6 +51,21 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("ann_ivf probes the inverted lists via broadcast join") {
+    val p = plan("ann_ivf")
+    // the probe side is broadcast onto the corpus assignment: the corpus
+    // itself must not shuffle for candidate generation
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected a broadcast probe join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_ngram prunes the documents scan to doc_id and text") {
+    val p = plan("dedup_ngram")
+    assert(!p.contains("lang,") && !p.contains("source,"),
+      "dedup_ngram should only read doc_id and text")
+  }
+
   test("dsl pattern plans reuse one exchange for the window pipeline") {
     val p = plan("dsl_timer")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
