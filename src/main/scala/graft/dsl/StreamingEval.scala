@@ -16,13 +16,15 @@ import scala.collection.mutable.ArrayBuffer
   * events at or before the current one, so each event's truth value is
   * final on arrival and flows straight into the run/session machine.
   *
-  * Forward-looking operators at the top level (`A andThen B`, `wait(T, X)`)
-  * are handled by dedicated stateful pipelines
-  * ([[graft.streaming.StreamingPatterns.incidentsAndThen]] /
+  * Forward-looking operators at the top level (left-associated
+  * `A1 andThen ... andThen An` chains, `wait(T, X)`) are handled by
+  * dedicated stateful pipelines
+  * ([[graft.streaming.StreamingPatterns.incidentsChain]] /
   * `incidentsWait`) that consume this evaluator for their operands; only
-  * *nested* occurrences (an `andThen` chain, `wait` under another
-  * operator) are rejected here — their consume/rewind semantics need
-  * cross-run queues that decide retroactively at arbitrary depth.
+  * *nested* occurrences (`wait` under another operator, a right-nested
+  * parenthesized `andThen`, `andThen` under another operator) are rejected
+  * here — their consume/rewind semantics need cross-run queues that decide
+  * retroactively at arbitrary depth.
   *
   * Numeric missing data is NaN (the reference's decode convention), which
   * under Scala arithmetic/comparison semantics reproduces the batch

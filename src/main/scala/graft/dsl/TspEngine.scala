@@ -120,13 +120,14 @@ object TspEngine {
     * and take the fast path; patterns with trailing aggregates / lag /
     * nested timers / `for W <range>` truth statistics run through the
     * incremental per-key evaluator (graft.dsl.StreamingEval); a top-level
-    * `A andThen B` runs the exact batch queue-merge incrementally over
-    * closed condition runs, and a top-level `wait(T, X)` runs the exact
-    * WaitAccumState machine over closing inner runs. Only *nested*
-    * forward-looking constructs (a `wait` inside another operator, an
-    * `andThen` chain, `andThen` under another operator) stay unsupported
-    * in streaming — their semantics decide retroactively across parts at
-    * arbitrary depth.
+    * left-associated `A1 andThen ... andThen An` chain runs the exact batch
+    * queue-merge recursion as an incremental cascade over closed condition
+    * runs, and a top-level `wait(T, X)` runs the exact WaitAccumState
+    * machine over closing inner runs. Only *nested* forward-looking
+    * constructs (a `wait` inside another operator, a parenthesized
+    * right-nested `andThen`, `andThen` under another operator) stay
+    * unsupported in streaming — their semantics decide retroactively
+    * across parts at arbitrary depth.
     */
   def incidentsStream(df: DataFrame, pattern: String, cfg: PatternConfig):
       org.apache.spark.sql.Dataset[graft.streaming.StreamingPatterns.StreamIncident] = {
@@ -146,14 +147,23 @@ object TspEngine {
       ((fs -- strF).toVector.sorted, strF)
     }
     ast match {
-      case AndThenAst(a, b) =>
+      case at: AndThenAst =>
+        // the parser builds andThen left-deep, so a chain flattens along
+        // the left spine: A1 andThen A2 andThen ... andThen An. Each level
+        // of the streaming cascade replays the same queue-merge recursion
+        // the batch compiler applies to the nested tree.
+        def spine(x: Ast): List[Ast] = x match {
+          case AndThenAst(l, r) => spine(l) :+ r
+          case other            => List(other)
+        }
+        val operands = spine(at)
         val (numF, strF) = fieldSplit
-        // operands keep their timers as nested ops; wait / nested andThen
-        // inside an operand still throw the clear unsupported error
-        val pa = StreamingEval.compile(a, numF, strF, stripTimer = false)
-        val pb = StreamingEval.compile(b, numF, strF, stripTimer = false)
-        graft.streaming.StreamingPatterns.incidentsAndThen(
-          df, cfg.keys, cfg.tsCol, pa, pb, sCfg)
+        // operands keep their timers as nested ops; wait / right-nested
+        // andThen inside an operand still throw the clear unsupported error
+        val progs = operands.map(o =>
+          StreamingEval.compile(o, numF, strF, stripTimer = false))
+        graft.streaming.StreamingPatterns.incidentsChain(
+          df, cfg.keys, cfg.tsCol, progs, sCfg)
       case WaitAst(windowMs, inner) =>
         val (numF, strF) = fieldSplit
         val p = StreamingEval.compile(inner, numF, strF, stripTimer = false)

@@ -150,22 +150,42 @@ object StreamingPatterns {
       hasOpen = false, 0L, 0L)
   }
 
-  /** andThen-path state: run machine + both sides' evaluator deques and
-    * run queues, undecided event buffer, and decided-true idx intervals.
+  /** One cascade level of the streaming andThen chain: the left run queue,
+    * the right-operand run queue, the level's emitted success intervals,
+    * and (levels >= 1) the exclusive idx up to which decided events from the
+    * level below have been pushed into `qL`.
     */
-  case class ABState(run: RunState,
-                     opsA: Seq[Seq[(Long, Double)]], opsB: Seq[Seq[(Long, Double)]],
-                     nextIdx: Long, rawLastMs: Long,
-                     qa: ABQueue, qb: ABQueue,
-                     buf: Seq[(Long, Long)], emitted: Seq[(Long, Long)])
+  case class ChainLevel(qL: ABQueue, qR: ABQueue,
+                        emitted: Seq[(Long, Long)], pushedUpTo: Long)
 
-  /** `A andThen B` over a streaming frame: both operand conditions evaluate
-    * incrementally (windowed ops included); their RLE run queues feed the
-    * exact batch queue-merge over CLOSED runs only — the open tail run
-    * always makes the reference's `first.size` check >= 2, so prefix
-    * decisions equal the eventual whole-part merge, and events flush to the
-    * run/session machine in order as the decision frontier passes them.
-    * Undecided events buffer until the frontier passes them — under
+  /** chain-path state: run machine + per-operand evaluator deques, the
+    * cascade levels, and the undecided event buffer.
+    */
+  case class ChainState(run: RunState,
+                        ops: Seq[Seq[Seq[(Long, Double)]]],
+                        nextIdx: Long, rawLastMs: Long,
+                        levels: Seq[ChainLevel],
+                        buf: Seq[(Long, Long)])
+
+  /** `A andThen B` — the two-operand case of [[incidentsChain]]. */
+  def incidentsAndThen(df: DataFrame, keys: Seq[String], tsCol: String,
+                       progA: StreamingEval.Program, progB: StreamingEval.Program,
+                       cfg: StreamConfig): Dataset[StreamIncident] =
+    incidentsChain(df, keys, tsCol, Seq(progA, progB), cfg)
+
+  /** A left-associated `A1 andThen A2 andThen ... andThen An` over a
+    * streaming frame: every operand's condition evaluates incrementally
+    * (windowed ops included), and the exact batch queue-merge runs as a
+    * CASCADE — level 1 merges A1's and A2's closed runs; level i's left
+    * side is the decided output of level i-1 (run-length-compressed as its
+    * frontier advances), its right side operand A(i+1)'s runs. This is the
+    * same recursion the batch compiler uses for nested AndThen, evaluated
+    * online: each level's open tail keeps the reference's `first.size`
+    * check >= 2 mid-part, so prefix decisions equal the eventual whole-part
+    * merge, and events flush to the run/session machine in order as the
+    * LAST level's frontier passes them.
+    *
+    * Undecided events buffer until the final frontier passes them — under
     * alternating conditions that is roughly one flip's worth per side, but
     * a side whose condition never flips holds the frontier still, so the
     * buffer is additionally bounded by `cfg.maxUndecidedEvents`
@@ -173,58 +193,59 @@ object StreamingPatterns {
     * `lastSeen + eventsMaxGap` finalizes the part exactly like the batch
     * per-(key, gap-run) evaluation.
     */
-  def incidentsAndThen(df: DataFrame, keys: Seq[String], tsCol: String,
-                       progA: StreamingEval.Program, progB: StreamingEval.Program,
-                       cfg: StreamConfig): Dataset[StreamIncident] = {
+  def incidentsChain(df: DataFrame, keys: Seq[String], tsCol: String,
+                     progs: Seq[StreamingEval.Program],
+                     cfg: StreamConfig): Dataset[StreamIncident] = {
     import df.sparkSession.implicits._
-    require(progA.numFields == progB.numFields && progA.strFields == progB.strFields,
+    require(progs.size >= 2, "a chain needs at least two operands")
+    require(progs.forall(p => p.numFields == progs.head.numFields &&
+      p.strFields == progs.head.strFields),
       "operand programs must share field layout")
     val inSchema = df.schema.fieldNames.toSet
+    val head = progs.head
     val numCols =
-      if (progA.numFields.isEmpty) array().cast("array<double>")
-      else array(progA.numFields.map { f =>
+      if (head.numFields.isEmpty) array().cast("array<double>")
+      else array(head.numFields.map { f =>
         if (inSchema(f)) coalesce(col(f).cast("double"), lit(Double.NaN))
         else lit(Double.NaN)
       }: _*)
     val strCols =
-      if (progA.strFields.isEmpty) array().cast("array<string>")
-      else array(progA.strFields.map(col): _*)
+      if (head.strFields.isEmpty) array().cast("array<string>")
+      else array(head.strFields.map(col): _*)
     val keyed = df.select(
         concat_ws("|", keys.map(col): _*).as("key"),
         col(tsCol).as("ts"),
         numCols.as("nums"),
         strCols.as("strs"))
       .as[KeyedRaw]
-    implicit val stateEnc: Encoder[ABState] = Encoders.product[ABState]
+    implicit val stateEnc: Encoder[ChainState] = Encoders.product[ChainState]
     keyed
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        processAndThen(progA, progB, cfg))
+        processChain(progs, cfg))
   }
 
-  private def processAndThen(progA: StreamingEval.Program,
-                             progB: StreamingEval.Program, cfg: StreamConfig)(
+  private def processChain(progs: Seq[StreamingEval.Program], cfg: StreamConfig)(
     key: String,
     events: Iterator[KeyedRaw],
-    state: GroupState[ABState]
+    state: GroupState[ChainState]
   ): Iterator[StreamIncident] = {
     import graft.dsl.PatternCompiler
-    val st0 = state.getOption.getOrElse(ABState(RunState.empty,
-      Vector.fill(progA.ops.size)(Vector.empty),
-      Vector.fill(progB.ops.size)(Vector.empty),
+    val nLevels = progs.size - 1
+    val st0 = state.getOption.getOrElse(ChainState(RunState.empty,
+      progs.map(p => Vector.fill(p.ops.size)(Vector.empty)),
       nextIdx = 1L, rawLastMs = Long.MinValue,
-      ABQueue.empty, ABQueue.empty, Vector.empty, Vector.empty))
-    val dequesA = st0.opsA.map(v => ArrayBuffer.from(v)).toArray
-    val dequesB = st0.opsB.map(v => ArrayBuffer.from(v)).toArray
+      Vector.fill(nLevels)(ChainLevel(ABQueue.empty, ABQueue.empty,
+        Vector.empty, 1L)),
+      Vector.empty))
+    val deques = st0.ops.map(_.map(v => ArrayBuffer.from(v)).toArray).toArray
     val out = ArrayBuffer.empty[StreamIncident]
     val m = new RunMachine(cfg, key, st0.run, out, retainMs = cfg.eventsMaxGapMs)
 
     var nextIdx = st0.nextIdx
     var rawLastMs = st0.rawLastMs
-    var qa = st0.qa
-    var qb = st0.qb
+    val levels = Array.from(st0.levels)
     var buf = Vector.from(st0.buf)
-    var emitted = Vector.from(st0.emitted)
 
     // close a queue's open tail (applying its deferred rewind/unwind ops)
     def closeOpen(q: ABQueue, endIdx: Long): ABQueue =
@@ -244,36 +265,72 @@ object StreamingPatterns {
         closed.copy(openS = idx, openV = v, hasOpen = true)
       }
 
+    def front(q: ABQueue): Long =
+      q.runs.headOption.map(_._1).getOrElse(
+        if (q.hasOpen) math.max(q.openS, q.floorCut) else nextIdx)
+
+    /** One bottom-up pass over the cascade. Per level: feed newly decided
+      * events from the level below into the left queue, run the incremental
+      * merge on closed runs, compute the level frontier; the last level's
+      * frontier flushes the event buffer into the run/session machine.
+      */
     def mergeRound(finalize: Boolean): Unit = {
-      val (ca, cb) =
-        if (finalize) (closeOpen(qa, nextIdx - 1), closeOpen(qb, nextIdx - 1))
-        else (qa, qb)
-      val r = PatternCompiler.andThenMergeInc(
-        ca.runs.toList, cb.runs.toList, ca.hasOpen, cb.hasOpen)
-      emitted ++= r.emitted
-      qa = ca.copy(runs = r.remA.toVector,
-        floorCut = math.max(ca.floorCut, r.aFloor))
-      qb = cb.copy(runs = r.remB.toVector,
-        floorCut = math.max(cb.floorCut, r.bFloor),
-        unwindAt = math.max(cb.unwindAt, r.bUnwind))
-      // decision frontier: everything below the earliest still-undecided
-      // run start on either side is final
-      def front(q: ABQueue): Long =
-        q.runs.headOption.map(_._1).getOrElse(
-          if (q.hasOpen) math.max(q.openS, q.floorCut) else nextIdx)
-      val frontier = if (finalize) nextIdx else math.min(front(qa), front(qb))
-      val (decided, rest) = buf.span(_._1 < frontier)
-      decided.foreach { case (idx, ms) =>
-        m.feed(ms, emitted.exists(iv => idx >= iv._1 && idx <= iv._2))
+      // frontier and emitted snapshot of the level below (level "0" is the
+      // raw event stream: every arrived event is a decided left input of
+      // level 1, pushed directly in the event loop)
+      var fLower = nextIdx
+      var lowerEmitted: Vector[(Long, Long)] = Vector.empty
+      for (i <- 0 until nLevels) {
+        var lv = levels(i)
+        if (i > 0) {
+          // decided events of level i-1 become this level's left runs
+          var idx = lv.pushedUpTo
+          var qL = lv.qL
+          while (idx < fLower) {
+            val v = lowerEmitted.exists(iv => idx >= iv._1 && idx <= iv._2)
+            qL = pushCond(qL, v, idx)
+            idx += 1
+          }
+          lv = lv.copy(qL = qL, pushedUpTo = fLower)
+        }
+        val (ca, cb) =
+          if (finalize) (closeOpen(lv.qL, nextIdx - 1), closeOpen(lv.qR, nextIdx - 1))
+          else (lv.qL, lv.qR)
+        val r = PatternCompiler.andThenMergeInc(
+          ca.runs.toList, cb.runs.toList, ca.hasOpen, cb.hasOpen)
+        val emitted = Vector.from(lv.emitted) ++ r.emitted
+        val qL2 = ca.copy(runs = r.remA.toVector,
+          floorCut = math.max(ca.floorCut, r.aFloor))
+        val qR2 = cb.copy(runs = r.remB.toVector,
+          floorCut = math.max(cb.floorCut, r.bFloor),
+          unwindAt = math.max(cb.unwindAt, r.bUnwind))
+        // decision frontier: everything below the earliest still-undecided
+        // run start on either side is final. An upper level whose left
+        // queue is empty is bounded by what the lower level has decided.
+        val frontL =
+          if (i == 0 || qL2.runs.nonEmpty || qL2.hasOpen) front(qL2)
+          else lv.pushedUpTo
+        val frontier =
+          if (finalize) nextIdx else math.min(frontL, front(qR2))
+        if (i == nLevels - 1) {
+          val (decided, rest) = buf.span(_._1 < frontier)
+          decided.foreach { case (idx, ms) =>
+            m.feed(ms, emitted.exists(iv => idx >= iv._1 && idx <= iv._2))
+          }
+          buf = rest
+        }
+        // the next level's push loop reads this snapshot, so pruning the
+        // stored copy below the frontier is safe
+        fLower = frontier
+        lowerEmitted = emitted
+        levels(i) = lv.copy(qL = qL2, qR = qR2,
+          emitted = emitted.filter(_._2 >= frontier))
       }
-      buf = rest
-      emitted = emitted.filter(_._2 >= frontier)
       if (finalize) {
-        qa = ABQueue.empty
-        qb = ABQueue.empty
-        emitted = Vector.empty
-        dequesA.foreach(_.clear())
-        dequesB.foreach(_.clear())
+        for (i <- 0 until nLevels)
+          levels(i) = ChainLevel(ABQueue.empty, ABQueue.empty,
+            Vector.empty, nextIdx)
+        deques.foreach(_.foreach(_.clear()))
       }
     }
 
@@ -287,10 +344,12 @@ object StreamingPatterns {
             mergeRound(finalize = true) // part ends at the data gap
           val idx = nextIdx
           nextIdx += 1
-          val ca = progA.eval(dequesA, e.tsMs, e.nums.toArray, e.strs.toArray)
-          val cb = progB.eval(dequesB, e.tsMs, e.nums.toArray, e.strs.toArray)
-          qa = pushCond(qa, ca, idx)
-          qb = pushCond(qb, cb, idx)
+          val conds = progs.indices.map(j =>
+            progs(j).eval(deques(j), e.tsMs, e.nums.toArray, e.strs.toArray))
+          levels(0) = levels(0).copy(qL = pushCond(levels(0).qL, conds(0), idx))
+          for (j <- 1 until progs.size)
+            levels(j - 1) = levels(j - 1).copy(
+              qR = pushCond(levels(j - 1).qR, conds(j), idx))
           buf = buf :+ ((idx, e.tsMs))
           rawLastMs = e.tsMs
         }
@@ -314,9 +373,9 @@ object StreamingPatterns {
 
     if (m.retired(wm) && buf.isEmpty) state.remove()
     else {
-      state.update(ABState(m.s,
-        dequesA.map(_.toVector).toSeq, dequesB.map(_.toVector).toSeq,
-        nextIdx, rawLastMs, qa, qb, buf, emitted))
+      state.update(ChainState(m.s,
+        deques.map(_.map(_.toVector).toSeq).toSeq,
+        nextIdx, rawLastMs, levels.toSeq, buf))
       val d = m.deadline(wm)
       val dBuf =
         if (buf.nonEmpty) math.max(rawLastMs + cfg.eventsMaxGapMs + 1, wm + 1)

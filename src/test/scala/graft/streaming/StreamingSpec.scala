@@ -249,6 +249,11 @@ class StreamingSpec extends SparkSpec {
       "v > 120 andThen v < 40",
       "v > 100 for 20 sec andThen v < 50",
       "lag(v) < v andThen v > 150",
+      // andThen chains: the streaming cascade must equal the batch
+      // engine's nested queue-merge recursion
+      "v > 120 andThen v < 40 andThen v > 150",
+      "v > 100 andThen v < 80 andThen v > 120 andThen v < 60",
+      "v > 100 for 20 sec andThen v < 50 andThen v > 130",
       // wait: incremental WaitAccumState must equal the batch port
       "wait(15 sec, v > 150)",
       "wait(10 sec, v > 100 for 10 sec)",
