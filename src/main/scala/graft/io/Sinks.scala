@@ -108,9 +108,17 @@ object Sinks {
     w.mode("append").save()
   }
 
+  /** The Kafka sink's payload projection: one JSON `value` column per row,
+    * every sink column embedded. Factored from [[writeKafka]] so the
+    * conversion is testable without a broker (the connector itself is the
+    * only part that cannot run offline).
+    */
+  def kafkaPayload(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
   /** Rows -> JSON -> Kafka (needs the kafka connector at runtime). */
   def writeKafka(df: DataFrame, conf: KafkaSinkConf): Unit =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    kafkaPayload(df)
       .write.format("kafka")
       .option("kafka.bootstrap.servers", conf.brokers)
       .option("topic", conf.topic)

@@ -98,4 +98,22 @@ class IoSpec extends SparkSpec {
     assert(r.getString(0) == "L1" && r.getDouble(1) == 42.5)
     assert(r.getTimestamp(2).getTime == 1500L)
   }
+
+  test("kafka sink payload round-trips through the kafka source parser") {
+    // sink rows -> to_json value column -> from_json with the declared
+    // schema: the write and read sides must agree on the wire format (the
+    // broker itself is the only untestable hop offline)
+    val sinkRows = Seq((1L, "unit7", 1000L, 2000L), (2L, "unit9", 5000L, 9000L))
+      .toDF("incident_id", "unit", "from_ms", "to_ms")
+    val payload = Sinks.kafkaPayload(sinkRows)
+    assert(payload.columns.toSeq == Seq("value"))
+    val conf = KafkaSourceConf(
+      brokers = "unused:9092", topic = "t", datetimeField = "from_ms",
+      fieldsTypes = Map("incident_id" -> "int64", "unit" -> "string",
+        "from_ms" -> "int64", "to_ms" -> "int64"))
+    val back = Sources.parseKafkaJson(payload, conf.schema)
+      .select("incident_id", "unit", "from_ms", "to_ms")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(back == Set((1L, "unit7", 1000L, 2000L), (2L, "unit9", 5000L, 9000L)))
+  }
 }
