@@ -40,6 +40,7 @@ final class JobService(spark: SparkSession, maxConcurrent: Int = 1,
   private val queue = new PriorityBlockingQueue[Submitted](16,
     Ordering.by[Submitted, Int](-_.priority))
   private val jobs = new ConcurrentHashMap[String, JobInfo]()
+  private val requests = new ConcurrentHashMap[String, FindPatternsRequest]()
   private val stopped = new ConcurrentHashMap[String, AtomicBoolean]()
   private val pool = Executors.newFixedThreadPool(maxConcurrent)
   @volatile private var running = true
@@ -61,11 +62,34 @@ final class JobService(spark: SparkSession, maxConcurrent: Int = 1,
     if (errors.nonEmpty) Left(errors)
     else {
       jobs.put(req.uuid, JobInfo(req.uuid, JobStatus.Queued, None, 0L))
+      requests.put(req.uuid, req)
       stopped.put(req.uuid, new AtomicBoolean(false))
       queue.put(Submitted(req, req.priority))
       Right(req.uuid)
     }
   }
+
+  /** GET /queue/show analogue: jobs submitted but not yet started. */
+  def queued: Seq[FindPatternsRequest] =
+    queue.iterator().asScala.map(_.req).toSeq.sortBy(_.uuid)
+
+  /** GET /queue/:uuid/remove analogue — true iff the job was still queued
+    * (a running job must go through [[stop]] instead, which is what the
+    * reference's route redirects to: JobsRoutes.scala:48-52).
+    */
+  def removeFromQueue(uuid: String): Boolean = {
+    val it = queue.iterator()
+    var removed = false
+    while (it.hasNext && !removed) {
+      if (it.next().req.uuid == uuid) { it.remove(); removed = true }
+    }
+    if (removed) jobs.put(uuid, JobInfo(uuid, JobStatus.Stopped, None, 0L))
+    removed
+  }
+
+  /** GET /job/:uuid/request analogue: the request as submitted. */
+  def request(uuid: String): Option[FindPatternsRequest] =
+    Option(requests.get(uuid))
 
   /** POST /patterns/validate analogue: per-pattern fields or error. */
   def validate(patterns: Seq[String]): Seq[Either[String, Set[String]]] =

@@ -143,6 +143,34 @@ class JobServiceSpec extends SparkSpec {
     } finally svc2.shutdown()
   }
 
+  test("queue inspection: queued / request / removeFromQueue") {
+    val svc = new JobService(spark)
+    // freeze the scheduler first so submissions stay queued deterministically
+    // (the drain loop races an immediate submit otherwise)
+    svc.shutdown()
+
+    def rq(uuid: String) = FindPatternsRequest(
+      uuid = uuid,
+      inputConf = JdbcSourceConf(
+        jdbcUrl = url, query = "SELECT * FROM src_events",
+        driverName = driver, datetimeField = "dt",
+        partitionFields = Seq("user_id"),
+        eventsMaxGapMs = 60000L, defaultEventsGapMs = 1000L),
+      outConfs = Nil, priority = 50,
+      patterns = Seq(TspEngine.RawPattern("p", "value > 50")))
+
+    assert(svc.submit(rq("qa")).isRight && svc.submit(rq("qb")).isRight)
+    assert(svc.queued.map(_.uuid) == Seq("qa", "qb"))
+    assert(svc.request("qa").exists(_.patterns.head.sourceCode == "value > 50"))
+    assert(svc.request("nope").isEmpty)
+
+    assert(svc.removeFromQueue("qa"))
+    assert(!svc.removeFromQueue("qa")) // no longer queued
+    assert(svc.queued.map(_.uuid) == Seq("qb"))
+    assert(svc.status("qa").exists(_.status == JobStatus.Stopped))
+    assert(svc.status("qb").exists(_.status == JobStatus.Queued))
+  }
+
   test("shared multi-pattern evaluation matches per-pattern evaluation") {
     val df = Seq(
       ("u1", 1000L, 10.0), ("u1", 1001L, 80.0), ("u1", 1002L, 85.0),
