@@ -434,28 +434,59 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
 
   /** `wait(T, X)`: exact port of the reference's wait state machine
     * (aggregators/WaitPattern.scala:29-89, driven per inner RLE run as
-    * AccumPattern.scala:60-85 feeds it). Like [[andThen]], the sequential
-    * machine runs over per-(key, gap-run) compressed data — here each
-    * event's (idx, ms, cond), because the machine's windowQueue selects
-    * individual events near run boundaries — and the emitted idx intervals
-    * join back to events on the partition key. An earlier columnar
-    * formulation ("success within [t, t+W]") diverged from the reference on
-    * short-window and part-boundary cases (caught by the randomized
-    * differential spec).
-    *
-    * Scale note: one array row per (key, gap-run), like the andThen runs —
-    * bounded by part size; the production-scale escape hatch is an
-    * iterator-based mapGroups, not needed at current incident cardinality.
+    * AccumPattern.scala:60-85 feeds it). The sequential machine streams over
+    * each (key, gap-run) group inside one `mapPartitions` pass — rows arrive
+    * hash-partitioned on the keys and sorted by (keys, idx), and
+    * [[PatternCompiler.WaitMachine]] consumes them one at a time holding only
+    * the reference's windowQueue (events within `windowMs` of the frontier,
+    * the same bound the reference's own queue has) plus O(1) run bookkeeping
+    * — never a whole part's events. The emitted idx intervals (bounded by
+    * condition flips, like the andThen runs) join back to events on the
+    * partition key. An earlier columnar formulation ("success within
+    * [t, t+W]") diverged from the reference on short-window and
+    * part-boundary cases (caught by the randomized differential spec); the
+    * streaming machine is differential-tested against the [[waitMerge]]
+    * whole-part port, which itself is differential-tested against a direct
+    * reference port.
     */
   private def waitOp(windowMs: Long, inner: Ast): Column = {
     val c = materialize(coalesce(trilean(inner), lit(false)), "waitin")
-    val evs = df
-      .select((pcols.map(col) :+
-        struct(col(IDX), col(MS), col(c)).as("_p_wev")): _*)
-      .groupBy(pcols.map(col): _*)
-      .agg(sort_array(collect_list(col("_p_wev"))).as("_p_wevs"))
-      .withColumn("_p_wiv", waitUdf(lit(windowMs), col("_p_wevs")))
-      .select((pcols.map(col) :+ col("_p_wiv")): _*)
+    val nk = pcols.length
+    val src = df
+      .select((pcols.map(col) ++ Seq(col(IDX), col(MS), col(c))): _*)
+      .repartition(pcols.map(col): _*)
+      .sortWithinPartitions((pcols :+ IDX).map(col): _*)
+    val ivSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_1", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_2", org.apache.spark.sql.types.LongType, nullable = false)))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      src.schema.fields.take(nk) :+
+        org.apache.spark.sql.types.StructField("_p_wiv",
+          org.apache.spark.sql.types.ArrayType(ivSchema, containsNull = false)))
+    val wMs = windowMs
+    val evs = src.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[Row] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): Row = {
+          val head = buf.head
+          val key: IndexedSeq[Any] = (0 until nk).map(head.get)
+          val m = new WaitMachine(wMs)
+          var same = true
+          while (buf.hasNext && same) {
+            val r = buf.head
+            var i = 0
+            same = true
+            while (same && i < nk) { same = r.get(i) == key(i); i += 1 }
+            if (same) {
+              buf.next()
+              m.feed(r.getLong(nk), r.getLong(nk + 1), r.getBoolean(nk + 2))
+            }
+          }
+          Row.fromSeq(key :+ m.finish().map { case (s, e) => Row(s, e) })
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
     val out = fresh("wait")
     df = df
       .join(evs, pcols, "left")
@@ -738,9 +769,102 @@ object PatternCompiler {
     (WaitSt(remaining, lastFail = !succ, times.last), emitted)
   }
 
-  /** UDF wrapper: rows are structs (idx, ms, cond) sorted by idx. */
+  /** UDF wrapper: rows are structs (idx, ms, cond) sorted by idx. Retained as
+    * the whole-part oracle for the streaming [[WaitMachine]] (differential
+    * spec); the production path no longer materializes per-event arrays.
+    */
   val waitUdf = udf { (windowMs: Long, evs: Seq[Row]) =>
     waitMerge(windowMs,
       evs.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))))
+  }
+
+  /** Memory-bounded streaming form of [[waitMerge]]: feed events of one
+    * (key, gap-run) group in (idx, ms) order, read the emitted success
+    * intervals from [[finish]]. Produces bit-identical output to
+    * `waitMerge(w, events)` (asserted by the randomized differential spec)
+    * while holding only the reference machine's own state:
+    * the windowQueue — which [[waitStep]] caps at the events within
+    * `windowMs` of a fail-run frontier (`span(_.ms <= lastMs - w)` leaves
+    * at most a window's worth) — plus O(1) per-run bookkeeping. Succ runs
+    * buffer nothing at all: their step needs only the cleaned queue head and
+    * the run's first/last event, and leaves an empty queue behind.
+    *
+    * Derivation from [[waitStep]] (each run `(succ, times)`):
+    *  - `start` depends only on `times.head` → known when the run opens, so
+    *    the carried-queue clean (`while len>1 && q(1).ms < start`) runs
+    *    eagerly; run events never satisfy `ms < start`, so cleaning the
+    *    carried queue alone is equivalent to cleaning `carried ++ times`.
+    *  - succ runs: `end = times.last.ms` ≥ every queued ms, so
+    *    `outputs` = everything and `remaining` = ∅; only `outputs.head`
+    *    (cleaned head or run-first) and `outputs.last` (= run-last) matter.
+    *  - fail runs: `end = times.last.ms - w`; evicting the queue front at
+    *    `ms <= current - w` as events stream in reaches exactly the final
+    *    span point at run close, and the first/last evicted elements are
+    *    `outputs.head`/`outputs.last`.
+    */
+  final class WaitMachine(w: Long) {
+    private val dq = scala.collection.mutable.ArrayDeque.empty[(Long, Long)]
+    private var lastFail = false
+    private var lastTime: (Long, Long) = (0L, 0L)
+    private var runOpen = false
+    private var runCond = false
+    private var runFirst: (Long, Long) = null
+    private var runLast: (Long, Long) = null
+    private var firstOut: (Long, Long) = null // outputs.head
+    private var lastOut: (Long, Long) = null  // outputs.last
+    private val emitted = ArrayBuffer.empty[(Long, Long)]
+
+    def feed(idx: Long, ms: Long, cond: Boolean): Unit = {
+      if (runOpen && cond != runCond) closeRun()
+      if (!runOpen) openRun(cond, idx, ms)
+      runLast = (idx, ms)
+      if (!runCond) {
+        dq.append((idx, ms))
+        while (dq.nonEmpty && dq.head._2 <= ms - w) {
+          val e = dq.removeHead()
+          if (firstOut == null) firstOut = e
+          lastOut = e
+        }
+      }
+    }
+
+    private def openRun(cond: Boolean, idx: Long, ms: Long): Unit = {
+      runOpen = true; runCond = cond
+      runFirst = (idx, ms); runLast = runFirst
+      firstOut = null; lastOut = null
+      val start = if (lastFail) ms - w else ms
+      while (dq.length > 1 && dq(1)._2 < start) dq.removeHead()
+      if (cond) firstOut = if (dq.nonEmpty) dq.head else runFirst
+    }
+
+    private def closeRun(): Unit = {
+      if (runCond) {
+        // outputs = whole queue ++ run events; remaining = empty
+        lastOut = runLast
+        val s =
+          if (lastTime._2 != 0L && firstOut._2 + w <= lastOut._2) firstOut
+          else lastTime // remaining.lastOption.getOrElse(lastTime), remaining = ∅
+        if (s._1 <= lastOut._1) emitted += ((s._1, lastOut._1))
+        dq.clear()
+      } else {
+        // final span drain at end = lastMs - w (same threshold the last
+        // feed() used, so this is a no-op unless the run had one event)
+        val end = runLast._2 - w
+        while (dq.nonEmpty && dq.head._2 <= end) {
+          val e = dq.removeHead()
+          if (firstOut == null) firstOut = e
+          lastOut = e
+        }
+        // fail intervals are never emitted (waitMerge keeps v=true only)
+      }
+      lastFail = !runCond
+      lastTime = runLast
+      runOpen = false
+    }
+
+    def finish(): Seq[(Long, Long)] = {
+      if (runOpen) closeRun()
+      emitted.toSeq
+    }
   }
 }

@@ -306,6 +306,27 @@ class RandomizedSemanticsSpec extends SparkSpec {
         s"missing=${(expectedMs -- got).take(5)}, extra=${(got -- expectedMs).take(5)}")
   }
 
+  test("streaming WaitMachine is bit-identical to the whole-part waitMerge") {
+    // pure-function fuzz, no Spark: random (idx, ms, cond) streams with
+    // duplicate timestamps, tiny and large windows, short and long runs
+    val r = new Random(42)
+    for (trial <- 1 to 500) {
+      val w = Seq(1L, 10L, 500L, 5000L, 60000L)(r.nextInt(5))
+      var ms = 1000000L + r.nextInt(1000)
+      val n = 1 + r.nextInt(120)
+      val evs = (1 to n).map { i =>
+        ms += (if (r.nextInt(8) == 0) 0L else r.nextInt(3000).toLong)
+        (i.toLong, ms, r.nextBoolean())
+      }
+      val whole = PatternCompiler.waitMerge(w, evs)
+      val m = new PatternCompiler.WaitMachine(w)
+      evs.foreach { case (i, t, c) => m.feed(i, t, c) }
+      val inc = m.finish()
+      assert(inc == whole,
+        s"trial=$trial w=$w n=$n: machine=$inc merge=$whole evs=${evs.take(20)}")
+    }
+  }
+
   test("truthMillis matches an interval-clipping simulation on random streams") {
     val W = 30000L
     val expected = streams.flatMap { case (k, evs) =>
