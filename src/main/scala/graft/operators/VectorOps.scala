@@ -222,41 +222,64 @@ object VectorOps {
     topKPerKey(scored, "qid", k)
   }
 
+  /** Centroid-sampling stride for [[ivfTopK]]: targets ~sqrt(N) centroids
+    * (stride = ceil(sqrt(N)) ⇒ N/stride ≈ sqrt(N)) with a hard centroid cap
+    * so the driver collect and the broadcast stay bounded at any corpus
+    * size. `minStride` floors the stride so tiny corpora keep useful list
+    * sizes. Mirrored verbatim by the `ann_ivf` DuckDB oracle SQL —
+    * change both together or the hash check breaks.
+    */
+  def ivfStride(n: Long, minStride: Int = 25, maxCentroids: Int = 1 << 16): Long =
+    math.max(minStride.toLong,
+      math.max(math.ceil(math.sqrt(n.toDouble)).toLong,
+        math.ceil(n.toDouble / maxCentroids).toLong))
+
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     * path alongside [[lshTopK]].
     *
     * Centroids are a deterministic systematic sample of the corpus (every
-    * `stride`-th id) rather than trained k-means: no training pass, fully
-    * reproducible by an external SQL oracle, and at production scale the
-    * centroid table is swappable for a trained one without touching the
-    * search path. Every corpus vector is assigned to its max-cosine
-    * centroid (tie: smallest centroid id); a query probes its `nprobe`
-    * nearest centroids and scans exactly those inverted lists with exact
-    * cosine.
+    * `stride`-th id, stride derived by [[ivfStride]]) rather than trained
+    * k-means: no training pass, fully reproducible by an external SQL
+    * oracle, and at production scale the centroid table is swappable for a
+    * trained one without touching the search path. Every corpus vector is
+    * assigned to its max-cosine centroid (tie: smallest centroid id); a
+    * query probes its `nprobe` nearest centroids and scans exactly those
+    * inverted lists with exact cosine.
     *
-    * Scale shape: the centroid matrix is broadcast (O(sqrt N) rows by
-    * design); assignment is one narrow per-partition pass over the corpus
-    * (argmax in a tight loop, no shuffle); the probe side is tiny and
-    * broadcast, so candidate generation is one broadcast join on the
-    * centroid id — the corpus shuffles zero times end-to-end. `nprobe /
-    * #centroids` bounds the scanned corpus fraction.
+    * Requires numeric (long-castable) corpus ids — the systematic sample is
+    * `id % stride == 0`. If that sample is empty (e.g. sparse ids none of
+    * which divide the stride), falls back to [[bruteForceTopK]] rather than
+    * silently returning nothing.
+    *
+    * Scale shape: the centroid matrix is broadcast and capped at
+    * `maxCentroids` rows (~sqrt(N) until the cap binds); assignment is one
+    * narrow per-partition pass over the corpus (argmax in a tight loop, no
+    * shuffle); the probe side is tiny and broadcast, so candidate
+    * generation is one broadcast join on the centroid id — the corpus
+    * shuffles zero times end-to-end. `nprobe / #centroids` bounds the
+    * scanned corpus fraction.
     */
   def ivfTopK(queries: DataFrame, qid: String, qvec: String,
               corpus: DataFrame, id: String, vec: String,
-              k: Int, stride: Int = 25, nprobe: Int = 4): DataFrame = {
+              k: Int, minStride: Int = 25, nprobe: Int = 4,
+              maxCentroids: Int = 1 << 16): DataFrame = {
     val cBase = Spread(corpus).select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
       .withColumn("nn", norm(col("nv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qBase = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deterministic coarse centroids; collect is bounded by design
-    // (sqrt-N-ish) — the same budget a broadcast-join build side gets
+    val stride = ivfStride(cBase.count(), minStride, maxCentroids)
+    // deterministic coarse centroids; the collect is bounded: ~sqrt(N) rows
+    // until maxCentroids caps it — the same budget a broadcast-join build
+    // side gets
     val cents: Array[(Long, Array[Double], Double)] =
       cBase.filter(col("nid") % stride === 0)
         .orderBy("nid")
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    if (cents.isEmpty)
+      return bruteForceTopK(queries, qid, qvec, corpus, id, vec, k)
     val assignN = assignCentroids(cBase, "nid", "nv", "nn", cents, 1)
     val probesQ = assignCentroids(qBase, "qid", "qv", "qn", cents, nprobe)
     // inverted-list scan: probes are broadcast; each candidate (qid, nid)

@@ -61,13 +61,14 @@ object LlmQueries {
         k = 5)
     },
 
-    // IVF approximate top-5: deterministic coarse centroids (every 25th
-    // vector), nprobe nearest lists scanned with exact cosine.
+    // IVF approximate top-5: deterministic coarse centroids (every
+    // stride-th vector, stride = max(25, ceil(sqrt(N)), N/cap) — ~sqrt(N)
+    // centroids), nprobe nearest lists scanned with exact cosine.
     "ann_ivf" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") % 50 === 0)
       VectorOps.ivfTopK(q, "vec_id", "embedding", e, "vec_id", "embedding",
-        k = 5, stride = 25, nprobe = 4)
+        k = 5, minStride = 25, nprobe = 4)
     },
 
     // Language id + quality features per document.
@@ -133,10 +134,17 @@ object LlmQueries {
          |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
          |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5""".stripMargin,
 
+    // `st` mirrors VectorOps.ivfStride(count, 25, 65536) exactly: stride =
+    // max(25, ceil(sqrt(N)), ceil(N/65536)) — change both together.
     "ann_ivf" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |m AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM n),
-        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM m WHERE vec_id % 25 = 0),
+        |st AS (SELECT greatest(25,
+        |                CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT),
+        |                CAST(ceil(count(*)::DOUBLE / 65536.0) AS BIGINT)) AS stride
+        |       FROM m),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM m
+        |         WHERE vec_id % (SELECT stride FROM st) = 0),
         |sims AS (SELECT m.vec_id, cent.cid,
         |         list_sum([m.v[i]*cent.cv[i] for i in range(1, len(m.v)+1)]) /
         |           (m.nrm*cent.cn) AS cs

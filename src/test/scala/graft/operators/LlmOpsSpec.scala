@@ -80,12 +80,32 @@ class LlmOpsSpec extends SparkSpec {
     val exact = VectorOps.bruteForceTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", 5)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = VectorOps.ivfTopK(q, "vec_id", "embedding", e, "vec_id", "embedding",
-        k = 5, stride = 25, nprobe = 4)
+        k = 5, minStride = 25, nprobe = 4)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     // nprobe=4 of ~20 lists scans ~20% of the corpus; measured recall 0.96
     // even in this loose-cluster regime (max pairwise cosine ~0.5)
     assert(recall >= 0.85, s"IVF recall $recall < 0.85 (|exact|=${exact.size})")
+  }
+
+  test("ivfStride keeps the centroid count sqrt-N-ish and hard-capped") {
+    // floor regime: tiny corpora keep the minimum stride
+    assert(VectorOps.ivfStride(500) == 25L)
+    // sqrt regime: stride ~ sqrt(N) => N/stride centroids ~ sqrt(N)
+    assert(VectorOps.ivfStride(2000) == 45L)
+    assert(VectorOps.ivfStride(1000000000L) == 31623L)
+    // cap regime: centroid count never exceeds maxCentroids
+    for (n <- Seq(1000L, 1000000L, 1000000000L, 1000000000000L)) {
+      val s = VectorOps.ivfStride(n)
+      assert(n / s <= (1 << 16).toLong, s"n=$n stride=$s centroids=${n / s}")
+    }
+    // empty-centroid fallback: ids 1..24 have no multiple of stride 25 —
+    // ivfTopK must degrade to brute force, not return an empty frame
+    import spark.implicits._
+    val tiny = (1 to 24).map(i => (i.toLong, Array.fill(8)(i / 24.0f))).toDF("vec_id", "embedding")
+    val out = VectorOps.ivfTopK(tiny.filter(col("vec_id") === 1), "vec_id", "embedding",
+      tiny, "vec_id", "embedding", k = 3)
+    assert(out.count() == 3L)
   }
 
   test("simhash: identical texts collide, planted near-dups are close") {
