@@ -14,10 +14,19 @@ import org.apache.spark.sql.DataFrame
 object Spread {
 
   /** Repartition `df` up to the session's default parallelism iff the
-    * physical plan would yield fewer partitions than that.
+    * source is too small to yield that many input splits.
+    *
+    * The check reads the optimizer's size estimate (for the parquet reads
+    * Spread wraps, the summed file size) against `filesMaxPartitionBytes` —
+    * it deliberately does NOT touch `df.rdd`, which would force physical
+    * planning plus RDD DAG construction per call just to count partitions
+    * (measurable per-operator overhead at bench scale).
     */
   def apply(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism.toLong
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estSplits = bytes / spark.sessionState.conf.filesMaxPartitionBytes
+    if (estSplits >= target) df else df.repartition(target.toInt)
   }
 }

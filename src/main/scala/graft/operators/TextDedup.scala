@@ -156,22 +156,7 @@ object TextDedup {
         array_distinct(transform(shinglesOfWords(col("_w"), shingleK),
           s => xxhash64(s))).as("hs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // minhash coordinates via explode + flat min-aggregates rather than the
-    // [[bandKeys]] higher-order form: 128 plain `min(xxhash64(h, i))` exprs
-    // optimize and codegen in milliseconds where 128 HOF traversals cost
-    // ~10 s of Catalyst planning per query. Map-side partial agg keeps the
-    // shuffle at one row per doc. Seeds match [[minhashSignature]] exactly.
-    val r = numHashes / bands
-    val mins = sh.select(col("id"), explode(col("hs")).as("h"))
-      .groupBy("id")
-      .agg(min(xxhash64(col("h"), lit(1))).as("m1"),
-        (2 to numHashes).map(i =>
-          min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
-    val banded = mins.select(col("id"),
-      explode(array((0 until bands).map { b =>
-        val coords = (b * r + 1 to (b + 1) * r).map(i => col(s"m$i"))
-        struct(lit(b).as("band"), xxhash64(coords: _*).as("bucket"))
-      }: _*)).as("bk"))
+    val banded = minhashBandRows(sh, numHashes, bands)
     // identical shingle SETS <=> identical docs under jaccard: the exact
     // fallback key for boilerplate buckets
     val exactKey = sh.select(col("id"), xxhash64(array_sort(col("hs"))).as("k"))
@@ -183,6 +168,83 @@ object TextDedup {
           size(array_union(col("hs_a"), col("hs_b"))), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** (id, bk struct<band,bucket>) LSH band keys — all `numHashes` minhash
+    * coordinates and the per-band bucket hashes in ONE tight loop per
+    * document over the hashed shingle set, emitted as `bands` rows per doc.
+    *
+    * Values are bit-identical to [[minhashBandRowsAgg]] (asserted by
+    * LlmOpsSpec): per shingle hash `h` the loop seeds `base =
+    * XXH64.hashLong(h, 42)` once and takes `XXH64.hashInt(i, base)` per
+    * permutation — exactly how Catalyst's `xxhash64(h, lit(i))` chains its
+    * children — and the band bucket folds its `r` coordinates through
+    * `hashLong` like `xxhash64(m_1.., m_r)`. The loop replaces 128
+    * `min(...)` aggregates that re-hashed every exploded shingle row 128×
+    * through codegen'd-but-rowwise expression trees; here the per-document
+    * work is `|hs| × numHashes` integer hashes with zero intermediate rows,
+    * zero explode shuffle, and the same one-row-per-(doc, band) output.
+    *
+    * @param sh (id, hs array<long>) — hashed distinct shingles
+    */
+  def minhashBandRows(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val r = numHashes / bands
+    val outSchema = StructType(Seq(sh.schema.fields.head,
+      StructField("bk", StructType(Seq(
+        StructField("band", IntegerType, nullable = false),
+        StructField("bucket", LongType, nullable = false))))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    sh.select(sh.columns.head, "hs").mapPartitions { rows =>
+      val mins = new Array[Long](numHashes)
+      rows.flatMap { row =>
+        val hs = row.getSeq[Long](1)
+        if (hs.isEmpty) Iterator.empty // the agg form drops empty docs too
+        else {
+          val id = row.get(0)
+          java.util.Arrays.fill(mins, Long.MaxValue)
+          hs.foreach { h =>
+            val base = XXH64.hashLong(h, 42L)
+            var i = 0
+            while (i < numHashes) {
+              val v = XXH64.hashInt(i + 1, base)
+              if (v < mins(i)) mins(i) = v
+              i += 1
+            }
+          }
+          (0 until bands).iterator.map { b =>
+            var acc = 42L
+            var j = 0
+            while (j < r) { acc = XXH64.hashLong(mins(b * r + j), acc); j += 1 }
+            Row(id, Row(b, acc))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Flat-aggregate formulation of [[minhashBandRows]] — `numHashes` plain
+    * `min(xxhash64(h, i))` aggregates over the exploded shingle stream,
+    * then per-band `xxhash64` over the coordinate columns. Retained as the
+    * Column-level oracle for the fused loop (seeds and chaining are defined
+    * by Catalyst here); also documents why the fused form exists: this one
+    * re-hashes every shingle row `numHashes` times and pays an explode +
+    * shuffle.
+    */
+  def minhashBandRowsAgg(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val mins = sh.select(col("id"), explode(col("hs")).as("h"))
+      .groupBy("id")
+      .agg(min(xxhash64(col("h"), lit(1))).as("m1"),
+        (2 to numHashes).map(i =>
+          min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
+    mins.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        val coords = (b * r + 1 to (b + 1) * r).map(i => col(s"m$i"))
+        struct(lit(b).as("band"), xxhash64(coords: _*).as("bucket"))
+      }: _*)).as("bk"))
   }
 
   /** Exact n-gram Jaccard duplicate pairs via prefix filtering (the

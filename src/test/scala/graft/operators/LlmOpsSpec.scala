@@ -88,6 +88,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.85, s"IVF recall $recall < 0.85 (|exact|=${exact.size})")
   }
 
+  test("minhashBandRows equals the flat-aggregate xxhash64 oracle") {
+    val docs = Tables.documents(spark, sf)
+    val sh = docs.select(col("doc_id").as("id"),
+        array_distinct(transform(TextDedup.wordShingles(col("text"), 3),
+          s => xxhash64(s))).as("hs"))
+      .cache()
+    val fused = TextDedup.minhashBandRows(sh, 128, 64)
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val agg = TextDedup.minhashBandRowsAgg(sh, 128, 64)
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fused.nonEmpty && fused == agg,
+      s"fused-only=${(fused -- agg).take(3)} agg-only=${(agg -- fused).take(3)}")
+  }
+
   test("ivfStride keeps the centroid count sqrt-N-ish and hard-capped") {
     // floor regime: tiny corpora keep the minimum stride
     assert(VectorOps.ivfStride(500) == 25L)
