@@ -13,9 +13,9 @@ import scala.util.{Failure, Success, Try}
   * HTTP job API (reference: http/.../routes/JobsRoutes.scala:32-38,
   * services/queuing/JobRunService.scala:63-170): a priority queue of
   * submitted jobs drained by a scheduler, per-job status/stop/overview, and
-  * parse-only validation. The transport layer (HTTP) is intentionally
-  * absent — this environment ships no server library, and every endpoint's
-  * semantics live here, one `route` definition away.
+  * parse-only validation. [[JobRoutes]] exposes these over HTTP on the
+  * JDK's built-in server; every endpoint's semantics live here so the
+  * transport stays a thin shim.
   *
   * With `checkpointDir` set, each job persists progress (rows read, max
   * event time, rows written) after completion — the batch analogue of the
@@ -42,8 +42,25 @@ final class JobService(spark: SparkSession, maxConcurrent: Int = 1,
   private val jobs = new ConcurrentHashMap[String, JobInfo]()
   private val requests = new ConcurrentHashMap[String, FindPatternsRequest]()
   private val stopped = new ConcurrentHashMap[String, AtomicBoolean]()
+  // terminal jobs in completion order, for bounded retention: a long-lived
+  // service would otherwise hold every request (with its pattern sources)
+  // forever
+  private val terminalOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val maxRetained = 1000
   private val pool = Executors.newFixedThreadPool(maxConcurrent)
   @volatile private var running = true
+
+  /** Record a terminal status and evict the oldest terminal jobs' state
+    * (request, stop flag, info) beyond the retention cap.
+    */
+  private def markTerminal(info: JobInfo): Unit = {
+    jobs.put(info.uuid, info)
+    terminalOrder.add(info.uuid)
+    while (terminalOrder.size > maxRetained) {
+      val old = terminalOrder.poll()
+      if (old != null) { jobs.remove(old); requests.remove(old); stopped.remove(old) }
+    }
+  }
 
   private val scheduler = new Thread(() => {
     while (running) {
@@ -76,14 +93,18 @@ final class JobService(spark: SparkSession, maxConcurrent: Int = 1,
   /** GET /queue/:uuid/remove analogue — true iff the job was still queued
     * (a running job must go through [[stop]] instead, which is what the
     * reference's route redirects to: JobsRoutes.scala:48-52).
+    *
+    * `removeIf`'s boolean is authoritative (an iterator `remove()` no-ops
+    * silently if the scheduler dequeued the entry between `next()` and
+    * `remove()`); the stopped flag is set as well so that if the scheduler
+    * won the race anyway, `execute`'s pre-run guard still cancels the job.
     */
   def removeFromQueue(uuid: String): Boolean = {
-    val it = queue.iterator()
-    var removed = false
-    while (it.hasNext && !removed) {
-      if (it.next().req.uuid == uuid) { it.remove(); removed = true }
+    val removed = queue.removeIf(_.req.uuid == uuid)
+    if (removed) {
+      Option(stopped.get(uuid)).foreach(_.set(true))
+      markTerminal(JobInfo(uuid, JobStatus.Stopped, None, 0L))
     }
-    if (removed) jobs.put(uuid, JobInfo(uuid, JobStatus.Stopped, None, 0L))
     removed
   }
 
@@ -111,8 +132,10 @@ final class JobService(spark: SparkSession, maxConcurrent: Int = 1,
 
   private def execute(s: Submitted): Unit = {
     val uuid = s.req.uuid
-    if (stopped.get(uuid).get()) {
-      jobs.put(uuid, JobInfo(uuid, JobStatus.Stopped, None, 0L))
+    // the flag may have been removed by retention eviction if this entry
+    // raced a removeFromQueue — treat missing as stopped
+    if (Option(stopped.get(uuid)).forall(_.get())) {
+      markTerminal(JobInfo(uuid, JobStatus.Stopped, None, 0L))
       return
     }
     jobs.put(uuid, JobInfo(uuid, JobStatus.Running, None, 0L))
@@ -173,9 +196,9 @@ final class JobService(spark: SparkSession, maxConcurrent: Int = 1,
       } finally { incidents.unpersist(); events.unpersist() }
     } match {
       case Success((n, read)) =>
-        jobs.put(uuid, JobInfo(uuid, JobStatus.Finished, None, n, read))
+        markTerminal(JobInfo(uuid, JobStatus.Finished, None, n, read))
       case Failure(e) =>
-        jobs.put(uuid, JobInfo(uuid, JobStatus.Failed, Some(e.getMessage), 0L))
+        markTerminal(JobInfo(uuid, JobStatus.Failed, Some(e.getMessage), 0L))
     }
   }
 
