@@ -123,11 +123,17 @@ object TspEngine {
     * left-associated `A1 andThen ... andThen An` chain runs the exact batch
     * queue-merge recursion as an incremental cascade over closed condition
     * runs, and a top-level `wait(T, X)` runs the exact WaitAccumState
-    * machine over closing inner runs. Only *nested* forward-looking
-    * constructs (a `wait` inside another operator, a parenthesized
-    * right-nested `andThen`, `andThen` under another operator) stay
-    * unsupported in streaming — their semantics decide retroactively
-    * across parts at arbitrary depth.
+    * machine over closing inner runs. Arbitrary *nesting* of the two
+    * forward-looking operators (right-nested parenthesized `andThen`,
+    * `wait` as an `andThen` operand, `andThen` under `wait`) runs through
+    * the recursive tree evaluator
+    * ([[graft.streaming.StreamingPatterns.incidentsTree]]) — the streaming
+    * analogue of the reference's recursive pattern compilation
+    * (ASTPatternGenerator.scala:47-200). Only a forward-looking operator
+    * under a *scalar* operator (e.g. `not (A andThen B)`,
+    * `wait(T, X) + 1`) stays unsupported — there the operator's
+    * boolean output re-enters value arithmetic, which the reference
+    * rejects at type level too.
     */
   def incidentsStream(df: DataFrame, pattern: String, cfg: PatternConfig):
       org.apache.spark.sql.Dataset[graft.streaming.StreamingPatterns.StreamIncident] = {
@@ -146,6 +152,25 @@ object TspEngine {
         .toVector.sorted
       ((fs -- strF).toVector.sorted, strF)
     }
+    // does the AST contain a forward-looking operator anywhere below?
+    def hasForward(a: Ast): Boolean = a match {
+      case _: AndThenAst | _: WaitAst => true
+      case other => other.productIterator.exists {
+        case c: Ast    => hasForward(c)
+        case s: Seq[_] => s.exists { case c: Ast => hasForward(c); case _ => false }
+        case _         => false
+      }
+    }
+    def toTree(a: Ast, numF: Vector[String], strF: Vector[String])
+        : graft.streaming.StreamingPatterns.StreamTree = {
+      import graft.streaming.StreamingPatterns._
+      a match {
+        case AndThenAst(l, r)  => SAndThen(toTree(l, numF, strF), toTree(r, numF, strF))
+        case WaitAst(w, inner) => SWait(w, toTree(inner, numF, strF))
+        case leaf => SLeaf(
+          StreamingEval.compile(leaf, numF, strF, stripTimer = false))
+      }
+    }
     ast match {
       case at: AndThenAst =>
         // the parser builds andThen left-deep, so a chain flattens along
@@ -158,17 +183,29 @@ object TspEngine {
         }
         val operands = spine(at)
         val (numF, strF) = fieldSplit
-        // operands keep their timers as nested ops; wait / right-nested
-        // andThen inside an operand still throw the clear unsupported error
-        val progs = operands.map(o =>
-          StreamingEval.compile(o, numF, strF, stripTimer = false))
-        graft.streaming.StreamingPatterns.incidentsChain(
-          df, cfg.keys, cfg.tsCol, progs, sCfg)
+        if (operands.exists(hasForward)) {
+          // a right-nested andThen / wait operand: the general tree path
+          graft.streaming.StreamingPatterns.incidentsTree(
+            df, cfg.keys, cfg.tsCol, toTree(at, numF, strF), sCfg)
+        } else {
+          // operands keep their timers as nested ops
+          val progs = operands.map(o =>
+            StreamingEval.compile(o, numF, strF, stripTimer = false))
+          graft.streaming.StreamingPatterns.incidentsChain(
+            df, cfg.keys, cfg.tsCol, progs, sCfg)
+        }
       case WaitAst(windowMs, inner) =>
         val (numF, strF) = fieldSplit
-        val p = StreamingEval.compile(inner, numF, strF, stripTimer = false)
-        graft.streaming.StreamingPatterns.incidentsWait(
-          df, cfg.keys, cfg.tsCol, windowMs, p, sCfg)
+        if (hasForward(inner)) {
+          graft.streaming.StreamingPatterns.incidentsTree(
+            df, cfg.keys, cfg.tsCol,
+            graft.streaming.StreamingPatterns.SWait(
+              windowMs, toTree(inner, numF, strF)), sCfg)
+        } else {
+          val p = StreamingEval.compile(inner, numF, strF, stripTimer = false)
+          graft.streaming.StreamingPatterns.incidentsWait(
+            df, cfg.keys, cfg.tsCol, windowMs, p, sCfg)
+        }
       case _ =>
         val scalarPath =
           try Some(streamingCondition(pattern))

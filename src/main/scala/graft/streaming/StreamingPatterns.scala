@@ -225,6 +225,339 @@ object StreamingPatterns {
         processChain(progs, cfg))
   }
 
+  // ---------------------------------------------------------------- tree
+
+  /** A streaming pattern tree: arbitrary nesting of `andThen` and `wait`
+    * over backward-looking leaf conditions — the general form of the
+    * reference's recursive pattern compilation
+    * (ASTPatternGenerator.scala:47-200), of which [[incidentsChain]] is the
+    * left-spine special case.
+    */
+  sealed trait StreamTree extends Serializable
+  final case class SLeaf(prog: StreamingEval.Program) extends StreamTree
+  final case class SAndThen(l: StreamTree, r: StreamTree) extends StreamTree
+  final case class SWait(windowMs: Long, inner: StreamTree) extends StreamTree
+
+  /** Per-node runtime state snapshot (one uniform shape for all node
+    * kinds; unused fields stay empty).
+    */
+  case class TreeNodeState(
+    emitted: Seq[(Long, Long)], frontier: Long,
+    pushedA: Long, pushedB: Long,
+    qL: ABQueue, qR: ABQueue,
+    wq: Seq[(Long, Long)], lastFail: Boolean,
+    lastTimeIdx: Long, lastTimeMs: Long,
+    openV: Boolean, hasOpen: Boolean, openTimes: Seq[(Long, Long)],
+    leafOps: Seq[Seq[(Long, Double)]])
+
+  case class TreeState(run: RunState, nextIdx: Long, rawLastMs: Long,
+                       nodes: Seq[TreeNodeState], buf: Seq[(Long, Long)])
+
+  /** Evaluate an arbitrarily nested `andThen`/`wait` tree over a streaming
+    * frame. Every node consumes its children's DECIDED truth stream and
+    * exposes its own decided-true intervals plus a frontier (the exclusive
+    * idx below which its output is final): leaves decide on arrival;
+    * `andThen` nodes run the incremental batch queue-merge over closed
+    * runs of both children; `wait` nodes drive the exact WaitAccumState
+    * machine over closing inner runs. Frontiers propagate bottom-up each
+    * micro-batch — a parent only consumes below its children's frontiers,
+    * so every decision equals the eventual whole-part batch evaluation —
+    * and the root's decided stream feeds the shared run/session machine.
+    * Buffering, gap resets, the undecided-event cap, and watermark
+    * finalization all match [[incidentsChain]].
+    */
+  def incidentsTree(df: DataFrame, keys: Seq[String], tsCol: String,
+                    tree: StreamTree, cfg: StreamConfig): Dataset[StreamIncident] = {
+    import df.sparkSession.implicits._
+    def leaves(t: StreamTree): Seq[StreamingEval.Program] = t match {
+      case SLeaf(p)       => Seq(p)
+      case SAndThen(l, r) => leaves(l) ++ leaves(r)
+      case SWait(_, i)    => leaves(i)
+    }
+    val ls = leaves(tree)
+    require(ls.nonEmpty, "a pattern tree needs at least one leaf")
+    require(ls.forall(p => p.numFields == ls.head.numFields &&
+      p.strFields == ls.head.strFields),
+      "leaf programs must share field layout")
+    val inSchema = df.schema.fieldNames.toSet
+    val head = ls.head
+    val numCols =
+      if (head.numFields.isEmpty) array().cast("array<double>")
+      else array(head.numFields.map { f =>
+        if (inSchema(f)) coalesce(col(f).cast("double"), lit(Double.NaN))
+        else lit(Double.NaN)
+      }: _*)
+    val strCols =
+      if (head.strFields.isEmpty) array().cast("array<string>")
+      else array(head.strFields.map(col): _*)
+    val keyed = df.select(
+        concat_ws("|", keys.map(col): _*).as("key"),
+        col(tsCol).as("ts"),
+        numCols.as("nums"),
+        strCols.as("strs"))
+      .as[KeyedRaw]
+    implicit val stateEnc: Encoder[TreeState] = Encoders.product[TreeState]
+    keyed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processTree(tree, cfg))
+  }
+
+  /** Close a queue's open tail (applying its deferred rewind/unwind ops). */
+  private def closeOpenQ(q: ABQueue, endIdx: Long): ABQueue =
+    if (!q.hasOpen) q
+    else {
+      val keep = endIdx >= q.floorCut && endIdx > q.unwindAt
+      val runs =
+        if (keep) q.runs :+ ((math.max(q.openS, q.floorCut), endIdx, q.openV))
+        else q.runs
+      q.copy(runs = runs, hasOpen = false)
+    }
+
+  private def pushCondQ(q: ABQueue, v: Boolean, idx: Long): ABQueue =
+    if (q.hasOpen && q.openV == v) q
+    else closeOpenQ(q, idx - 1).copy(openS = idx, openV = v, hasOpen = true)
+
+  /** Earliest still-undecided idx of a queue; `bound` when fully decided. */
+  private def frontQ(q: ABQueue, bound: Long): Long =
+    q.runs.headOption.map(_._1).getOrElse(
+      if (q.hasOpen) math.max(q.openS, q.floorCut) else bound)
+
+  private def processTree(tree: StreamTree, cfg: StreamConfig)(
+    key: String,
+    events: Iterator[KeyedRaw],
+    state: GroupState[TreeState]
+  ): Iterator[StreamIncident] = {
+    import graft.dsl.PatternCompiler
+
+    // preorder flatten: parent index < child indices, so a reverse-index
+    // sweep processes children before parents (postorder)
+    val flat = ArrayBuffer.empty[StreamTree]
+    val childA = ArrayBuffer.empty[Int]
+    val childB = ArrayBuffer.empty[Int]
+    def flattenTree(t: StreamTree): Int = {
+      val id = flat.length
+      flat += t; childA += -1; childB += -1
+      t match {
+        case SLeaf(_)       => ()
+        case SAndThen(l, r) => childA(id) = flattenTree(l); childB(id) = flattenTree(r)
+        case SWait(_, i)    => childA(id) = flattenTree(i)
+      }
+      id
+    }
+    flattenTree(tree)
+    val n = flat.length
+    val leafIds = flat.indices.filter(flat(_).isInstanceOf[SLeaf])
+
+    val st0 = state.getOption.getOrElse(TreeState(RunState.empty,
+      nextIdx = 1L, rawLastMs = Long.MinValue,
+      flat.map {
+        case SLeaf(p) => TreeNodeState(Vector.empty, 1L, 1L, 1L,
+          ABQueue.empty, ABQueue.empty, Vector.empty, lastFail = false, 0L, 0L,
+          openV = false, hasOpen = false, Vector.empty,
+          Vector.fill(p.ops.size)(Vector.empty))
+        case _ => TreeNodeState(Vector.empty, 1L, 1L, 1L,
+          ABQueue.empty, ABQueue.empty, Vector.empty, lastFail = false, 0L, 0L,
+          openV = false, hasOpen = false, Vector.empty, Vector.empty)
+      }.toSeq,
+      Vector.empty))
+
+    val emitted = Array.from(st0.nodes.map(s => Vector.from(s.emitted)))
+    val frontier = Array.from(st0.nodes.map(_.frontier))
+    val pushedA = Array.from(st0.nodes.map(_.pushedA))
+    val pushedB = Array.from(st0.nodes.map(_.pushedB))
+    val qL = Array.from(st0.nodes.map(_.qL))
+    val qR = Array.from(st0.nodes.map(_.qR))
+    val wst = Array.from(st0.nodes.map(s =>
+      PatternCompiler.WaitSt(Vector.from(s.wq), s.lastFail,
+        (s.lastTimeIdx, s.lastTimeMs))))
+    val openV = Array.from(st0.nodes.map(_.openV))
+    val hasOpen = Array.from(st0.nodes.map(_.hasOpen))
+    val openTimes = Array.from(st0.nodes.map(s => Vector.from(s.openTimes)))
+    val leafDeques: Map[Int, Array[ArrayBuffer[(Long, Double)]]] =
+      leafIds.map(li => li ->
+        st0.nodes(li).leafOps.map(v => ArrayBuffer.from(v)).toArray).toMap
+
+    val out = ArrayBuffer.empty[StreamIncident]
+    val m = new RunMachine(cfg, key, st0.run, out, retainMs = cfg.eventsMaxGapMs)
+    var nextIdx = st0.nextIdx
+    var rawLastMs = st0.rawLastMs
+    var buf = Vector.from(st0.buf)
+
+    def contains(iv: Vector[(Long, Long)], idx: Long): Boolean =
+      iv.exists(p => idx >= p._1 && idx <= p._2)
+
+    def msOf(idx: Long): Long = {
+      // buf is sorted by idx and holds every event at or above the root
+      // frontier; every pulled idx is above it (frontiers are monotone down
+      // the tree: F(root) <= F(descendant) <= any pull bound)
+      var lo = 0
+      var hi = buf.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = buf(mid)._1
+        if (v == idx) return buf(mid)._2
+        else if (v < idx) lo = mid + 1
+        else hi = mid - 1
+      }
+      throw new IllegalStateException(s"idx $idx not buffered (key '$key')")
+    }
+
+    def stepRun(i: Int, w: Long): Unit =
+      if (hasOpen(i) && openTimes(i).nonEmpty) {
+        val (w2, em) = PatternCompiler.waitStep(wst(i), w, openV(i), openTimes(i))
+        wst(i) = w2
+        em.foreach { case (s, e, v) => if (v) emitted(i) = emitted(i) :+ ((s, e)) }
+        openTimes(i) = Vector.empty
+      }
+
+    /** One bottom-up pass: pull children's decided streams, advance each
+      * node's machine and frontier, flush the root's decided events into
+      * the run/session machine.
+      */
+    def pump(finalize: Boolean): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        flat(i) match {
+          case SLeaf(_) =>
+            if (finalize) frontier(i) = nextIdx
+
+          case SAndThen(_, _) =>
+            val a = childA(i)
+            val b = childB(i)
+            val limA = if (finalize) nextIdx else frontier(a)
+            val limB = if (finalize) nextIdx else frontier(b)
+            var ql = qL(i)
+            var qr = qR(i)
+            var ia = pushedA(i)
+            while (ia < limA) { ql = pushCondQ(ql, contains(emitted(a), ia), ia); ia += 1 }
+            var ib = pushedB(i)
+            while (ib < limB) { qr = pushCondQ(qr, contains(emitted(b), ib), ib); ib += 1 }
+            pushedA(i) = math.max(pushedA(i), limA)
+            pushedB(i) = math.max(pushedB(i), limB)
+            emitted(a) = emitted(a).filter(_._2 >= pushedA(i))
+            emitted(b) = emitted(b).filter(_._2 >= pushedB(i))
+            val (ca, cb) =
+              if (finalize) (closeOpenQ(ql, nextIdx - 1), closeOpenQ(qr, nextIdx - 1))
+              else (ql, qr)
+            val r = PatternCompiler.andThenMergeInc(
+              ca.runs.toList, cb.runs.toList, ca.hasOpen, cb.hasOpen)
+            emitted(i) = emitted(i) ++ r.emitted
+            val ql2 = ca.copy(runs = r.remA.toVector,
+              floorCut = math.max(ca.floorCut, r.aFloor))
+            val qr2 = cb.copy(runs = r.remB.toVector,
+              floorCut = math.max(cb.floorCut, r.bFloor),
+              unwindAt = math.max(cb.unwindAt, r.bUnwind))
+            qL(i) = ql2
+            qR(i) = qr2
+            frontier(i) =
+              if (finalize) nextIdx
+              else math.min(frontQ(ql2, pushedA(i)), frontQ(qr2, pushedB(i)))
+
+          case SWait(w, _) =>
+            val a = childA(i)
+            val limA = if (finalize) nextIdx else frontier(a)
+            var ia = pushedA(i)
+            while (ia < limA) {
+              val v = contains(emitted(a), ia)
+              if (hasOpen(i) && openV(i) != v) stepRun(i, w)
+              if (!hasOpen(i) || openV(i) != v) { hasOpen(i) = true; openV(i) = v }
+              openTimes(i) = openTimes(i) :+ ((ia, msOf(ia)))
+              ia += 1
+            }
+            pushedA(i) = math.max(pushedA(i), limA)
+            emitted(a) = emitted(a).filter(_._2 >= pushedA(i))
+            if (finalize) { stepRun(i, w); hasOpen(i) = false }
+            frontier(i) =
+              if (finalize) nextIdx
+              else {
+                val cands = wst(i).windowQueue.headOption.map(_._1).toSeq ++
+                  (if (wst(i).lastTime._2 != 0L) Seq(wst(i).lastTime._1) else Nil) ++
+                  openTimes(i).headOption.map(_._1)
+                if (cands.isEmpty) pushedA(i) else cands.min
+              }
+        }
+        i -= 1
+      }
+      val rootF = if (finalize) nextIdx else frontier(0)
+      val (decided, rest) = buf.span(_._1 < rootF)
+      decided.foreach { case (idx, ms) => m.feed(ms, contains(emitted(0), idx)) }
+      buf = rest
+      emitted(0) = emitted(0).filter(_._2 >= rootF)
+      if (finalize) {
+        for (j <- 0 until n) {
+          emitted(j) = Vector.empty
+          frontier(j) = nextIdx
+          pushedA(j) = nextIdx
+          pushedB(j) = nextIdx
+          qL(j) = ABQueue.empty
+          qR(j) = ABQueue.empty
+          wst(j) = PatternCompiler.WaitSt.empty
+          openV(j) = false
+          hasOpen(j) = false
+          openTimes(j) = Vector.empty
+        }
+        leafDeques.values.foreach(_.foreach(_.clear()))
+      }
+    }
+
+    val wm = state.getCurrentWatermarkMs()
+
+    if (!state.hasTimedOut) {
+      events.toArray.sortBy(_.tsMs).iterator
+        .filter(_.tsMs > rawLastMs)
+        .foreach { e =>
+          if (rawLastMs != Long.MinValue && e.tsMs - rawLastMs > cfg.eventsMaxGapMs)
+            pump(finalize = true) // part ends at the data gap
+          val idx = nextIdx
+          nextIdx += 1
+          buf = buf :+ ((idx, e.tsMs))
+          leafIds.foreach { li =>
+            val SLeaf(p) = flat(li): @unchecked
+            val v = p.eval(leafDeques(li), e.tsMs, e.nums.toArray, e.strs.toArray)
+            if (v) emitted(li) =
+              if (emitted(li).nonEmpty && emitted(li).last._2 == idx - 1)
+                emitted(li).init :+ ((emitted(li).last._1, idx))
+              else emitted(li) :+ ((idx, idx))
+            frontier(li) = nextIdx
+          }
+          rawLastMs = e.tsMs
+          if (buf.length > cfg.maxUndecidedEvents) {
+            logWarning(s"pattern-tree state for key '$key' exceeded " +
+              s"${cfg.maxUndecidedEvents} undecided events (frontier " +
+              "stalled); force-finalizing the part")
+            pump(finalize = true)
+          }
+        }
+      pump(finalize = false)
+    }
+    if (rawLastMs != Long.MinValue && wm > rawLastMs + cfg.eventsMaxGapMs &&
+      buf.nonEmpty) pump(finalize = true)
+
+    val effWm = if (buf.nonEmpty) math.min(wm, buf.head._2 - 1) else wm
+    m.expire(effWm)
+
+    if (m.retired(wm) && buf.isEmpty) state.remove()
+    else {
+      state.update(TreeState(m.s, nextIdx, rawLastMs,
+        (0 until n).map { j =>
+          TreeNodeState(emitted(j), frontier(j), pushedA(j), pushedB(j),
+            qL(j), qR(j),
+            wst(j).windowQueue, wst(j).lastFail,
+            wst(j).lastTime._1, wst(j).lastTime._2,
+            openV(j), hasOpen(j), openTimes(j),
+            leafDeques.get(j).map(_.map(_.toVector).toSeq).getOrElse(Vector.empty))
+        },
+        buf))
+      val d = m.deadline(wm)
+      val dBuf =
+        if (buf.nonEmpty) math.max(rawLastMs + cfg.eventsMaxGapMs + 1, wm + 1)
+        else Long.MaxValue
+      state.setTimeoutTimestamp(math.min(d, dBuf))
+    }
+    out.iterator
+  }
+
   private def processChain(progs: Seq[StreamingEval.Program], cfg: StreamConfig)(
     key: String,
     events: Iterator[KeyedRaw],
@@ -352,14 +685,17 @@ object StreamingPatterns {
               qR = pushCond(levels(j - 1).qR, conds(j), idx))
           buf = buf :+ ((idx, e.tsMs))
           rawLastMs = e.tsMs
+          // cap checked per event, not per trigger: one huge micro-batch
+          // with a stalled frontier must not grow the buffer past the cap
+          // before the force-finalize fires
+          if (buf.length > cfg.maxUndecidedEvents) {
+            logWarning(s"andThen state for key '$key' exceeded " +
+              s"${cfg.maxUndecidedEvents} undecided events (frontier " +
+              "stalled); force-finalizing the part")
+            mergeRound(finalize = true)
+          }
         }
       mergeRound(finalize = false)
-      if (buf.length > cfg.maxUndecidedEvents) {
-        logWarning(s"andThen state for key '$key' exceeded " +
-          s"${cfg.maxUndecidedEvents} undecided events (frontier stalled); " +
-          "force-finalizing the part")
-        mergeRound(finalize = true)
-      }
     }
     // the watermark proving no event can extend the part finalizes it,
     // mirroring batch end-of-data semantics for quiet keys
@@ -509,14 +845,16 @@ object StreamingPatterns {
           openTimes = openTimes :+ ((idx, e.tsMs))
           buf = buf :+ ((idx, e.tsMs))
           rawLastMs = e.tsMs
+          // cap checked per event (see the chain path): the cap must bound
+          // in-batch growth too, not just cross-batch carried state
+          if (buf.length > cfg.maxUndecidedEvents) {
+            logWarning(s"wait state for key '$key' exceeded " +
+              s"${cfg.maxUndecidedEvents} undecided events (frontier " +
+              "stalled); force-finalizing the part")
+            finalizePart()
+          }
         }
       flushDecided(finalize = false)
-      if (buf.length > cfg.maxUndecidedEvents) {
-        logWarning(s"wait state for key '$key' exceeded " +
-          s"${cfg.maxUndecidedEvents} undecided events (frontier stalled); " +
-          "force-finalizing the part")
-        finalizePart()
-      }
     }
     if (rawLastMs != Long.MinValue && wm > rawLastMs + cfg.eventsMaxGapMs &&
       buf.nonEmpty) finalizePart()

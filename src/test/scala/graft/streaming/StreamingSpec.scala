@@ -260,7 +260,15 @@ class StreamingSpec extends SparkSpec {
       // degenerate conditions: constant-false sides exercise unbounded-run
       // buffering and must emit nothing, matching batch
       "wait(20 sec, v > 1000)",
-      "v > 1000 andThen v < 40")
+      "v > 1000 andThen v < 40",
+      // nested forward-looking trees: the recursive incidentsTree
+      // evaluator must equal the batch compiler's nested recursion
+      "v > 120 andThen (v < 40 andThen v > 150)",
+      "(v > 120 andThen v < 40) andThen (v > 100 andThen v < 60)",
+      "wait(15 sec, v > 150) andThen v < 50",
+      "v > 120 andThen wait(10 sec, v < 40)",
+      "wait(20 sec, v > 120 andThen v < 40)",
+      "wait(10 sec, wait(5 sec, v > 150))")
 
     patterns.foreach { pattern =>
       implicit val sqlCtx = spark.sqlContext
