@@ -54,6 +54,12 @@ object DslQueries {
     // step per iteration, rewinds in closed form over the RLE run arrays).
     "dsl_andthen" -> ((s, d) => run(s, d, "value > 150 andThen event_type = 'purchase'")),
 
+    // nested (right-associated) andThen tree: the inner merge's output is
+    // the outer merge's second operand — exercises the compiler's
+    // recursive evaluation, not just the left-spine chain
+    "dsl_nested" -> ((s, d) =>
+      run(s, d, "value > 150 andThen (event_type = 'purchase' andThen value < 50)")),
+
     // shared multi-pattern evaluation: three patterns, one scan, one window
     // exchange; results must equal running each pattern alone
     "dsl_multi" -> { (s, d) =>
@@ -236,7 +242,9 @@ object DslQueries {
       tagged("until", condIncidents("value > 50 AND NOT (event_type = 'error')"))
     ).mkString("\nUNION ALL\n"),
 
-    "dsl_andthen" -> andThenOracle
+    "dsl_andthen" -> andThenOracle,
+
+    "dsl_nested" -> nestedOracle
   )
 
   /** Recursive-CTE simulation of the reference's andThen queue merge
@@ -256,47 +264,40 @@ object DslQueries {
          |                 ELSE $arr[$i + $drop].s END) END)""".stripMargin)
   }
 
-  private def rleSql(c: String): String =
+  private def rleSql(c: String, src: String = "cnd"): String =
     s"""(SELECT user_id, grun, $c AS v, min(idx) AS s, max(idx) AS e FROM
        |  (SELECT *, sum(CASE WHEN $c IS NOT DISTINCT FROM prev THEN 0 ELSE 1 END)
        |     OVER (PARTITION BY user_id, grun ORDER BY idx) AS rid
        |   FROM (SELECT *, lag($c) OVER (PARTITION BY user_id, grun ORDER BY idx) AS prev
-       |         FROM cnd))
+       |         FROM $src))
        | GROUP BY user_id, grun, rid, $c)""".stripMargin
 
-  // lazy: referenced from the `oracle` map defined above this declaration
-  private lazy val andThenOracle: String = {
+  /** One queue-merge as composable CTEs: `<pfx>arr` packs the two RLE run
+    * tables into per-(user, gap-run) arrays, `<pfx>step` iterates the merge
+    * (one step per recursion), `<pfx>emitted` collects the emitted idx
+    * intervals, `<pfx>marked` projects them back onto events as a boolean.
+    * Nesting = feeding `rleSql("cond", "<pfx>marked")` of one merge into
+    * another — the same recursion the engine compiler applies to nested
+    * `andThen` trees.
+    */
+  private def mergeCtes(pfx: String, raT: String, rbT: String): String = {
     val endU = "greatest(ar[ai].e + 1, br[bi].e)"
     val (a2u, as2u) = rewindSql("ar", "ai", "a_s", s"($endU + 1)")
     val (b2u, bs2u) = rewindSql("br", "bi", "b_s", s"($endU + 1)")
     val (a2f, as2f) = rewindSql("ar", "ai", "a_s", "(br[bi].e + 1)")
     val skipb = "len(list_filter(br[bi:], x -> x.e <= a_s))"
-    s"""WITH RECURSIVE
-       |e0 AS (SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms FROM events),
-       |e AS (SELECT *,
-       |        sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > $G THEN 1 ELSE 0 END)
-       |          OVER (PARTITION BY user_id ORDER BY ms) AS grun,
-       |        row_number() OVER (PARTITION BY user_id ORDER BY ms) AS idx
-       |      FROM (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev_ms
-       |            FROM e0)),
-       |cnd AS (SELECT user_id, grun, idx, ms,
-       |          COALESCE(value > 150, FALSE) AS ca,
-       |          COALESCE(event_type = 'purchase', FALSE) AS cb
-       |        FROM e),
-       |ra AS ${rleSql("ca")},
-       |rb AS ${rleSql("cb")},
-       |arr AS (
+    s"""${pfx}arr AS (
        |  SELECT a.user_id, a.grun, a.ar, b.br
        |  FROM (SELECT user_id, grun, list(struct_pack(s := s, e := e, v := v) ORDER BY s) AS ar
-       |        FROM ra GROUP BY user_id, grun) a
+       |        FROM $raT GROUP BY user_id, grun) a
        |  JOIN (SELECT user_id, grun, list(struct_pack(s := s, e := e, v := v) ORDER BY s) AS br
-       |        FROM rb GROUP BY user_id, grun) b
+       |        FROM $rbT GROUP BY user_id, grun) b
        |    USING (user_id, grun)),
-       |step AS (
+       |${pfx}step AS (
        |  SELECT user_id, grun, ar, br,
        |         1::BIGINT AS ai, ar[1].s AS a_s, 1::BIGINT AS bi, br[1].s AS b_s,
        |         NULL::BIGINT AS em_s, NULL::BIGINT AS em_e
-       |  FROM arr
+       |  FROM ${pfx}arr
        |  UNION ALL
        |  SELECT user_id, grun, ar, br,
        |    CASE WHEN NOT ar[ai].v THEN ai + 1
@@ -326,26 +327,71 @@ object DslQueries {
        |         THEN least(a_s, b_s) END AS em_s,
        |    CASE WHEN ar[ai].v AND br[bi].v AND a_s <= br[bi].e AND ar[ai].e + 1 >= b_s
        |         THEN $endU END AS em_e
-       |  FROM step
+       |  FROM ${pfx}step
        |  WHERE ai <= len(ar) AND bi <= len(br)),
-       |emitted AS (SELECT user_id, grun, em_s, em_e FROM step WHERE em_s IS NOT NULL),
-       |mx AS (SELECT user_id, grun, max(idx) AS maxidx FROM cnd GROUP BY user_id, grun),
-       |marked AS (
+       |${pfx}emitted AS (SELECT user_id, grun, em_s, em_e FROM ${pfx}step WHERE em_s IS NOT NULL),
+       |${pfx}marked AS (
        |  SELECT c.user_id, c.grun, c.idx, c.ms,
-       |    EXISTS (SELECT 1 FROM emitted m JOIN mx USING (user_id, grun)
+       |    EXISTS (SELECT 1 FROM ${pfx}emitted m JOIN mx USING (user_id, grun)
        |            WHERE m.user_id = c.user_id AND m.grun = c.grun
        |              AND c.idx BETWEEN m.em_s AND least(m.em_e, mx.maxidx)) AS cond
-       |  FROM cnd c),
-       |runs AS (
+       |  FROM cnd c)""".stripMargin
+  }
+
+  /** Events with gap-run + idx, the condition columns, their RLEs, and the
+    * per-part max idx — the shared preamble of every merge oracle.
+    */
+  private def mergePreamble(conds: Map[String, String]): String = {
+    val condCols = conds.map { case (n, c) => s"COALESCE($c, FALSE) AS $n" }
+      .mkString(",\n          ")
+    val rles = conds.keys.map(n => s"r$n AS ${rleSql(n)}").mkString(",\n")
+    s"""e0 AS (SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms FROM events),
+       |e AS (SELECT *,
+       |        sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > $G THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY user_id ORDER BY ms) AS grun,
+       |        row_number() OVER (PARTITION BY user_id ORDER BY ms) AS idx
+       |      FROM (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev_ms
+       |            FROM e0)),
+       |cnd AS (SELECT user_id, grun, idx, ms,
+       |          $condCols
+       |        FROM e),
+       |$rles,
+       |mx AS (SELECT user_id, grun, max(idx) AS maxidx FROM cnd GROUP BY user_id, grun)""".stripMargin
+  }
+
+  /** Segment + sessionize the boolean `cond` of a marked table. */
+  private def markedTail(markedT: String): String =
+    s"""runs AS (
        |  SELECT user_id, grun, ms, cond,
        |    sum(CASE WHEN cond IS NOT DISTINCT FROM prev THEN 0 ELSE 1 END)
        |      OVER (PARTITION BY user_id, grun ORDER BY ms) AS run_id
        |  FROM (SELECT *, lag(cond) OVER (PARTITION BY user_id, grun ORDER BY ms) AS prev
-       |        FROM marked)),
+       |        FROM $markedT)),
        |seg AS (
        |  SELECT user_id, min(ms) AS from_ms, max(ms) AS to_ms, count(*) AS n_events
        |  FROM runs WHERE cond GROUP BY user_id, grun, run_id),
        |$sessSql
        |$sessSelect""".stripMargin
-  }
+
+  // lazy: referenced from the `oracle` map defined above this declaration
+  private lazy val andThenOracle: String =
+    s"""WITH RECURSIVE
+       |${mergePreamble(scala.collection.immutable.ListMap(
+            "ca" -> "value > 150", "cb" -> "event_type = 'purchase'"))},
+       |${mergeCtes("m_", "rca", "rcb")},
+       |${markedTail("m_marked")}""".stripMargin
+
+  /** Nested tree `A andThen (B andThen C)`: the inner merge's marked
+    * boolean re-RLEs and feeds the outer merge — two chained recursions,
+    * exactly the engine compiler's evaluation order for the nested AST.
+    */
+  private lazy val nestedOracle: String =
+    s"""WITH RECURSIVE
+       |${mergePreamble(scala.collection.immutable.ListMap(
+            "ca" -> "value > 150", "cb" -> "event_type = 'purchase'",
+            "cc" -> "value < 50"))},
+       |${mergeCtes("i_", "rcb", "rcc")},
+       |ri AS ${rleSql("cond", "i_marked")},
+       |${mergeCtes("o_", "rca", "ri")},
+       |${markedTail("o_marked")}""".stripMargin
 }

@@ -150,6 +150,59 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("nested-tree state survives a query restart through the checkpoint") {
+    // incidentsTree carries the deepest state shape (per-node queues, wait
+    // machines, leaf deques) through Encoders.product; a restart
+    // mid-pattern must round-trip all of it and continue to the same
+    // incidents the batch engine computes over the whole data
+    implicit val sqlCtx = spark.sqlContext
+    val pattern = "v > 50 andThen (v < 20 andThen v > 80)"
+    val cfg = graft.dsl.PatternConfig(Seq("k"), "ts",
+      eventsMaxGapMs = 60000L, sessionGapMs = 1000L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-tree").toString
+    val ms = MemoryStream[(String, Long, Double)]
+    val df = ms.toDF().toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "5 seconds")
+    val inc = graft.dsl.TspEngine.incidentsStream(df, pattern, cfg)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-out-tree").toString
+    def start() = inc.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val firstHalf = Seq(("t", 10000L, 60.0), ("t", 10001L, 10.0))
+    val secondHalf = Seq(("t", 10002L, 90.0), ("t", 10003L, 1.0))
+
+    val q1 = start()
+    ms.addData(firstHalf: _*)
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    ms.addData(secondHalf: _*)
+    q2.processAllAvailable()
+    ms.addData(("t", 10200L, 1.0)); q2.processAllAvailable()
+    ms.addData(("t", 10300L, 1.0)); q2.processAllAvailable()
+    try {
+      assert(q2.exception.isEmpty, s"query failed: ${q2.exception}")
+      val streamed = spark.read.parquet(outDir)
+        .select("key", "fromMs", "toMs").as[(String, Long, Long)]
+        .collect().toSet
+
+      val all = firstHalf ++ secondHalf ++
+        Seq(("t", 10200L, 1.0), ("t", 10300L, 1.0))
+      val batchDf = all.toDF("k", "sec", "v")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+      val batch = graft.dsl.TspEngine.incidents(batchDf, pattern, cfg)
+        .select(col("k"), col("from_ms"), col("to_ms"))
+        .as[(String, Long, Long)].collect().toSet
+
+      assert(streamed.nonEmpty, "expected the nested pattern to fire")
+      assert(streamed == batch,
+        s"missing=${batch -- streamed}, extra=${streamed -- batch}")
+    } finally q2.stop()
+  }
+
   test("pending incident flushes under continuous per-key traffic") {
     // Regression: a key that keeps receiving data never has its timeout
     // fired by Spark (timeouts only fire for keys with no batch data), and
