@@ -387,46 +387,66 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
 
   /** `A andThen B`: exact port of the reference's queue-merge over
     * run-length-compressed results (reference: AndThenPattern.scala:42-94).
-    * The merge runs on segments (tiny), not events: both operand columns are
-    * RLE'd per (keys, gap_run) into ordered run arrays, merged with
-    * [[PatternCompiler.andThenMerge]], and the resulting idx intervals are
-    * joined back to events on the partition key (equi-join, broadcast-sized
-    * right side at realistic incident cardinalities).
+    * Both operand conditions stream through [[PatternCompiler.AndThenMachine]]
+    * — one `mapPartitions` pass per (keys, gap-run) group, rows
+    * hash-partitioned on the keys and sorted by (keys, idx), exactly the
+    * shape [[waitOp]] uses. The machine RLE-compresses each side in-stream
+    * and drains decided prefixes through the incremental queue merge, so
+    * per-part state is the undecided runs only — never whole-part arrays
+    * (an earlier groupBy + collect_list formulation put every condition run
+    * of a part into one Tungsten array row, unbounded under a flapping
+    * condition). The emitted idx intervals (bounded by success sequences)
+    * join back to events on the partition key; no broadcast hint — the
+    * merged side is small at realistic incident cardinalities and AQE
+    * broadcasts it from runtime stats, but a forced hint would break at
+    * fleet-scale key counts.
     */
   private def andThen(a: Ast, b: Ast): Column = {
     val ca = materialize(coalesce(trilean(a), lit(false)), "ata")
     val cb = materialize(coalesce(trilean(b), lit(false)), "atb")
-
-    def runsOf(c: String, tag: String): DataFrame = {
-      val run = fresh(s"run$tag")
-      val prev = lag(col(c), 1).over(w)
-      val d = df.withColumn(run,
-        sum(when(col(c) <=> prev, 0).otherwise(1)).over(w).cast("long"))
-      d.select((pcols.map(col) ++ Seq(col(run), col(IDX), col(c).as("v"))): _*)
-        .groupBy((pcols :+ run).map(col): _*)
-        .agg(min(col(IDX)).as("s"), max(col(IDX)).as("e"), first(col("v")).as("v"))
-        .groupBy(pcols.map(col): _*)
-        .agg(sort_array(collect_list(struct(col("s"), col("e"), col("v"))))
-          .as(s"runs$tag"))
-    }
-
-    val arrA = runsOf(ca, "A")
-    val arrB = runsOf(cb, "B")
-    val merged = arrA
-      .join(arrB, pcols)
-      .withColumn("_p_iv", andThenUdf(col("runsA"), col("runsB")))
-      .select((pcols.map(col) :+ col("_p_iv")): _*)
+    val nk = pcols.length
+    val src = df
+      .select((pcols.map(col) ++ Seq(col(IDX), col(ca), col(cb))): _*)
+      .repartition(pcols.map(col): _*)
+      .sortWithinPartitions((pcols :+ IDX).map(col): _*)
+    val ivSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_1", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_2", org.apache.spark.sql.types.LongType, nullable = false)))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      src.schema.fields.take(nk) :+
+        org.apache.spark.sql.types.StructField("_p_aiv",
+          org.apache.spark.sql.types.ArrayType(ivSchema, containsNull = false)))
+    val merged = src.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[Row] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): Row = {
+          val head = buf.head
+          val key: IndexedSeq[Any] = (0 until nk).map(head.get)
+          val m = new AndThenMachine
+          var same = true
+          while (buf.hasNext && same) {
+            val r = buf.head
+            var i = 0
+            same = true
+            while (same && i < nk) { same = r.get(i) == key(i); i += 1 }
+            if (same) {
+              buf.next()
+              m.feed(r.getLong(nk), r.getBoolean(nk + 1), r.getBoolean(nk + 2))
+            }
+          }
+          Row.fromSeq(key :+ m.finish().map { case (s, e) => Row(s, e) })
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
 
     val out = fresh("andthen")
-    // no broadcast hint: the merged side is small at realistic incident
-    // cardinalities and AQE broadcasts it from runtime stats, but a forced
-    // hint would break at fleet-scale key counts
     df = df
       .join(merged, pcols, "left")
       .withColumn(out,
-        exists(col("_p_iv"), iv => col(IDX) >= iv.getField("_1") && col(IDX) <= iv.getField("_2")))
+        exists(col("_p_aiv"), iv => col(IDX) >= iv.getField("_1") && col(IDX) <= iv.getField("_2")))
       .withColumn(out, coalesce(col(out), lit(false)))
-      .drop("_p_iv")
+      .drop("_p_aiv")
     col(out)
   }
 
@@ -696,13 +716,109 @@ object PatternCompiler {
     MergeRound(out.result(), a, b, aFloor, bFloor, bUnwind)
   }
 
-  /** UDF wrapper: rows are structs (s, e, v) sorted by s. */
+  /** UDF wrapper: rows are structs (s, e, v) sorted by s. Retained as the
+    * whole-part oracle for [[AndThenMachine]] (differential spec); the
+    * production path streams events through the machine instead of
+    * materializing per-part run arrays.
+    */
   val andThenUdf = udf { (a: Seq[Row], b: Seq[Row]) =>
     val ar = a.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     val br = b.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     val maxIdx = math.max(ar.lastOption.map(_._2).getOrElse(0L),
       br.lastOption.map(_._2).getOrElse(0L))
     andThenMerge(ar, br).map { case (s, e) => (s, math.min(e, maxIdx)) }
+  }
+
+  /** Memory-bounded streaming form of [[andThenMerge]] for the batch
+    * operator: feed one part's events in idx order with both operand
+    * conditions, read the emitted success intervals from [[finish]].
+    *
+    * Identical output to `andThenMerge(rle(A), rle(B))` (asserted by the
+    * randomized differential spec) — the machine RLE-compresses each side's
+    * condition as events arrive and runs [[andThenMergeInc]] whenever a run
+    * closes, so decided prefixes drain continuously instead of accumulating
+    * into whole-part run arrays. Mid-part the incremental merge stops at the
+    * first run needing the other side's open tail (prefix-stable decisions,
+    * see [[andThenMergeInc]]); the deferred rewind floor / unwind bound of
+    * each round applies to the open tail when it closes, exactly the
+    * protocol the streaming cascade uses (StreamingPatterns.processChain).
+    *
+    * State: the open run per side (O(1)) plus the closed runs the merge
+    * could not yet consume. After every round at least one side's closed
+    * list is empty (the merge runs until a side drains), so pending state is
+    * bounded by one side's condition flips across the other side's longest
+    * run — orders of magnitude below per-event buffering, and heap-resident
+    * (never a Tungsten row), so a pathological flapping condition degrades
+    * to GC pressure instead of a single giant array row.
+    */
+  final class AndThenMachine {
+    private final class Side {
+      var runs = List.empty[(Long, Long, Boolean)]
+      private val tail = ArrayBuffer.empty[(Long, Long, Boolean)]
+      var hasOpen = false
+      var openS = 0L
+      var openV = false
+      var floorCut = 0L
+      var unwindAt = 0L
+      def closedList: List[(Long, Long, Boolean)] =
+        if (tail.isEmpty) runs else runs ++ tail
+      /** Open/extend the tail run; returns true iff a run closed. */
+      def push(v: Boolean, idx: Long): Boolean =
+        if (hasOpen && openV == v) false
+        else {
+          val closed = hasOpen
+          if (hasOpen) closeOpen(idx - 1)
+          openS = idx; openV = v; hasOpen = true
+          closed
+        }
+      /** Close the tail, applying the deferred rewind floor (drop if the run
+        * ends below it, else cut its start) and unwind bound (drop if the
+        * run ends at or below it) — mirrors the streaming `closeOpen`.
+        */
+      def closeOpen(endIdx: Long): Unit = if (hasOpen) {
+        if (endIdx >= floorCut && endIdx > unwindAt)
+          tail += ((math.max(openS, floorCut), endIdx, openV))
+        hasOpen = false
+      }
+      def afterMerge(rem: List[(Long, Long, Boolean)], floor: Long, unwind: Long): Unit = {
+        runs = rem
+        tail.clear()
+        floorCut = math.max(floorCut, floor)
+        unwindAt = math.max(unwindAt, unwind)
+      }
+    }
+
+    private val a = new Side
+    private val b = new Side
+    private val emitted = ArrayBuffer.empty[(Long, Long)]
+    private var last = Long.MinValue
+
+    def feed(idx: Long, ca: Boolean, cb: Boolean): Unit = {
+      val c1 = a.push(ca, idx)
+      val c2 = b.push(cb, idx)
+      last = idx
+      if (c1 || c2) mergeRound()
+    }
+
+    private def mergeRound(): Unit = {
+      val r = andThenMergeInc(a.closedList, b.closedList, a.hasOpen, b.hasOpen)
+      emitted ++= r.emitted
+      a.afterMerge(r.remA, r.aFloor, 0L)
+      b.afterMerge(r.remB, r.bFloor, r.bUnwind)
+    }
+
+    /** Close both sides, run the final (fully closed) merge, and return the
+      * success intervals with ends clamped to the last fed idx (the merge
+      * can extend an interval one slot past the final event, like the
+      * whole-part UDF's maxIdx clamp).
+      */
+    def finish(): Seq[(Long, Long)] = {
+      if (last == Long.MinValue) return Seq.empty
+      a.closeOpen(last)
+      b.closeOpen(last)
+      mergeRound()
+      emitted.map { case (s, e) => (s, math.min(e, last)) }.toSeq
+    }
   }
 
   /** Exact port of the reference wait state machine over one part's events

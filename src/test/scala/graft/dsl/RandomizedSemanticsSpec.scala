@@ -212,6 +212,41 @@ class RandomizedSemanticsSpec extends SparkSpec {
       s"andThen mismatch; missing=${(expectedMs -- got).take(5)}, extra=${(got -- expectedMs).take(5)}")
   }
 
+  test("incremental AndThenMachine is identical to the whole-part queue merge") {
+    // pure-function fuzz, no Spark: varying flap rates (flip=1 is maximal
+    // flapping, flip=8 gives long constant stretches — the stall shapes
+    // where the incremental merge must hold state), random non-1-based
+    // start indices (gap runs resume mid-key)
+    val r = new Random(421337L)
+    for (trial <- 1 to 20000) {
+      val n = 1 + r.nextInt(60)
+      val start = 1L + r.nextInt(100)
+      val flipA = 1 + r.nextInt(8)
+      val flipB = 1 + r.nextInt(8)
+      var a = r.nextBoolean()
+      var b = r.nextBoolean()
+      val evs = (start until start + n).map { i =>
+        if (r.nextInt(flipA) == 0) a = !a
+        if (r.nextInt(flipB) == 0) b = !b
+        (i, a, b)
+      }
+      def rle(xs: Seq[(Long, Boolean)]): List[(Long, Long, Boolean)] =
+        xs.foldLeft(List.empty[(Long, Long, Boolean)]) {
+          case ((s, e, v) :: t, (i, c)) if v == c => (s, i, v) :: t
+          case (acc, (i, c))                      => (i, i, c) :: acc
+        }.reverse
+      val last = evs.last._1
+      val whole = PatternCompiler
+        .andThenMerge(rle(evs.map(e => (e._1, e._2))), rle(evs.map(e => (e._1, e._3))))
+        .map { case (s, e) => (s, math.min(e, last)) }
+      val m = new PatternCompiler.AndThenMachine
+      evs.foreach { case (i, ca, cb) => m.feed(i, ca, cb) }
+      val inc = m.finish()
+      assert(inc == whole,
+        s"trial=$trial n=$n flipA=$flipA flipB=$flipB: machine=$inc merge=$whole evs=${evs.take(30)}")
+    }
+  }
+
   // ------------------------------------------------------------------- wait
 
   /** Port of WaitAccumState.updated driven per part, as AccumPattern feeds
