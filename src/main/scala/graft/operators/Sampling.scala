@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-mix construction: deterministic stratified sampling and
+  * sequence packing — the last-mile operators between a deduplicated corpus
+  * and a training run.
+  *
+  * Both are designed around determinism (a re-run of the pipeline selects
+  * the same documents — no `rand()`, whose per-task seeding also breaks
+  * under retries/speculation) and shuffle economy (sampling is a narrow
+  * filter; packing shuffles once on a bounded shard key).
+  */
+object Sampling {
+
+  /** Deterministic per-id bucket in [0, 100): the first 4 hex digits of
+    * `md5(id)` read as an integer, mod 100. Portable — any SQL engine with
+    * `md5` reproduces it — and uniform enough for percentage sampling (the
+    * 16-bit space is unbiased across 100 buckets to within 0.04%).
+    */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  /** Keep each row iff its hash bucket falls below its stratum's percentage
+    * — per-stratum downsampling for training-mix rebalancing (e.g. cap
+    * boilerplate-heavy languages, upsample is the complement at a higher
+    * rate). A stratum absent from `rates` keeps `defaultPct`%.
+    *
+    * Scale shape: one narrow codegen'd filter — no shuffle, no sampling
+    * state, stable under partition count and task retries.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratum: Column,
+                       rates: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>
+      when(stratum === k, lit(pct)).otherwise(acc)
+    }
+    df.withColumn("_bucket", hashBucket(col(idCol)))
+      .filter(col("_bucket") < rate)
+      .drop("_bucket")
+  }
+
+  /** Greedy contiguous sequence packing: within each shard, documents in id
+    * order fill context windows of `budgetTokens`; a document starts a new
+    * bin when the tokens before it have consumed the current one. Output
+    * adds (shard, bin) — (shard, bin) is the packed-sequence key a training
+    * loader concatenates.
+    *
+    * Sharding is the scale decision: a single global packing order is a
+    * one-task sort at corpus scale, so documents first land in
+    * `shards` deterministic shards (`id mod shards`) and pack independently
+    * — packing is approximate by nature (any greedy order wastes at most
+    * one document's tokens per bin), so shard-local packing trades nothing
+    * measurable for full parallelism. One shuffle on the shard key; the
+    * running sum is a single sorted window per shard partition.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokens: Column,
+                    budgetTokens: Int, shards: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokens)
+      .withColumn("shard", pmod(col(idCol).cast("long"), lit(shards.toLong)))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budgetTokens))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{MediaOps, TextAnalysis, TextDedup, VectorOps}
+import graft.operators.{Clusters, MediaOps, Sampling, TextAnalysis, TextDedup, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -100,6 +100,35 @@ object LlmQueries {
           MediaOps.asMedia(Tables.documents(s, d), "doc_id", "text"))
         .withColumn("features",
           concat_ws(",", col("features").cast("array<string>")))
+    },
+
+    // Duplicate clusters: connected components (large-star/small-star) over
+    // the exact n-gram jaccard pairs; every document labeled with its
+    // component min + a canonical (survivor) flag.
+    "dedup_cluster" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.ngramJaccardDuplicates(docs, "doc_id", "text")
+      Clusters.clusterLabels(docs, "doc_id", pairs, "id_a", "id_b")
+    },
+
+    // Deterministic stratified sampling for training-mix rebalancing:
+    // md5-bucket per doc, per-language keep percentages (cap English at
+    // 10%, keep 40% of the rest).
+    "sample_stratified" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
+      Sampling.stratifiedSample(docs, "doc_id", col("lang_id"),
+        rates = Map("en" -> 10, "es" -> 40, "de" -> 40, "fr" -> 40, "zh" -> 40))
+    },
+
+    // Greedy shard-parallel sequence packing into 2048-token bins.
+    "pack_sequences" -> { (s, d) =>
+      Sampling.packSequences(
+          Tables.documents(s, d)
+            .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("_nt")),
+          "doc_id", col("_nt"), budgetTokens = 2048, shards = 32)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("shard"), col("bin"))
     })
 
   private val docsCte =
@@ -242,7 +271,79 @@ object LlmQueries {
         |       length(text)::BIGINT AS n_bytes,
         |       array_to_string([ascii(md5(text)[j])::INT::VARCHAR
         |                        for j in range(1, 9)], ',') AS features
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // transitive closure over the same 4-gram jaccard pairs dedup_ngram
+    // checks; cluster id = min reachable doc id (component min)
+    "dedup_cluster" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+        |                        for i in range(1, greatest(len(words) - 2, 2))]) AS grams
+        |       FROM d),
+        |p AS (SELECT a.doc_id AS ua, b.doc_id AS ub
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |            len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5),
+        |e AS (SELECT ua AS u, ub AS v FROM p UNION SELECT ub, ua FROM p),
+        |reach(n, r) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.n = e.v),
+        |lbl AS (SELECT n, min(r) AS root FROM reach GROUP BY n)
+        |SELECT doc.doc_id,
+        |       COALESCE(lbl.root, doc.doc_id) AS cluster_id,
+        |       CAST(COALESCE(lbl.root, doc.doc_id) = doc.doc_id AS INT) AS canonical
+        |FROM documents doc LEFT JOIN lbl ON lbl.n = doc.doc_id""".stripMargin,
+
+    // same md5 bucket (first 4 hex digits mod 100) and the same lang-id
+    // scoring text_quality replays; keep pct: en 10, es/de/fr/zh 40
+    "sample_stratified" -> sampleStratifiedOracle,
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |                  doc_id % 32 AS shard
+        |           FROM documents),
+        |c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+        |        PARTITION BY shard ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM t)
+        |SELECT doc_id, n_tokens, shard,
+        |       CAST(floor(cum / 2048.0) AS BIGINT) AS bin
+        |FROM c""".stripMargin)
+
+  /** Stratified-sample oracle: lang scores are the text_quality oracle's;
+    * the bucket re-derives Sampling.hashBucket (value of md5's first 4 hex
+    * digits, mod 100) from ascii arithmetic.
+    */
+  private lazy val sampleStratifiedOracle: String = {
+    def dv(k: Int) =
+      s"(CASE WHEN ascii(substr(hx, $k, 1)) >= 97 THEN ascii(substr(hx, $k, 1)) - 87" +
+        s" ELSE ascii(substr(hx, $k, 1)) - 48 END)"
+    s"""WITH d0 AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w,
+       |              length(text) AS n FROM documents),
+       |sc AS (SELECT doc_id,
+       |  len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))::DOUBLE / len(w) AS s_en,
+       |  len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','es','los','por'], x)))::DOUBLE / len(w) AS s_es,
+       |  len(list_filter(w, x -> list_contains(['der','die','das','und','ist','von','mit','den','nicht','ein'], x)))::DOUBLE / len(w) AS s_de,
+       |  len(list_filter(w, x -> list_contains(['le','la','de','et','un','est','que','pour','dans','les'], x)))::DOUBLE / len(w) AS s_fr,
+       |  len(list_filter(w, x -> list_contains(['de5','shi4','le5','zai4','he2','you3','wo3','ta1','zhe4','bu4'], x)))::DOUBLE / len(w) AS s_zh
+       |FROM d0),
+       |lang AS (SELECT doc_id,
+       |  CASE WHEN s_zh > greatest(s_en, s_es, s_de, s_fr) THEN 'zh'
+       |       WHEN s_fr > greatest(s_en, s_es, s_de) THEN 'fr'
+       |       WHEN s_de > greatest(s_en, s_es) THEN 'de'
+       |       WHEN s_es > s_en THEN 'es'
+       |       ELSE 'en' END AS lang_id
+       |  FROM sc),
+       |h AS (SELECT doc_id, lang_id, md5(doc_id::VARCHAR) AS hx FROM lang),
+       |b AS (SELECT doc_id, lang_id,
+       |        (${dv(1)} * 4096 + ${dv(2)} * 256 + ${dv(3)} * 16 + ${dv(4)}) % 100 AS bucket
+       |      FROM h)
+       |SELECT doc_id, lang_id FROM b
+       |WHERE bucket < CASE lang_id WHEN 'en' THEN 10 ELSE 40 END""".stripMargin
+  }
 
   /** LSH ANN re-derived in DuckDB: VectorOps.hyperplanes is seeded and
     * deterministic, so the plane matrix embeds as a literal DOUBLE[].

@@ -66,6 +66,19 @@ class PlanSpec extends SparkSpec {
       "dedup_ngram should only read doc_id and text")
   }
 
+  test("stratified sampling is a pure narrow filter — zero exchanges") {
+    val p = plan("sample_stratified")
+    assert(!p.contains("Exchange"),
+      s"sample_stratified must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("sequence packing shuffles once, on the shard key") {
+    val p = plan("pack_sequences")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"pack_sequences shuffles $exchanges times:\n${p.take(2000)}")
+    assert(p.contains("shard"), "window must partition by the shard column")
+  }
+
   test("dsl pattern plans reuse one exchange for the window pipeline") {
     val p = plan("dsl_timer")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

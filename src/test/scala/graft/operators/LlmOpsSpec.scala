@@ -201,4 +201,84 @@ class LlmOpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de"))
   }
+
+  test("connected components match a union-find oracle on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7741L)
+    for (trial <- 1 to 5) {
+      val n = 40 + rnd.nextInt(60)
+      val edges = Seq.fill(20 + rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map { v =>
+        // component min = min node id sharing the root
+        val r = find(v.toInt)
+        v -> nodes.filter(u => find(u.toInt) == r).min
+      }.toMap
+      val got = Clusters.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected,
+        s"trial $trial: diff=${(expected.toSet diff got.toSet).take(5)} / ${(got.toSet diff expected.toSet).take(5)}")
+    }
+  }
+
+  test("connected components contract a worst-case path graph") {
+    import spark.implicits._
+    // a 64-node chain is the adversarial diameter case for label
+    // propagation; alternating star must still label everything 0
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Clusters.connectedComponents(chain, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L), s"got=$got")
+  }
+
+  test("stratified sample matches a JVM md5-bucket oracle and is deterministic") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
+      .cache()
+    val rates = Map("en" -> 10, "es" -> 40, "de" -> 40, "fr" -> 40, "zh" -> 40)
+    val got = Sampling.stratifiedSample(docs, "doc_id", col("lang_id"), rates)
+      .as[(Long, String)].collect().toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Int = {
+      val hx = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hx.take(4), 16) % 100
+    }
+    val expected = docs.as[(Long, String)].collect()
+      .filter { case (id, lang) => bucket(id) < rates(lang) }.toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)}, extra=${(got -- expected).take(5)}")
+    assert(got.nonEmpty && got.size < expected.size + 1)
+  }
+
+  test("sequence packing fills bins greedily per shard") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("_nt"))
+    val budget = 512
+    val got = Sampling.packSequences(docs, "doc_id", col("_nt"), budget, shards = 4)
+      .select(col("doc_id"), col("n_tokens").cast("long"), col("shard"), col("bin"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._3).foreach { case (shard, rows) =>
+      var cum = 0L
+      var bin = 0L
+      rows.sortBy(_._1).foreach { case (id, nt, _, b) =>
+        val expect = cum / budget
+        assert(b == expect, s"shard $shard doc $id: bin $b != $expect")
+        bin = expect
+        cum += nt
+      }
+    }
+  }
 }
