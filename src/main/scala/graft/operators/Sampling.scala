@@ -28,16 +28,29 @@ object Sampling {
     * rate). A stratum absent from `rates` keeps `defaultPct`%.
     *
     * Scale shape: one narrow codegen'd filter — no shuffle, no sampling
-    * state, stable under partition count and task retries.
+    * state, stable under partition count and task retries. The rate lookup
+    * is a map literal (`element_at`), NOT a chain of `when(stratum === k)`
+    * branches: the chain references `stratum` once per stratum, and when
+    * the caller's stratum is an expensive derived expression (e.g. a
+    * language id over word-list HOFs) projection collapse inlines a full
+    * copy into every branch — observed 10x on the sampling query.
     */
   def stratifiedSample(df: DataFrame, idCol: String, stratum: Column,
                        rates: Map[String, Int], defaultPct: Int = 100): DataFrame = {
-    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>
-      when(stratum === k, lit(pct)).otherwise(acc)
-    }
-    df.withColumn("_bucket", hashBucket(col(idCol)))
-      .filter(col("_bucket") < rate)
-      .drop("_bucket")
+    val rateMap = map(rates.toSeq.flatMap { case (k, pct) =>
+      Seq(lit(k), lit(pct))
+    }: _*)
+    // `_nd` is a collapse/pushdown barrier: without it the filter predicate
+    // is pushed into the stratum projection and evaluates the (possibly
+    // expensive, interpreted) stratum expression a second time per row,
+    // outside whole-stage codegen
+    val staged = df
+      .withColumn("_stratum", stratum)
+      .withColumn("_bucket", hashBucket(col(idCol)))
+      .withColumn("_nd", monotonically_increasing_id())
+    val rate = coalesce(element_at(rateMap, col("_stratum")), lit(defaultPct))
+    staged.filter(col("_bucket") < rate)
+      .drop("_stratum", "_bucket", "_nd")
   }
 
   /** Greedy contiguous sequence packing: within each shard, documents in id

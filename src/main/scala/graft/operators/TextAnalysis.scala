@@ -30,14 +30,25 @@ object TextAnalysis {
     size(filter(w, x => array_contains(prof, x))).cast("double") / size(w)
   }
 
-  /** Most likely language by profile score, ties resolved in profile order. */
+  /** Most likely language by profile score, ties resolved in profile order.
+    *
+    * Argmax as `array_max` over (score, -profileIndex, lang) structs: a
+    * later profile wins only on a strictly greater score (equal scores fall
+    * to the -index field, which prefers the earliest profile) — the same
+    * decision a `when(s > best)` fold makes, but each score expression
+    * appears exactly ONCE. The fold form embedded the running best score
+    * twice per level, doubling the (interpreted, HOF-based) score
+    * subtrees per profile — 2^profiles copies that common-subexpression
+    * elimination cannot dedupe outside codegen; observed 10x on the
+    * sampling query. NaN scores only occur all-at-once (a wordless text
+    * NaNs every profile), so struct ordering's NaN-is-largest never
+    * diverges from the fold's comparison semantics.
+    */
   def langId(text: Column): Column = {
-    val scores = langProfiles.map { case (l, p) => l -> langScore(text, p) }
-    scores.tail.foldLeft[(Column, Column)]((lit(scores.head._1), scores.head._2)) {
-      case ((bestLang, bestScore), (l, s)) =>
-        (when(s > bestScore, lit(l)).otherwise(bestLang),
-          when(s > bestScore, s).otherwise(bestScore))
-    }._1
+    val cands = langProfiles.zipWithIndex.map { case ((l, p), i) =>
+      struct(langScore(text, p).as("s"), lit(-i).as("p"), lit(l).as("l"))
+    }
+    array_max(array(cands: _*)).getField("l")
   }
 
   /** Whitespace token count. */
