@@ -308,6 +308,37 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: training documents sharing at least one
+    * word k-gram with an evaluation set (the GPT-3/PaLM-style n-gram
+    * overlap check) — run alongside dedup so benchmark answers never leak
+    * into the training mix.
+    *
+    * Scale shape: the eval side is small by nature (benchmark suites, not
+    * corpora), so its distinct gram hashes BROADCAST; the corpus explodes
+    * to (id, gram) and probes the broadcast hash join — the corpus never
+    * shuffles. Only matched rows (bounded by actual contamination) reach
+    * the pair-count aggregation.
+    *
+    * Output: (doc_id, eval_id, shared) — one row per contaminated
+    * (corpus doc, eval doc) pair with the count of shared distinct grams.
+    */
+  def contaminatedPairs(
+    corpus: DataFrame, corpusId: String, corpusText: String,
+    evalSet: DataFrame, evalId: String, evalText: String,
+    shingleK: Int = 5
+  ): DataFrame = {
+    def grams(df: DataFrame, id: String, text: String, idAs: String) =
+      Spread(df.select(col(id).as(idAs), split(col(text), "\\s+").as("_w")))
+        .select(col(idAs),
+          explode(array_distinct(transform(shinglesOfWords(col("_w"), shingleK),
+            s => xxhash64(s)))).as("g"))
+    val c = grams(corpus, corpusId, corpusText, "doc_id")
+    val e = grams(evalSet, evalId, evalText, "eval_id")
+    c.join(broadcast(e), "g")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("shared"))
+  }
+
   /** Bit `j` (0-63) of a word's 64-bit hash, derived from the first 16 hex
     * digits of its md5: digit j/4's value, bit j%4. md5 is the one hash
     * both this engine and external SQL oracles (DuckDB) share, which makes

@@ -129,6 +129,16 @@ object LlmQueries {
           "doc_id", col("_nt"), budgetTokens = 2048, shards = 32)
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("shard"), col("bin"))
+    },
+
+    // Benchmark decontamination: every 20th document plays the eval set;
+    // the rest is the training corpus. 5-gram overlap, broadcast eval side.
+    "decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextDedup.contaminatedPairs(
+        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+        shingleK = 5)
     })
 
   private val docsCte =
@@ -311,7 +321,21 @@ object LlmQueries {
         |      FROM t)
         |SELECT doc_id, n_tokens, shard,
         |       CAST(floor(cum / 2048.0) AS BIGINT) AS bin
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+
+    // brute-force 5-gram intersection between the corpus and eval slices
+    "decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+        |                       words[i+3] || ' ' || words[i+4]
+        |                       for i in range(1, greatest(len(words) - 3, 2))]) AS grams
+        |      FROM d),
+        |c AS (SELECT * FROM g WHERE doc_id % 20 <> 0),
+        |e AS (SELECT * FROM g WHERE doc_id % 20 = 0)
+        |SELECT c.doc_id, e.doc_id AS eval_id,
+        |       len(list_intersect(c.grams, e.grams))::BIGINT AS shared
+        |FROM c JOIN e ON len(list_intersect(c.grams, e.grams)) > 0""".stripMargin)
 
   /** Stratified-sample oracle: lang scores are the text_quality oracle's;
     * the bucket re-derives Sampling.hashBucket (value of md5's first 4 hex

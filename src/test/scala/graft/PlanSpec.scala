@@ -79,6 +79,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("shard"), "window must partition by the shard column")
   }
 
+  test("decontaminate probes the eval grams via broadcast — corpus never shuffles for the join") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected a broadcast gram join:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must not shuffle into a sort-merge join")
+  }
+
   test("dsl pattern plans reuse one exchange for the window pipeline") {
     val p = plan("dsl_timer")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

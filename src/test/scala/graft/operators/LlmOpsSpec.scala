@@ -202,6 +202,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de"))
   }
 
+  test("contaminated pairs equal a brute-force gram-set intersection") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).cache()
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    val got = TextDedup.contaminatedPairs(corpus, "doc_id", "text",
+        eval, "doc_id", "text", shingleK = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    def grams(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      array_distinct(TextDedup.wordShingles(col("text"), 5)).as("g"))
+    val expected = grams(corpus).as("c").join(grams(eval).as("e"))
+      .select(col("c.doc_id"), col("e.doc_id").as("eval_id"),
+        size(array_intersect(col("c.g"), col("e.g"))).cast("long").as("shared"))
+      .filter(col("shared") > 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture should contain planted contamination")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)}, extra=${(got -- expected).take(5)}")
+  }
+
   test("connected components match a union-find oracle on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7741L)
