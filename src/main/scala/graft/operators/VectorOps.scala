@@ -234,14 +234,95 @@ object VectorOps {
       math.max(math.ceil(math.sqrt(n.toDouble)).toLong,
         math.ceil(n.toDouble / maxCentroids).toLong))
 
+  /** Lloyd k-means over unit-direction vectors — the optional trainer for
+    * [[ivfTopK]]'s coarse quantizer (spherical k-means: cosine assignment,
+    * mean recentering). Deterministic: initial centroids are a systematic
+    * every-`stride`-th sample in id order, iterations are fixed-count.
+    *
+    * Scale shape per iteration: assignment is the same broadcast-matrix
+    * per-partition pass the search path uses (no corpus shuffle); the
+    * recentering explodes assigned vectors to (cid, pos, value) and
+    * mean-aggregates — one shuffle carrying scalar triples, map-side
+    * partial. k is bounded by the [[ivfStride]] budget, so the collected
+    * centroid matrix stays driver-safe. Returns (cid, vector, norm)
+    * triples ready for [[ivfTopKWith]].
+    */
+  def kmeansCentroids(corpus: DataFrame, id: String, vec: String,
+                      k: Int, iters: Int = 2): Array[(Long, Array[Double], Double)] = {
+    import org.apache.spark.sql.Row
+    val base = Spread(corpus).select(col(id).cast("long").as("nid"),
+        asDouble(col(vec)).as("nv"))
+      .withColumn("nn", norm(col("nv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    val stride = math.max(1L, n / math.max(1, k))
+    var cents: Array[(Long, Array[Double], Double)] =
+      base.filter(col("nid") % stride === 0)
+        .orderBy("nid").limit(k).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray, r.getDouble(2)) }
+    var it = 0
+    while (it < iters && cents.nonEmpty) {
+      val assigned = assignCentroids(base, "nid", "nv", "nn", cents, 1)
+        .join(base, "nid")
+      val means = assigned
+        .select(col("cid"), posexplode(col("nv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .collect()
+        .map { r =>
+          val arr = r.getSeq[Row](1).map(_.getDouble(1)).toArray
+          var s = 0.0
+          arr.foreach(x => s += x * x)
+          (r.getLong(0), arr, math.sqrt(s))
+        }
+        .filter(_._3 > 0) // a cluster that lost all members drops out
+        .sortBy(_._1)
+      cents = means
+      it += 1
+    }
+    base.unpersist()
+    cents
+  }
+
+  /** [[ivfTopK]] with a caller-supplied centroid table (e.g. from
+    * [[kmeansCentroids]]) — the swappable-quantizer search path. Centroid
+    * ids must be distinct; assignment and probing are identical to the
+    * systematic-sample variant.
+    */
+  def ivfTopKWith(queries: DataFrame, qid: String, qvec: String,
+                  corpus: DataFrame, id: String, vec: String,
+                  cents: Array[(Long, Array[Double], Double)],
+                  k: Int, nprobe: Int = 4): DataFrame = {
+    require(cents.nonEmpty, "empty centroid table")
+    val cBase = Spread(corpus).select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
+      .withColumn("nn", norm(col("nv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qBase = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assignN = assignCentroids(cBase, "nid", "nv", "nn", cents, 1)
+    val probesQ = assignCentroids(qBase, "qid", "qv", "qn", cents, nprobe)
+    val pairs = assignN.join(broadcast(probesQ),
+        assignN("cid") === probesQ("cid") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .join(broadcast(qBase), "qid")
+      .join(cBase, "nid")
+      .select(col("qid"), col("nid"), col("qv"), col("nv"), col("qn"), col("nn"))
+    val scored = scorePairs(pairs)
+      .withColumn("sim", round(col("sim"), 6))
+    topKPerKey(scored, "qid", k)
+  }
+
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     * path alongside [[lshTopK]].
     *
     * Centroids are a deterministic systematic sample of the corpus (every
     * `stride`-th id, stride derived by [[ivfStride]]) rather than trained
     * k-means: no training pass, fully reproducible by an external SQL
-    * oracle, and at production scale the centroid table is swappable for a
-    * trained one without touching the search path. Every corpus vector is
+    * oracle — swap in [[kmeansCentroids]] via [[ivfTopKWith]] when a
+    * trained quantizer pays for itself. Every corpus vector is
     * assigned to its max-cosine centroid (tie: smallest centroid id); a
     * query probes its `nprobe` nearest centroids and scans exactly those
     * inverted lists with exact cosine.

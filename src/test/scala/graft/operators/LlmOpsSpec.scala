@@ -202,6 +202,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de"))
   }
 
+  test("kmeans-trained IVF centroids hold recall on the swappable search path") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val exact = VectorOps.bruteForceTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = VectorOps.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 2)
+    assert(cents.nonEmpty && cents.length <= 8, s"centroids=${cents.length}")
+    assert(cents.map(_._1).distinct.length == cents.length, "duplicate centroid ids")
+    val got = VectorOps.ivfTopKWith(q, "vec_id", "embedding", e, "vec_id", "embedding",
+        cents, k = 5, nprobe = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"trained-IVF recall $recall < 0.8")
+  }
+
   test("contaminated pairs equal a brute-force gram-set intersection") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).cache()
