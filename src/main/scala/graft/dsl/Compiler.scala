@@ -37,10 +37,13 @@ final case class PatternConfig(
   * frame, built with window functions partitioned by (keys..., gap_run) and
   * ordered by event-time millis — one shuffle + one sort for the whole
   * pattern, all stages inside whole-stage codegen. The two genuinely
-  * sequential operators (`andThen`'s queue merge, which has cross-run
-  * consumption semantics) run over *run-length-compressed* segments — data
-  * that is orders of magnitude smaller than the events — and are mapped back
-  * to an event column with an equi-join on the partition key.
+  * sequential operators — `andThen`'s queue merge (cross-run consumption
+  * semantics) and `wait`'s accumulation machine — stream each part's events
+  * through bounded-memory state machines in one `mapPartitions` pass
+  * ([[PatternCompiler.AndThenMachine]], [[PatternCompiler.WaitMachine]]);
+  * the emitted idx intervals (segment-sized, orders of magnitude smaller
+  * than the events) map back to an event column with an equi-join on the
+  * partition key.
   *
   * Reference semantics sources are cited per method.
   */

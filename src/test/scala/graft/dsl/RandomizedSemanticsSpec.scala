@@ -247,6 +247,33 @@ class RandomizedSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("pattern machines stream a million events without whole-part buffering") {
+    // the scale claim behind the mapPartitions rewrite: state is runs (and
+    // the wait windowQueue), never the events. 1M events with adversarial
+    // shapes — flapping conditions, a never-true side holding the frontier
+    // open — must stream through in-heap without materializing per-event
+    // structures (the old collect_list formulation held 1M struct rows
+    // per part here).
+    val t0 = System.nanoTime()
+    val m1 = new PatternCompiler.AndThenMachine
+    var i = 1L
+    while (i <= 1000000L) { m1.feed(i, i % 2 == 0, i % 3 == 0); i += 1 }
+    val out1 = m1.finish()
+    assert(out1.nonEmpty)
+    // A constant-true, B never true: the frontier never advances — pending
+    // state is ONE open run per side, zero closed runs
+    val m2 = new PatternCompiler.AndThenMachine
+    i = 1L
+    while (i <= 1000000L) { m2.feed(i, ca = true, cb = false); i += 1 }
+    assert(m2.finish().isEmpty)
+    val m3 = new PatternCompiler.WaitMachine(1000L)
+    i = 1L
+    while (i <= 1000000L) { m3.feed(i, i * 100L, (i / 7) % 2 == 0); i += 1 }
+    assert(m3.finish().nonEmpty)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, s"machines took ${secs}s for 3M events")
+  }
+
   // ------------------------------------------------------------------- wait
 
   /** Port of WaitAccumState.updated driven per part, as AccumPattern feeds
