@@ -50,6 +50,14 @@ final case class WideDataFilling(
 
 /** JDBC batch source: arbitrary SQL pushed to the database
   * (reference: JDBCInputConf + JdbcSource, StreamSource.scala:136-315).
+  *
+  * `parallelism` + `splitColumn` enable a PARTITIONED read — `parallelism`
+  * concurrent range-split scans of the query instead of one task reading
+  * everything (the reference streams a single doobie cursor; at cluster
+  * scale a single reader is the ingest bottleneck). Split bounds come from
+  * `splitLower`/`splitUpper`, or are probed with one min/max round trip
+  * when absent. The split column must be numeric (the usual id or epoch
+  * column).
   */
 final case class JdbcSourceConf(
   jdbcUrl: String,
@@ -63,7 +71,11 @@ final case class JdbcSourceConf(
   unitIdField: Option[String] = None,
   eventsMaxGapMs: Long = 60000L,
   defaultEventsGapMs: Long = 2000L,
-  dataTransformation: Option[SourceTransformation] = None
+  dataTransformation: Option[SourceTransformation] = None,
+  parallelism: Option[Int] = None,
+  splitColumn: Option[String] = None,
+  splitLower: Option[Long] = None,
+  splitUpper: Option[Long] = None
 ) extends SourceConf
 
 /** Kafka JSON source (reference: KafkaInputConf.scala:6-28: user-declared
@@ -108,13 +120,46 @@ object Sources {
     */
   def read(spark: SparkSession, conf: SourceConf): DataFrame = conf match {
     case c: JdbcSourceConf =>
-      var r = spark.read.format("jdbc")
-        .option("url", c.jdbcUrl)
-        .option("query", c.query)
-        .option("driver", c.driverName)
-      c.userName.foreach(u => r = r.option("user", u))
-      c.password.foreach(p => r = r.option("password", p))
-      finish(r.load(), c)
+      def reader = {
+        var r = spark.read.format("jdbc")
+          .option("url", c.jdbcUrl)
+          .option("driver", c.driverName)
+        c.userName.foreach(u => r = r.option("user", u))
+        c.password.foreach(p => r = r.option("password", p))
+        r
+      }
+      val frame = (c.parallelism, c.splitColumn) match {
+        case (Some(n), Some(split)) if n > 1 =>
+          // Spark's jdbc partitioning wants `dbtable` (a subquery alias it
+          // can wrap with range predicates), not `query`
+          val table = s"(${c.query}) graft_src"
+          val (lo, hi) = (c.splitLower, c.splitUpper) match {
+            case (Some(l), Some(u)) => (l, u)
+            case _ =>
+              // one-row bounds probe; pennies next to the partitioned scan
+              // it unlocks. The split column is dialect-quoted here (the
+              // sink writes quoted, hence case-sensitive, identifiers);
+              // Spark quotes `partitionColumn` itself for the range scans.
+              val q = org.apache.spark.sql.jdbc.JdbcDialects.get(c.jdbcUrl)
+                .quoteIdentifier(split)
+              val b = reader
+                .option("query",
+                  s"SELECT MIN($q) AS mn, MAX($q) AS mx FROM (${c.query}) AS graft_probe")
+                .load().head()
+              if (b.isNullAt(0)) (0L, 0L)
+              else (b.getAs[Number](0).longValue(), b.getAs[Number](1).longValue())
+          }
+          if (lo >= hi) reader.option("query", c.query).load()
+          else reader
+            .option("dbtable", table)
+            .option("partitionColumn", split)
+            .option("lowerBound", lo)
+            .option("upperBound", hi)
+            .option("numPartitions", n)
+            .load()
+        case _ => reader.option("query", c.query).load()
+      }
+      finish(frame, c)
     case c: KafkaSourceConf =>
       val raw = spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", c.brokers)

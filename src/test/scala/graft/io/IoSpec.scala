@@ -39,6 +39,29 @@ class IoSpec extends SparkSpec {
     assert(row.getString(byName("note")) == "sev=high unit=7")
   }
 
+  test("partitioned JDBC read splits the query across range scans") {
+    val events = (1L to 97L).map(i => (i, i * 1.5, s"u${i % 3}", 1704067200L + i))
+      .toDF("event_id", "value", "user_id", "dt")
+    Sinks.writeJdbc(events, JdbcSinkConf(
+      tableName = "events_part",
+      rowSchema = RowSchema(Map.empty),
+      jdbcUrl = url,
+      driverName = driver))
+    val conf = JdbcSourceConf(
+      jdbcUrl = url,
+      query = "SELECT * FROM events_part",
+      driverName = driver,
+      datetimeField = "dt",
+      partitionFields = Seq("user_id"),
+      parallelism = Some(4),
+      splitColumn = Some("event_id")) // bounds probed, not supplied
+    val got = Sources.read(spark, conf)
+    assert(got.rdd.getNumPartitions == 4,
+      s"expected 4 range scans, got ${got.rdd.getNumPartitions}")
+    assert(got.count() == 97)
+    assert(got.agg(sum(col("event_id"))).head().getLong(0) == (1L to 97L).sum)
+  }
+
   test("JDBC sink + source round-trip through embedded Derby") {
     val events = Seq(
       (1L, 100.5, "u1", 1704067200L),
