@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -25,7 +26,7 @@ import org.apache.spark.sql.functions._
   * one-sided `except` (both sets are distinct, so subset + same size =
   * equal) — never by collecting edges to the driver.
   */
-object Clusters {
+object Clusters extends Logging {
 
   /** (id, cluster) labels for every node appearing in `pairs`, where
     * `cluster` is the smallest node id in the component. Ids must be
@@ -76,6 +77,10 @@ object Clusters {
       e = ss
       round += 1
     }
+    if (!converged)
+      logWarning(s"connected components hit maxRounds=$maxRounds before " +
+        "converging; labels may be per-neighborhood minima, not component " +
+        "minima (raise maxRounds — star contraction needs O(log n) rounds)")
     // converged edge set is a star forest: (node, root) for every non-root;
     // the symmetric min labels every node (roots label themselves)
     mins(sym(e)).select(col("u").as("id"), col("m").as("cluster"))

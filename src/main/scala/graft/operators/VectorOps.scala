@@ -302,6 +302,17 @@ object VectorOps {
     val qBase = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfSearch(qBase, cBase, cents, k, nprobe)
+  }
+
+  /** Shared IVF search: inverted-list scan of pre-normed (qid,qv,qn) /
+    * (nid,nv,nn) bases against a broadcast centroid table. Probes are
+    * broadcast; each candidate (qid, nid) appears once because a corpus
+    * vector lives in exactly one list.
+    */
+  private def ivfSearch(qBase: DataFrame, cBase: DataFrame,
+                        cents: Array[(Long, Array[Double], Double)],
+                        k: Int, nprobe: Int): DataFrame = {
     val assignN = assignCentroids(cBase, "nid", "nv", "nn", cents, 1)
     val probesQ = assignCentroids(qBase, "qid", "qv", "qn", cents, nprobe)
     val pairs = assignN.join(broadcast(probesQ),
@@ -361,19 +372,7 @@ object VectorOps {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
     if (cents.isEmpty)
       return bruteForceTopK(queries, qid, qvec, corpus, id, vec, k)
-    val assignN = assignCentroids(cBase, "nid", "nv", "nn", cents, 1)
-    val probesQ = assignCentroids(qBase, "qid", "qv", "qn", cents, nprobe)
-    // inverted-list scan: probes are broadcast; each candidate (qid, nid)
-    // appears once because a corpus vector lives in exactly one list
-    val pairs = assignN.join(broadcast(probesQ),
-        assignN("cid") === probesQ("cid") && col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"))
-      .join(broadcast(qBase), "qid")
-      .join(cBase, "nid")
-      .select(col("qid"), col("nid"), col("qv"), col("nv"), col("qn"), col("nn"))
-    val scored = scorePairs(pairs)
-      .withColumn("sim", round(col("sim"), 6))
-    topKPerKey(scored, "qid", k)
+    ivfSearch(qBase, cBase, cents, k, nprobe)
   }
 
   /** (id, cid) rows: each vector's `take` max-cosine centroids, ordered by
