@@ -90,6 +90,10 @@ final case class KafkaSourceConf(
   datetimeField: String,
   fieldsTypes: Map[String, String],
   group: String = "graft",
+  /** "latest" (reference default), "earliest", or a per-partition offset
+    * JSON — passed through to the connector's `startingOffsets`.
+    */
+  startingOffsets: String = "latest",
   timestampMultiplier: Double = 1000.0,
   partitionFields: Seq[String] = Nil,
   unitIdField: Option[String] = None,
@@ -164,7 +168,8 @@ object Sources {
       val raw = spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", c.brokers)
         .option("subscribe", c.topic)
-        .option("startingOffsets", "latest")
+        .option("startingOffsets", c.startingOffsets)
+        .option("kafka.group.id", c.group)
         .load()
       finish(parseKafkaJson(raw, c.schema), c)
   }

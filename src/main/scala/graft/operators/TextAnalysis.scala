@@ -86,6 +86,43 @@ object TextAnalysis {
       "quality" -> round(score, 6))
   }
 
+  /** Corpus-frequency familiarity per document — the shape of a unigram-LM
+    * quality scorer with the corpus itself as the table (swap in an external
+    * frequency table at production scale without changing the plan):
+    * `commonness` = mean corpus probability of the document's words
+    * (Σ count(w) / (n_words · N)), `hapax` = how many of its word
+    * occurrences are corpus-unique. Low commonness / high hapax flags
+    * gibberish, OCR noise, and rare-language contamination — the cheap
+    * LM-style pre-filter before expensive scoring.
+    *
+    * Deliberately built on INTEGER sums + one final division: word counts
+    * are exact, so the score is bit-stable across engines, partitionings,
+    * and reruns (a mean-log-prob formulation would hang the oracle hash on
+    * libm `ln` rounding and float summation order).
+    *
+    * Scale shape: one map-side-combined count shuffle for the frequency
+    * table, one join of occurrences to frequencies on the word key, one
+    * per-doc aggregate; the corpus-total is a 1-row broadcast.
+    *
+    * @param docs frame with `idCol` and `textCol`
+    */
+  def corpusFamiliarity(docs: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val w = Spread(docs.select(col(idCol).as("doc_id"), col(textCol).as("_t")))
+      .select(col("doc_id"), explode(words(col("_t"))).as("word"))
+    val freq = w.groupBy("word").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("n"))
+    w.join(freq, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("c")).as("_fs"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_words"), col("hapax"),
+        round(col("_fs").cast("double") / (col("n_words") * col("n")), 6)
+          .as("commonness"))
+  }
+
   /** Document fingerprint: lexicographic minimum of the md5 of each 5-word
     * window — a winnowing-style rolling selection that is stable under small
     * edits away from the minimum window. md5 keeps it reproducible in any

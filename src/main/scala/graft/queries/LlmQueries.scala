@@ -139,6 +139,12 @@ object LlmQueries {
         docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
         docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
         shingleK = 5)
+    },
+
+    // Unigram-LM-shaped familiarity: mean corpus word probability + hapax
+    // occurrences per document, exact integer arithmetic throughout.
+    "text_rarity" -> { (s, d) =>
+      TextAnalysis.corpusFamiliarity(Tables.documents(s, d), "doc_id", "text")
     })
 
   private val docsCte =
@@ -322,6 +328,18 @@ object LlmQueries {
         |SELECT doc_id, n_tokens, shard,
         |       CAST(floor(cum / 2048.0) AS BIGINT) AS bin
         |FROM c""".stripMargin,
+
+    "text_rarity" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |           FROM documents),
+        |f AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+        |t AS (SELECT sum(c) AS n FROM f),
+        |d AS (SELECT w.doc_id, count(*) AS n_words, sum(f.c) AS fs,
+        |             sum(CASE WHEN f.c = 1 THEN 1 ELSE 0 END) AS hapax
+        |      FROM w JOIN f USING (word) GROUP BY w.doc_id)
+        |SELECT doc_id, n_words::BIGINT AS n_words, hapax::BIGINT AS hapax,
+        |       round(fs::DOUBLE / (n_words * (SELECT n FROM t)), 6) AS commonness
+        |FROM d""".stripMargin,
 
     // brute-force 5-gram intersection between the corpus and eval slices
     "decontaminate" ->
