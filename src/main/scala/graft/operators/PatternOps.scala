@@ -167,10 +167,16 @@ object PatternOps {
       lit(null).cast("timestamp").as("_g_afrom"), lit(null).cast("bigint").as("_g_afromms"),
       struct(col("from_ms").as("fms"), col("to_ms").as("tms"),
         col("seg_to").as("to")).as("_g_b")): _*)
-    // B rows sort after A rows at equal position, so an adjacent B (b_from ==
-    // a_to - tol) is inside the A row's following-frame
-    val w = Window.partitionBy(kc: _*).orderBy(col("_g_pos"), col("_g_isb"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // The frame must cover every row at-or-after the A row's position. Spark
+    // recomputes unbounded-*following* ROW frames from scratch per row
+    // (UnboundedFollowingWindowFunctionFrame) — O(S²) per key in segment
+    // count — so sort *descending* and take a running min over the preceding
+    // frame instead, which Spark maintains incrementally (O(S)). Descending
+    // (_g_isb) keeps an adjacent B (b_from == a_to - tol) inside the A row's
+    // frame: B rows sort before A rows at equal position.
+    val w = Window.partitionBy(kc: _*)
+      .orderBy(col("_g_pos").desc, col("_g_isb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     a.unionByName(b)
       .withColumn("_g_next", min(col("_g_b")).over(w))
       .filter(col("_g_isb") === 0 && col("_g_next").isNotNull)
