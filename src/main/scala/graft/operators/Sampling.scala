@@ -59,6 +59,19 @@ object Sampling {
     * adds (shard, bin) — (shard, bin) is the packed-sequence key a training
     * loader concatenates.
     *
+    * Bin-size contract — SPLIT-ACROSS-WINDOWS packing: a document whose
+    * tokens cross the budget boundary stays in the bin it started in, so a
+    * bin may exceed `budgetTokens` by up to its last document's tokens (and
+    * dropping that last document always brings it strictly under budget —
+    * asserted non-circularly in `LlmOpsSpec`). The loader is expected to
+    * split the boundary document across adjacent context windows, the
+    * standard packed-pretraining layout — token position `i` of a shard
+    * maps to window `i / budgetTokens` with zero padding waste. The
+    * alternative (next-fit: open a new bin whenever the document itself
+    * does not fit) pads every bin and needs a sequential per-shard scan —
+    * its running total resets at each bin, which no window aggregate
+    * expresses.
+    *
     * Sharding is the scale decision: a single global packing order is a
     * one-task sort at corpus scale, so documents first land in
     * `shards` deterministic shards (`id mod shards`) and pack independently

@@ -99,8 +99,8 @@ object TextDedup {
     * One shuffle on the bucket key + one distinct on the pair — no
     * self-join, no window sort.
     */
-  private def cappedPairs(keyed0: DataFrame, exactKey: DataFrame,
-                          bucketCap: Int): DataFrame = {
+  private[operators] def cappedPairs(keyed0: DataFrame, exactKey: DataFrame,
+                                     bucketCap: Int): DataFrame = {
     // three consumers (bucket census, light path, heavy path) — materialize
     // the narrow (id, bk) frame once instead of re-running the signature
     // pipeline per consumer

@@ -236,8 +236,13 @@ object VectorOps {
 
   /** Lloyd k-means over unit-direction vectors — the optional trainer for
     * [[ivfTopK]]'s coarse quantizer (spherical k-means: cosine assignment,
-    * mean recentering). Deterministic: initial centroids are a systematic
-    * every-`stride`-th sample in id order, iterations are fixed-count.
+    * mean recentering). Deterministic: initial centroids are the k rows
+    * with the smallest `xxhash64(id)` — a seeded uniform sample that works
+    * on sparse or hashed id spaces (an id-modulo stride can yield far fewer
+    * than k rows there) and excludes zero-norm vectors, whose cosine
+    * against anything is NaN and would poison every assignment. The
+    * hash-ordered take is a `TakeOrderedAndProject` (per-partition top-k +
+    * merge), not a global sort. Iterations are fixed-count.
     *
     * Scale shape per iteration: assignment is the same broadcast-matrix
     * per-partition pass the search path uses (no corpus shuffle); the
@@ -254,11 +259,9 @@ object VectorOps {
         asDouble(col(vec)).as("nv"))
       .withColumn("nn", norm(col("nv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = base.count()
-    val stride = math.max(1L, n / math.max(1, k))
     var cents: Array[(Long, Array[Double], Double)] =
-      base.filter(col("nid") % stride === 0)
-        .orderBy("nid").limit(k).collect()
+      base.filter(col("nn") > 0)
+        .orderBy(xxhash64(col("nid")), col("nid")).limit(k).collect()
         .zipWithIndex
         .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray, r.getDouble(2)) }
     var it = 0
@@ -410,23 +413,34 @@ object VectorOps {
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates via
     * shared LSH buckets only (never all pairs).
+    *
+    * Bucket skew is capped the same way the text dedups cap it
+    * ([[TextDedup.cappedPairs]]): a per-bucket census runs first (map-side
+    * partial agg, skew-safe), buckets above `bucketCap` members are routed
+    * to an exact-signature fallback — grouping by the FULL LSH signature
+    * (all `tables` buckets), so a boilerplate cluster of identical
+    * embeddings collapses to one group (whose pairwise output is the
+    * contract) while a degenerate single-table hot bucket sub-splits by
+    * every other table's bits. No bucket ever enters the quadratic
+    * expansion above the cap.
     */
   def embeddingDuplicates(corpus: DataFrame, id: String, vec: String,
                           threshold: Double,
-                          tables: Int = 32, bits: Int = 4, dim: Int = 64): DataFrame = {
+                          tables: Int = 32, bits: Int = 4, dim: Int = 64,
+                          bucketCap: Int = 200): DataFrame = {
     val planes = hyperplanes(tables, bits, dim)
     // cache: the bucket computation (tables x bits dot products) would
-    // otherwise run once per self-join side; candidate dedup happens on ids
-    // only so vector arrays never enter the distinct's shuffle
+    // otherwise run once per consumer (census, light path, heavy path);
+    // candidate generation happens on ids only so vector arrays never
+    // enter a pair shuffle
     val base = Spread(corpus).select(col(id).as("id"), asDouble(col(vec)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c = bucketRows(base, "id", "v", planes)
-    val cand = c.as("x").join(c.as("y"),
-        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    val pairs = cand
+    val keyed = bucketRows(base, "id", "v", planes)
+    val exactKey = keyed.groupBy("id")
+      .agg(xxhash64(sort_array(collect_list(
+        struct(col("bk.table"), col("bk.bucket"))))).as("k"))
+    val pairs = TextDedup.cappedPairs(keyed, exactKey, bucketCap)
       .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb"))

@@ -314,6 +314,39 @@ class LlmOpsSpec extends SparkSpec {
         bin = expect
         cum += nt
       }
+      // non-circular bin-size invariant (split-across-windows contract):
+      // a bin may overflow the budget only by its LAST document's tokens —
+      // dropping that document must bring it strictly under budget — and
+      // every bin but the shard's last must reach the budget
+      val byBin = rows.sortBy(_._1).groupBy(_._4).toSeq.sortBy(_._1)
+      byBin.foreach { case (b, ds) =>
+        val total = ds.map(_._2).sum
+        val last = ds.maxBy(_._1)._2
+        assert(total - last < budget,
+          s"shard $shard bin $b: $total - last $last >= budget $budget")
+      }
     }
+  }
+
+  test("embeddingDuplicates survives a planted hot bucket of 500 identical vectors") {
+    import spark.implicits._
+    // 500 identical embeddings: every LSH bucket they produce is over-cap,
+    // so ALL of them route through the exact-signature fallback — one group
+    // (identical signature), whose C(500,2) pairwise output is the operator
+    // contract. Without the cap this is 32 tables x 500^2 = 8M candidate
+    // rows before dedup; with it, exactly 124,750 after.
+    val r = new scala.util.Random(7)
+    val hot = Array.fill(64)(r.nextGaussian().toFloat)
+    val rows =
+      (0L until 500L).map(i => (i, hot.clone())) ++
+      (500L until 600L).map(i => (i, Array.fill(64)(r.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = VectorOps.embeddingDuplicates(df, "vec_id", "embedding",
+        threshold = 0.45, bucketCap = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val hotPairs = out.filter { case (a, b) => a < 500 && b < 500 }
+    assert(hotPairs.length === 500 * 499 / 2,
+      s"expected all C(500,2) identical pairs, got ${hotPairs.length}")
+    assert(out.forall { case (a, b) => a < b })
   }
 }
