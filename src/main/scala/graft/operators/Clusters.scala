@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * the min-neighbor aggregate is map-side partial; `localCheckpoint`
   * truncates the iterative lineage so round N's plan does not replay rounds
   * 1..N-1 (and spills to executor-local storage, not the driver).
-  * Convergence is detected exactly — equal edge counts plus an empty
-  * one-sided `except` (both sets are distinct, so subset + same size =
-  * equal) — never by collecting edges to the driver.
+  * Convergence is detected from ONE aggregate job per round — the edge
+  * count plus an order-independent xxhash64-XOR fingerprint of the distinct
+  * edge set, computed in the same `agg` — never by collecting edges to the
+  * driver, and without the two extra `except`/`isEmpty` jobs a literal
+  * set-equality check would launch per round.
   */
 object Clusters extends Logging {
 
@@ -51,7 +53,17 @@ object Clusters extends Logging {
       s.groupBy("u").agg(min(col("v")).as("_mn"))
         .select(col("u"), least(col("_mn"), col("u")).as("m"))
 
-    var prevCount = e.count()
+    // (count, fingerprint) of a distinct edge set in one job: XOR of the
+    // per-edge xxhash64 is order-independent and cannot overflow (sum
+    // could, and Spark 4's ANSI mode would throw). Equal (count, xor) on
+    // consecutive distinct sets declares them equal — a 2^-64 collision
+    // risk, traded for dropping the per-round `except` + `isEmpty` jobs.
+    def stats(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var (prevCount, prevXor) = stats(e)
     var round = 0
     var converged = prevCount == 0L
     while (!converged && round < maxRounds) {
@@ -71,9 +83,10 @@ object Clusters extends Logging {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
-      val curCount = ss.count()
-      converged = curCount == prevCount && ss.except(e).isEmpty
+      val (curCount, curXor) = stats(ss)
+      converged = curCount == prevCount && curXor == prevXor
       prevCount = curCount
+      prevXor = curXor
       e = ss
       round += 1
     }
