@@ -313,6 +313,39 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
     name
   }
 
+  /** Mark every event whose [[IDX]] lies inside any decided interval —
+    * `ivRows` is one `(pcols..., _p_s, _p_e)` row per interval, as emitted
+    * by the andThen/wait machine passes.
+    *
+    * Shape: interval-open markers union into the frame and one linear
+    * window pass per key carries the last opened interval's end forward;
+    * an event is inside iff the carried end has not passed. Replaces a
+    * per-key interval-ARRAY join + `exists()` scan per event, which was
+    * O(events x intervals) per key — quadratic under a flapping condition
+    * where the interval count tracks the event count — and whose single
+    * array row per key was itself an unbounded-state hazard. Markers sort
+    * before events at the same position (`_p_iv_mk` 0 < 1), so an interval
+    * is inclusive of both endpoints.
+    */
+  private def stampIntervals(ivRows: DataFrame, out: String): Unit = {
+    val markers = ivRows.select(
+      pcols.map(col) ++ Seq(col("_p_s").as("_p_iv_pos"),
+        col("_p_e").as("_p_iv_end"), lit(0).as("_p_iv_mk")): _*)
+    val events = df
+      .withColumn("_p_iv_pos", col(IDX))
+      .withColumn("_p_iv_end", lit(null).cast("long"))
+      .withColumn("_p_iv_mk", lit(1))
+    val sw = Window.partitionBy(pcols.map(col): _*)
+      .orderBy(col("_p_iv_pos"), col("_p_iv_mk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df = markers.unionByName(events, allowMissingColumns = true)
+      .withColumn("_p_iv_open", last(col("_p_iv_end"), ignoreNulls = true).over(sw))
+      .filter(col("_p_iv_mk") === 1)
+      .withColumn(out,
+        coalesce(col("_p_iv_open") >= col("_p_iv_pos"), lit(false)))
+      .drop("_p_iv_pos", "_p_iv_end", "_p_iv_mk", "_p_iv_open")
+  }
+
   // ------------------------------------------------------------ timer
 
   /** `X for T`: Succ on events of a continuous true-run once the run has
@@ -398,11 +431,10 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
     * per-part state is the undecided runs only — never whole-part arrays
     * (an earlier groupBy + collect_list formulation put every condition run
     * of a part into one Tungsten array row, unbounded under a flapping
-    * condition). The emitted idx intervals (bounded by success sequences)
-    * join back to events on the partition key; no broadcast hint — the
-    * merged side is small at realistic incident cardinalities and AQE
-    * broadcasts it from runtime stats, but a forced hint would break at
-    * fleet-scale key counts.
+    * condition). The machine emits one ROW per decided idx interval —
+    * never a per-key interval array — and [[stampIntervals]] marks the
+    * events in one linear window pass (an earlier array-join + `exists`
+    * scan was O(events x intervals) per key).
     */
   private def andThen(a: Ast, b: Ast): Column = {
     val ca = materialize(coalesce(trilean(a), lit(false)), "ata")
@@ -412,18 +444,17 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
       .select((pcols.map(col) ++ Seq(col(IDX), col(ca), col(cb))): _*)
       .repartition(pcols.map(col): _*)
       .sortWithinPartitions((pcols :+ IDX).map(col): _*)
-    val ivSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("_1", org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("_2", org.apache.spark.sql.types.LongType, nullable = false)))
     val outSchema = org.apache.spark.sql.types.StructType(
-      src.schema.fields.take(nk) :+
-        org.apache.spark.sql.types.StructField("_p_aiv",
-          org.apache.spark.sql.types.ArrayType(ivSchema, containsNull = false)))
+      src.schema.fields.take(nk) ++ Seq(
+        org.apache.spark.sql.types.StructField("_p_s",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_p_e",
+          org.apache.spark.sql.types.LongType, nullable = false)))
     val merged = src.mapPartitions { it =>
       val buf = it.buffered
-      new Iterator[Row] {
+      new Iterator[Iterator[Row]] {
         def hasNext: Boolean = buf.hasNext
-        def next(): Row = {
+        def next(): Iterator[Row] = {
           val head = buf.head
           val key: IndexedSeq[Any] = (0 until nk).map(head.get)
           val m = new AndThenMachine
@@ -438,18 +469,13 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
               m.feed(r.getLong(nk), r.getBoolean(nk + 1), r.getBoolean(nk + 2))
             }
           }
-          Row.fromSeq(key :+ m.finish().map { case (s, e) => Row(s, e) })
+          m.finish().iterator.map { case (s, e) => Row.fromSeq(key ++ Seq(s, e)) }
         }
-      }
+      }.flatten
     }(org.apache.spark.sql.Encoders.row(outSchema))
 
     val out = fresh("andthen")
-    df = df
-      .join(merged, pcols, "left")
-      .withColumn(out,
-        exists(col("_p_aiv"), iv => col(IDX) >= iv.getField("_1") && col(IDX) <= iv.getField("_2")))
-      .withColumn(out, coalesce(col(out), lit(false)))
-      .drop("_p_aiv")
+    stampIntervals(merged, out)
     col(out)
   }
 
@@ -464,8 +490,9 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
     * the reference's windowQueue (events within `windowMs` of the frontier,
     * the same bound the reference's own queue has) plus O(1) run bookkeeping
     * — never a whole part's events. The emitted idx intervals (bounded by
-    * condition flips, like the andThen runs) join back to events on the
-    * partition key. An earlier columnar formulation ("success within
+    * condition flips, like the andThen runs) come out as one row each and
+    * [[stampIntervals]] marks the events in one linear window pass.
+    * An earlier columnar formulation ("success within
     * [t, t+W]") diverged from the reference on short-window and
     * part-boundary cases (caught by the randomized differential spec); the
     * streaming machine is differential-tested against the [[waitMerge]]
@@ -479,19 +506,18 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
       .select((pcols.map(col) ++ Seq(col(IDX), col(MS), col(c))): _*)
       .repartition(pcols.map(col): _*)
       .sortWithinPartitions((pcols :+ IDX).map(col): _*)
-    val ivSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("_1", org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("_2", org.apache.spark.sql.types.LongType, nullable = false)))
     val outSchema = org.apache.spark.sql.types.StructType(
-      src.schema.fields.take(nk) :+
-        org.apache.spark.sql.types.StructField("_p_wiv",
-          org.apache.spark.sql.types.ArrayType(ivSchema, containsNull = false)))
+      src.schema.fields.take(nk) ++ Seq(
+        org.apache.spark.sql.types.StructField("_p_s",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_p_e",
+          org.apache.spark.sql.types.LongType, nullable = false)))
     val wMs = windowMs
     val evs = src.mapPartitions { it =>
       val buf = it.buffered
-      new Iterator[Row] {
+      new Iterator[Iterator[Row]] {
         def hasNext: Boolean = buf.hasNext
-        def next(): Row = {
+        def next(): Iterator[Row] = {
           val head = buf.head
           val key: IndexedSeq[Any] = (0 until nk).map(head.get)
           val m = new WaitMachine(wMs)
@@ -506,18 +532,12 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
               m.feed(r.getLong(nk), r.getLong(nk + 1), r.getBoolean(nk + 2))
             }
           }
-          Row.fromSeq(key :+ m.finish().map { case (s, e) => Row(s, e) })
+          m.finish().iterator.map { case (s, e) => Row.fromSeq(key ++ Seq(s, e)) }
         }
-      }
+      }.flatten
     }(org.apache.spark.sql.Encoders.row(outSchema))
     val out = fresh("wait")
-    df = df
-      .join(evs, pcols, "left")
-      .withColumn(out,
-        exists(col("_p_wiv"), iv =>
-          col(IDX) >= iv.getField("_1") && col(IDX) <= iv.getField("_2")))
-      .withColumn(out, coalesce(col(out), lit(false)))
-      .drop("_p_wiv")
+    stampIntervals(evs, out)
     col(out)
   }
 
