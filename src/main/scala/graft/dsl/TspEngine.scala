@@ -135,7 +135,9 @@ object TspEngine {
     * boolean output re-enters value arithmetic, which the reference
     * rejects at type level too.
     */
-  def incidentsStream(df: DataFrame, pattern: String, cfg: PatternConfig):
+  def incidentsStream(df: DataFrame, pattern: String, cfg: PatternConfig,
+      forceFinalizeAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+      maxUndecidedEvents: Int = 1 << 20):
       org.apache.spark.sql.Dataset[graft.streaming.StreamingPatterns.StreamIncident] = {
     val ast = Parser.parse(pattern, cfg.toleranceFraction) match {
       case Right(a)  => a
@@ -144,7 +146,9 @@ object TspEngine {
     val sCfg = graft.streaming.StreamingPatterns.StreamConfig(
       eventsMaxGapMs = cfg.eventsMaxGapMs,
       sessionGapMs = cfg.sessionGapMs,
-      minDurationMs = 0L)
+      minDurationMs = 0L,
+      maxUndecidedEvents = maxUndecidedEvents,
+      forceFinalizeAcc = forceFinalizeAcc)
     def fieldSplit: (Vector[String], Vector[String]) = {
       val fs = fields(ast)
       val strF = fs.filter(f => df.schema.fields.exists(sf =>

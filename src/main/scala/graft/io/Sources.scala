@@ -89,11 +89,20 @@ final case class KafkaSourceConf(
   topic: String,
   datetimeField: String,
   fieldsTypes: Map[String, String],
-  group: String = "graft",
-  /** "latest" (reference default), "earliest", or a per-partition offset
-    * JSON — passed through to the connector's `startingOffsets`.
+  /** Explicit consumer group. Leave unset in normal use: Structured
+    * Streaming wants a unique group per query (it manages offsets itself),
+    * and the reference likewise defaults to a fresh random UUID group per
+    * job (KafkaService.scala:32-36) — a shared static group would make two
+    * concurrent jobs interfere broker-side.
     */
-  startingOffsets: String = "latest",
+  group: Option[String] = None,
+  /** "earliest", "latest", or a per-partition offset JSON — passed through
+    * to the connector's `startingOffsets`. Defaults to "earliest" to match
+    * the reference: it pairs `auto.offset.reset=earliest` with a fresh
+    * random group (KafkaService.scala:34), so a new reference job replays
+    * the topic from the start.
+    */
+  startingOffsets: String = "earliest",
   timestampMultiplier: Double = 1000.0,
   partitionFields: Seq[String] = Nil,
   unitIdField: Option[String] = None,
@@ -119,6 +128,22 @@ final case class KafkaSourceConf(
 
 object Sources {
 
+  /** The one-row min/max bounds-probe SQL a partitioned read issues when
+    * the caller gave no explicit split bounds. The split column is quoted
+    * by the url's JDBC dialect (the sink writes quoted, hence
+    * case-sensitive, identifiers; Spark quotes `partitionColumn` itself
+    * for the range scans): PostgreSQL and ClickHouse urls get ANSI double
+    * quotes (ClickHouse has no Spark dialect, and the default dialect's
+    * double-quoting is exactly ClickHouse's ANSI identifier syntax), MySQL
+    * gets backticks. Factored out so the per-dialect SQL text is
+    * unit-testable without a server — see `IoSpec`.
+    */
+  def boundsProbeSql(jdbcUrl: String, query: String, split: String): String = {
+    val q = org.apache.spark.sql.jdbc.JdbcDialects.get(jdbcUrl)
+      .quoteIdentifier(split)
+    s"SELECT MIN($q) AS mn, MAX($q) AS mx FROM ($query) AS graft_probe"
+  }
+
   /** Read a source conf into the canonical event frame: all configured
     * transformations applied, `ts` as a TimestampType column.
     */
@@ -141,14 +166,9 @@ object Sources {
             case (Some(l), Some(u)) => (l, u)
             case _ =>
               // one-row bounds probe; pennies next to the partitioned scan
-              // it unlocks. The split column is dialect-quoted here (the
-              // sink writes quoted, hence case-sensitive, identifiers);
-              // Spark quotes `partitionColumn` itself for the range scans.
-              val q = org.apache.spark.sql.jdbc.JdbcDialects.get(c.jdbcUrl)
-                .quoteIdentifier(split)
+              // it unlocks
               val b = reader
-                .option("query",
-                  s"SELECT MIN($q) AS mn, MAX($q) AS mx FROM (${c.query}) AS graft_probe")
+                .option("query", boundsProbeSql(c.jdbcUrl, c.query, split))
                 .load().head()
               if (b.isNullAt(0)) (0L, 0L)
               else (b.getAs[Number](0).longValue(), b.getAs[Number](1).longValue())
@@ -165,11 +185,14 @@ object Sources {
       }
       finish(frame, c)
     case c: KafkaSourceConf =>
-      val raw = spark.readStream.format("kafka")
+      val reader0 = spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", c.brokers)
         .option("subscribe", c.topic)
         .option("startingOffsets", c.startingOffsets)
-        .option("kafka.group.id", c.group)
+      // only pin a group when the caller asked for one — the connector
+      // otherwise generates a unique group per query, which is what
+      // Structured Streaming's own offset tracking expects
+      val raw = c.group.fold(reader0)(g => reader0.option("kafka.group.id", g))
         .load()
       finish(parseKafkaJson(raw, c.schema), c)
   }

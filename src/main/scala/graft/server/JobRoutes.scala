@@ -190,7 +190,7 @@ object JobRoutes {
         topic = o("topic").asStr,
         datetimeField = o("datetimeField").asStr,
         fieldsTypes = o("fieldsTypes").asObj.map { case (k, v) => k -> v.asStr },
-        group = o.get("group").map(_.asStr).getOrElse("graft"),
+        group = o.get("group").map(_.asStr),
         timestampMultiplier = o.get("timestampMultiplier").map(_.asNum).getOrElse(1000.0),
         partitionFields = o.get("partitionFields").map(_.asArr.map(_.asStr)).getOrElse(Nil),
         unitIdField = o.get("unitIdField").map(_.asStr),
@@ -271,9 +271,10 @@ object JobRoutes {
         "type" -> Json.Str("kafka"),
         "brokers" -> Json.Str(k.brokers),
         "topic" -> Json.Str(k.topic),
-        "group" -> Json.Str(k.group),
         "fieldsTypes" -> Json.Obj(k.fieldsTypes.toSeq.sorted.map {
-          case (n, t) => n -> (Json.Str(t): Json.Value) })) ++ common)
+          case (n, t) => n -> (Json.Str(t): Json.Value) }))
+        ++ k.group.map(g => "group" -> (Json.Str(g): Json.Value))
+        ++ common)
     }
   }
 
@@ -309,6 +310,7 @@ object JobRoutes {
       "uuid" -> Json.Str(i.uuid),
       "status" -> Json.Str(i.status.toString),
       "rowsRead" -> Json.Num(i.rowsRead.toDouble),
-      "rowsWritten" -> Json.Num(i.rowsWritten.toDouble)) ++
+      "rowsWritten" -> Json.Num(i.rowsWritten.toDouble),
+      "forceFinalized" -> Json.Num(i.forceFinalized.toDouble)) ++
       i.error.map(e => "error" -> (Json.Str(e): Json.Value)))
 }

@@ -42,6 +42,11 @@ final class JobService(spark: SparkSession, maxConcurrent: Int = 1,
   private val jobs = new ConcurrentHashMap[String, JobInfo]()
   private val requests = new ConcurrentHashMap[String, FindPatternsRequest]()
   private val stopped = new ConcurrentHashMap[String, AtomicBoolean]()
+  // per-job force-finalize counter (streaming truncation metric); a named
+  // Spark accumulator so executor-side machines can bump it and a status
+  // poll reads it live on the driver
+  private val accs =
+    new ConcurrentHashMap[String, org.apache.spark.util.LongAccumulator]()
   // terminal jobs in completion order, for bounded retention: a long-lived
   // service would otherwise hold every request (with its pattern sources)
   // forever
@@ -58,7 +63,10 @@ final class JobService(spark: SparkSession, maxConcurrent: Int = 1,
     terminalOrder.add(info.uuid)
     while (terminalOrder.size > maxRetained) {
       val old = terminalOrder.poll()
-      if (old != null) { jobs.remove(old); requests.remove(old); stopped.remove(old) }
+      if (old != null) {
+        jobs.remove(old); requests.remove(old); stopped.remove(old)
+        accs.remove(old)
+      }
     }
   }
 
@@ -80,6 +88,8 @@ final class JobService(spark: SparkSession, maxConcurrent: Int = 1,
     else {
       jobs.put(req.uuid, JobInfo(req.uuid, JobStatus.Queued, None, 0L))
       requests.put(req.uuid, req)
+      accs.put(req.uuid,
+        spark.sparkContext.longAccumulator(s"graft.forceFinalize.${req.uuid}"))
       stopped.put(req.uuid, new AtomicBoolean(false))
       queue.put(Submitted(req, req.priority))
       Right(req.uuid)
@@ -116,8 +126,18 @@ final class JobService(spark: SparkSession, maxConcurrent: Int = 1,
   def validate(patterns: Seq[String]): Seq[Either[String, Set[String]]] =
     TspEngine.validate(patterns)
 
-  /** GET /job/:uuid/status analogue. */
-  def status(uuid: String): Option[JobInfo] = Option(jobs.get(uuid))
+  /** GET /job/:uuid/status analogue — merges the live force-finalize
+    * accumulator reading into the stored info.
+    */
+  def status(uuid: String): Option[JobInfo] = Option(jobs.get(uuid)).map { i =>
+    Option(accs.get(uuid)).fold(i)(a => i.copy(forceFinalized = a.value))
+  }
+
+  /** The job's force-finalize accumulator, for wiring into a streaming
+    * evaluation's [[graft.streaming.StreamingPatterns.StreamConfig]].
+    */
+  def forceFinalizeAcc(uuid: String): Option[org.apache.spark.util.LongAccumulator] =
+    Option(accs.get(uuid))
 
   /** GET /jobs/overview analogue. */
   def overview: Seq[JobInfo] = jobs.values().asScala.toSeq.sortBy(_.uuid)
@@ -242,8 +262,15 @@ object JobService {
     case object Stopped extends JobStatus
   }
 
+  /** `forceFinalized` counts streaming force-finalize cuts (a
+    * forward-looking pattern whose decision frontier stalled past
+    * `maxUndecidedEvents` — see
+    * [[graft.streaming.StreamingPatterns.StreamConfig]]); always 0 for
+    * batch jobs, which never buffer undecided events.
+    */
   final case class JobInfo(uuid: String, status: JobStatus,
-    error: Option[String], rowsWritten: Long, rowsRead: Long = 0L)
+    error: Option[String], rowsWritten: Long, rowsRead: Long = 0L,
+    forceFinalized: Long = 0L)
 
   /** Persistent job progress — the CheckpointingService analogue: rows read
     * and written accumulate across resumes; `maxTsMs` is the resume point.

@@ -87,7 +87,12 @@ object StreamingPatterns {
     // or watermark-idle finalize. Above this cap the part is force-
     // finalized (logged) — equivalent to an artificial data gap, so prefix
     // incidents are still exact; only a success spanning the cut is lost.
-    maxUndecidedEvents: Int = 1 << 20)
+    maxUndecidedEvents: Int = 1 << 20,
+    // incremented once per force-finalize when set, so an operator can see
+    // FROM JOB METRICS that a degenerate pattern is truncating incidents
+    // (rather than grepping executor logs for the warning). Accumulators
+    // are Spark's executor→driver metric channel and are async-read-safe.
+    forceFinalizeAcc: Option[org.apache.spark.util.LongAccumulator] = None)
 
   /** Evaluate `cond` over a streaming frame keyed by `keys` ordered by
     * `tsCol` (must carry a watermark for state cleanup). Emits incidents in
@@ -526,6 +531,7 @@ object StreamingPatterns {
             logWarning(s"pattern-tree state for key '$key' exceeded " +
               s"${cfg.maxUndecidedEvents} undecided events (frontier " +
               "stalled); force-finalizing the part")
+            cfg.forceFinalizeAcc.foreach(_.add(1L))
             pump(finalize = true)
           }
         }
@@ -692,6 +698,7 @@ object StreamingPatterns {
             logWarning(s"andThen state for key '$key' exceeded " +
               s"${cfg.maxUndecidedEvents} undecided events (frontier " +
               "stalled); force-finalizing the part")
+            cfg.forceFinalizeAcc.foreach(_.add(1L))
             mergeRound(finalize = true)
           }
         }
@@ -851,6 +858,7 @@ object StreamingPatterns {
             logWarning(s"wait state for key '$key' exceeded " +
               s"${cfg.maxUndecidedEvents} undecided events (frontier " +
               "stalled); force-finalizing the part")
+            cfg.forceFinalizeAcc.foreach(_.add(1L))
             finalizePart()
           }
         }

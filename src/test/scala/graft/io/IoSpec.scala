@@ -39,6 +39,18 @@ class IoSpec extends SparkSpec {
     assert(row.getString(byName("note")) == "sev=high unit=7")
   }
 
+  test("bounds-probe SQL is dialect-quoted for ClickHouse / PostgreSQL / MySQL") {
+    val q = "SELECT * FROM sensors WHERE ts > 0"
+    // ClickHouse has no Spark dialect: the default dialect's ANSI double
+    // quotes are exactly ClickHouse's quoted-identifier syntax
+    assert(Sources.boundsProbeSql("jdbc:clickhouse://ch:8123/db", q, "Idx") ==
+      s"""SELECT MIN("Idx") AS mn, MAX("Idx") AS mx FROM ($q) AS graft_probe""")
+    assert(Sources.boundsProbeSql("jdbc:postgresql://pg:5432/db", q, "Idx") ==
+      s"""SELECT MIN("Idx") AS mn, MAX("Idx") AS mx FROM ($q) AS graft_probe""")
+    assert(Sources.boundsProbeSql("jdbc:mysql://my:3306/db", q, "Idx") ==
+      s"SELECT MIN(`Idx`) AS mn, MAX(`Idx`) AS mx FROM ($q) AS graft_probe")
+  }
+
   test("partitioned JDBC read splits the query across range scans") {
     val events = (1L to 97L).map(i => (i, i * 1.5, s"u${i % 3}", 1704067200L + i))
       .toDF("event_id", "value", "user_id", "dt")

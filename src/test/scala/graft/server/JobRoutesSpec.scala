@@ -93,6 +93,10 @@ class JobRoutesSpec extends SparkSpec {
       val info = Json.parse(get(base, "/job/http-1/status").body()).asObj
       assert(info("status").asStr == "Finished", info)
       assert(info("rowsWritten").asNum == 1.0 && info("rowsRead").asNum == 5.0)
+      // the streaming truncation metric flows through status (0 for a
+      // batch job — only a stalled forward-looking streaming pattern
+      // increments it)
+      assert(info("forceFinalized").asNum == 0.0, info)
 
       // incidents landed through the sink, macros interpolated
       val row = spark.read.format("jdbc").option("url", url)

@@ -499,4 +499,32 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("stream_inc3").isEmpty)
     } finally query.stop()
   }
+
+  test("force-finalize cut is counted into the metrics accumulator") {
+    // A andThen B with B never true: the decision frontier stalls, the
+    // undecided buffer hits the cap, and the machine force-finalizes the
+    // part — which must be visible as a METRIC (job status), not only as
+    // an executor-log warning
+    implicit val sqlCtx = spark.sqlContext
+    val acc = spark.sparkContext.longAccumulator("graft.test.forceFinalize")
+    val cfg = graft.dsl.PatternConfig(Seq("k"), "ts",
+      eventsMaxGapMs = 600000L, sessionGapMs = 1000L)
+    val ms = MemoryStream[(String, Long, Double)]
+    val df = ms.toDF().toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "5 seconds")
+    val inc = graft.dsl.TspEngine.incidentsStream(df,
+      "v > 50 andThen v > 1000000", cfg,
+      forceFinalizeAcc = Some(acc), maxUndecidedEvents = 8)
+    val query = inc.writeStream.format("memory").queryName("stream_ffcut")
+      .outputMode("append").start()
+    try {
+      // 30 events, condition-A always true, B never: > 8 undecided
+      ms.addData((0 until 30).map(i => ("f", 20000L + i, 60.0)): _*)
+      query.processAllAvailable()
+      assert(query.exception.isEmpty, s"query failed: ${query.exception}")
+      assert(acc.value >= 1L,
+        s"expected at least one force-finalize cut, accumulator=${acc.value}")
+    } finally query.stop()
+  }
 }
