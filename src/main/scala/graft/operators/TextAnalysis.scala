@@ -112,14 +112,21 @@ object TextAnalysis {
       .select(col("doc_id"), explode(words(col("_t"))).as("word"))
     val freq = w.groupBy("word").agg(count(lit(1)).as("c"))
     val total = freq.agg(sum(col("c")).as("n"))
-    w.join(freq, "word")
+    val agg = w.join(freq, "word")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
+      .agg(count(lit(1)).as("_nw"),
         sum(col("c")).as("_fs"),
-        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("_hx"))
+    // left-join back to the full id set: a document whose text yields no
+    // word rows (empty/whitespace-only — exactly what a quality pre-filter
+    // must see) still gets a row, with 0 counts and NULL commonness
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
       .crossJoin(broadcast(total))
-      .select(col("doc_id"), col("n_words"), col("hapax"),
-        round(col("_fs").cast("double") / (col("n_words") * col("n")), 6)
+      .select(col("doc_id"),
+        coalesce(col("_nw"), lit(0L)).as("n_words"),
+        coalesce(col("_hx"), lit(0L)).as("hapax"),
+        round(col("_fs").cast("double") / (col("_nw") * col("n")), 6)
           .as("commonness"))
   }
 

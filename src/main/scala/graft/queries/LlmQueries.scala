@@ -337,9 +337,10 @@ object LlmQueries {
         |d AS (SELECT w.doc_id, count(*) AS n_words, sum(f.c) AS fs,
         |             sum(CASE WHEN f.c = 1 THEN 1 ELSE 0 END) AS hapax
         |      FROM w JOIN f USING (word) GROUP BY w.doc_id)
-        |SELECT doc_id, n_words::BIGINT AS n_words, hapax::BIGINT AS hapax,
+        |SELECT doc_id, coalesce(n_words, 0)::BIGINT AS n_words,
+        |       coalesce(hapax, 0)::BIGINT AS hapax,
         |       round(fs::DOUBLE / (n_words * (SELECT n FROM t)), 6) AS commonness
-        |FROM d""".stripMargin,
+        |FROM documents LEFT JOIN d USING (doc_id)""".stripMargin,
 
     // brute-force 5-gram intersection between the corpus and eval slices
     "decontaminate" ->
