@@ -1,9 +1,72 @@
 package graft
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicBoolean
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point (driver contract): runs every catalog query on
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
+  *
+  * Robustness (round 7): the round-6 driver host ran ~5-15x slower than the
+  * session machines (see STATUS.md bench methodology) and the driver's
+  * timeout killed the JVM mid-pass -> rc 124, no JSON, no perf reading for
+  * the whole round. Three defenses:
+  *
+  *   1. A shutdown hook emits the JSON line with whatever has been measured
+  *      when the JVM is TERM'd, marking `"partial":true` and counting the
+  *      unmeasured queries in `"skipped"` — a timeout now degrades the
+  *      reading instead of erasing it.
+  *   2. Pass 1 runs cheapest-tier-first, so a mid-pass kill still leaves
+  *      the cheap majority of the catalog measured.
+  *   3. The second pass (min-of-two noise suppression) is budget-gated:
+  *      each pass-2 rerun happens only while projected elapsed stays under
+  *      `SPARK_GRAFT_BENCH_BUDGET_S` (default 420 s of measured wall from
+  *      main entry). On a fast host both passes fit with ~6x headroom; on a
+  *      slow host pass 2 shrinks to the expensive queries that fit, or to
+  *      nothing — pass-1 values stand.
+  */
 object Bench {
+
+  /** name -> (seconds, ok); filled incrementally so the hook can read it. */
+  private val measured = new ConcurrentHashMap[String, (Double, Boolean)]()
+  private val emitted  = new AtomicBoolean(false)
+
+  private def emit(allNames: Seq[String], sfDir: String, partial: Boolean): Unit =
+    if (emitted.compareAndSet(false, true)) {
+      val present = allNames.flatMap(n => Option(measured.get(n)).map(n -> _))
+      val qs = present
+        .map { case (k, (v, ok)) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+        .mkString("{", ",", "}")
+      val failed  = present.count(!_._2._2)
+      val skipped = allNames.size - present.size
+      val total   = present.collect { case (_, (v, true)) => v }.sum
+      println(
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"skipped":$skipped,"partial":$partial,"sf":"$sfDir"}"""
+      )
+      System.out.flush()
+    }
+
+  /** Coarse expected-cost tier (from BENCH_SCALING.md sf0.1): used only to
+    * order pass 1 cheap-first; wrong tiers cost nothing but ordering.
+    */
+  private def tier(name: String): Int = name match {
+    case n if n.startsWith("dedup_") || n.startsWith("ann_")  => 3
+    case n if n.startsWith("dsl_") || n.startsWith("pat_and") => 2
+    case n if n.startsWith("pat_") || n.startsWith("q")       => 1
+    case _                                                    => 0 // text_*, media, sample, pack, decontaminate
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val t0      = System.nanoTime()
+    def elapsed = (System.nanoTime() - t0) / 1e9
+    val sfDir   = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus    = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val budget  = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toDouble
+    val catalog = SparkEntry.queries
+    val names   = catalog.keys.toSeq.sortBy(n => (tier(n), n))
+
+    val hook = new Thread(() => emit(names, sfDir, partial = true))
+    Runtime.getRuntime.addShutdownHook(hook)
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,11 +75,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
     // untimed warmup: JVM/codegen/parquet-reader startup otherwise lands on
-    // whichever query sorts first (~7-15s of pure warmup charged to it).
-    // Tiny slices additionally warm each operator family's machinery
-    // (interpreted HOFs, mapPartitions encoders, wide hash-agg codegen)
-    // so no family's first-hit class-load/JIT lands in a timed run.
+    // whichever query runs first. Tiny slices additionally warm each operator
+    // family's machinery (interpreted HOFs, mapPartitions encoders, wide
+    // hash-agg codegen) so no family's first-hit class-load/JIT lands in a
+    // timed run.
     try {
       SparkEntry.queries("q7_filter_agg")(spark, sfDir).count()
       val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(120)
@@ -26,34 +90,42 @@ object Bench {
       graft.operators.VectorOps.embeddingDuplicates(emb, "vec_id", "embedding", 0.45).count()
     } catch { case _: Throwable => () }
     spark.catalog.clearCache()
-    // two timed passes, min per query: a single-shot measurement on a
-    // shared machine confounds the engine with load spikes / GC pauses
-    // (observed 2-10x outliers on identical plans); per-query caches are
-    // cleared every run, so the min is steady-state execution, not a
-    // cache replay
-    def pass(): Seq[(String, Double, Boolean)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-          }
-        // operators may persist() intermediates (signatures, vector bases);
-        // drop them so one query's cache never evicts the next one's
-        spark.catalog.clearCache()
-        (name, (System.nanoTime() - t0) / 1e9, ok)
-      }
-    val results = pass().zip(pass()).map { case ((n, t1, ok1), (_, t2, ok2)) =>
-      (n, math.min(t1, t2), ok1 && ok2)
+    System.err.println(f"[bench] warmup done at ${elapsed}%.1f s (budget $budget%.0f s)")
+
+    def runOne(name: String): (Double, Boolean) = {
+      val t = System.nanoTime()
+      val ok =
+        try { catalog(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      // operators may persist() intermediates (signatures, vector bases);
+      // drop them so one query's cache never evicts the next one's
+      spark.catalog.clearCache()
+      ((System.nanoTime() - t) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v else -1.0)
-    }.mkString("{", ",", "}")
-    val failed = results.count(!_._3)
-    val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+
+    // pass 1: cheap-first, every query measured once
+    names.foreach { n => measured.put(n, runOne(n)) }
+    System.err.println(f"[bench] pass 1 done at ${elapsed}%.1f s")
+
+    // pass 2: min-of-two noise suppression, most-expensive-first, only while
+    // the projected finish stays inside the budget (estimate = pass-1 time)
+    val byCost = names.sortBy(n => -measured.get(n)._1)
+    var reran  = 0
+    byCost.foreach { n =>
+      val (prev, prevOk) = measured.get(n)
+      if (elapsed + prev * 1.5 < budget) {
+        val (t, ok) = runOne(n)
+        measured.put(n, (math.min(prev, t), prevOk && ok))
+        reran += 1
+      }
+    }
+    System.err.println(f"[bench] pass 2 reran $reran%d/${names.size}%d at ${elapsed}%.1f s")
+
+    emit(names, sfDir, partial = false)
+    Runtime.getRuntime.removeShutdownHook(hook)
     spark.stop()
   }
 }

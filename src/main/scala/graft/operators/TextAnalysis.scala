@@ -140,4 +140,48 @@ object TextAnalysis {
     array_min(transform(sequence(lit(0), greatest(size(w) - window, lit(0))),
       i => md5(concat_ws(" ", slice(w, i + lit(1), lit(window))))))
   }
+
+  /** All word n-grams of `text` as space-joined strings (one per start
+    * position; a doc shorter than `n` words yields its single truncated
+    * window). Shared basis for repetition scoring and boilerplate mining.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val w = words(text)
+    transform(sequence(lit(0), greatest(size(w) - n, lit(0))),
+      i => concat_ws(" ", slice(w, i + lit(1), lit(n))))
+  }
+
+  /** Intra-document repetition: the fraction of word `n`-grams that are
+    * repeats of an earlier window (1 - distinct/total). The standard cheap
+    * filter for looping generations, boilerplate-stuffed pages and OCR
+    * stutter. Narrow codegen'd map — no shuffle, no state.
+    */
+  def repetitionFeatures(text: Column, n: Int = 3): Seq[(String, Column)] = {
+    val grams = wordNgrams(text, n)
+    Seq(
+      "n_grams" -> size(grams).cast("long"),
+      "n_distinct" -> size(array_distinct(grams)).cast("long"),
+      "rep_ratio" -> round(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / size(grams), 6))
+  }
+
+  /** Corpus-level boilerplate mining: the `k` most frequent word `n`-grams
+    * across `docs`, with the number of distinct documents each appears in —
+    * the candidate list a boilerplate-removal pass strips (headers, footers,
+    * license blurbs). Total order (count desc, gram asc) makes the top-k
+    * deterministic under ties.
+    *
+    * Scale shape: explode is narrow; the gram count is ONE map-side-combined
+    * shuffle keyed by gram (doc multiplicity pre-aggregated per partition);
+    * top-k is a `TakeOrderedAndProject`, never a global sort.
+    */
+  def boilerplateNgrams(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, n: Int = 3, k: Int = 20): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(wordNgrams(col(textCol), n)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(k)
 }

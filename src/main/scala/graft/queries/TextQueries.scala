@@ -40,6 +40,21 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
           round(avg(col("n_chars")), 2).as("avg_chars"))
+    },
+
+    // Intra-document repetition (duplicated bigram fraction): the cheap
+    // looping-text / boilerplate-stuffing filter. Pure narrow map.
+    "text_repetition" -> { (s, d) =>
+      val feats = graft.operators.TextAnalysis.repetitionFeatures(col("text"), n = 2)
+      Tables.documents(s, d)
+        .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+    },
+
+    // Corpus boilerplate mining: top-20 most frequent 3-grams with document
+    // reach. One map-side-combined shuffle + TakeOrderedAndProject.
+    "text_boilerplate" -> { (s, d) =>
+      graft.operators.TextAnalysis.boilerplateNgrams(
+        Tables.documents(s, d), "doc_id", "text")
     })
 
   val oracle: Map[String, String] = Map(
@@ -58,5 +73,27 @@ object TextQueries {
       """SELECT lang, source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         | round(avg(n_chars), 2) AS avg_chars
-        |FROM documents GROUP BY lang, source""".stripMargin)
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(0, greatest(len(w) - 2, 0) + 1),
+        |          i -> array_to_string(list_slice(w, i + 1, i + 2), ' ')) AS grams
+        |      FROM w)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+        |    AS rep_ratio
+        |FROM g""".stripMargin,
+    "text_boilerplate" ->
+      """WITH g AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))) AS gram
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |        FROM documents))
+        |SELECT gram, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY gram
+        |ORDER BY n_occurrences DESC, gram ASC LIMIT 20""".stripMargin)
 }

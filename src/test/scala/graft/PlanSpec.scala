@@ -87,6 +87,18 @@ class PlanSpec extends SparkSpec {
       "the corpus side must not shuffle into a sort-merge join")
   }
 
+  test("text_repetition is a pure narrow map — zero exchanges") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Exchange"),
+      s"text_repetition must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("text_boilerplate takes top-k without a global sort") {
+    val p = plan("text_boilerplate")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for the top-k:\n${p.take(2000)}")
+  }
+
   test("dsl pattern plans reuse one exchange for the window pipeline") {
     val p = plan("dsl_timer")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

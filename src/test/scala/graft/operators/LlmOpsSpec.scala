@@ -202,6 +202,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de"))
   }
 
+  test("repetition features count duplicated n-gram windows exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),        // bigrams: ab, ba, ab, ba -> 4 total, 2 distinct
+      (2L, "x y z"),            // bigrams: xy, yz -> no repeats
+      (3L, "w")                 // shorter than n: one truncated window
+    ).toDF("doc_id", "text")
+    val feats = TextAnalysis.repetitionFeatures(col("text"), n = 2)
+    val got = df.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Double)].collect().toMap
+    assert(got(1L) == (4L, 2L, 0.5))
+    assert(got(2L) == (2L, 2L, 0.0))
+    assert(got(3L) == (1L, 1L, 0.0))
+  }
+
+  test("boilerplate mining ranks grams by frequency with document reach") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "end of file end of file"),  // "end of file" x2 (+ bridge grams)
+      (2L, "end of file something"),
+      (3L, "totally different words here")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.boilerplateNgrams(df, "doc_id", "text", n = 3, k = 1)
+      .as[(String, Long, Long)].collect()
+    assert(top.sameElements(Array(("end of file", 3L, 2L))))
+  }
+
   test("kmeans-trained IVF centroids hold recall on the swappable search path") {
     val e = Tables.embeddings(spark, sf).cache()
     val q = e.filter(col("vec_id") % 50 === 0)
