@@ -24,20 +24,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4 rejects at
-    * scan time unless `spark.sql.legacy.parquet.nanosAsLong=true` (set in the
-    * session builders), in which case it arrives as a Long of epoch-nanos.
-    * Convert with integer `div` — `/` on longs is floating-point in Spark and
-    * a double's ULP at ~1.7e18 is 256ns, corrupting millisecond precision.
+  /** Normalize an event-time column to session-TZ `TimestampType`, whatever
+    * encoding the parquet writer chose. The driver has regenerated testdata
+    * with different writers across rounds, producing every one of:
+    *
+    *  - `TimestampType` (µs, with TZ) — pass through;
+    *  - `TimestampNTZType` (µs, no TZ; Spark 4.1 infers this for
+    *    `timestamp[us]` parquet unless `inferTimestampNTZ.enabled=false`) —
+    *    cast is value-preserving because the session TZ is pinned to UTC;
+    *  - `LongType` epoch-nanos (TIMESTAMP(NANOS) parquet read under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`) or epoch-micros —
+    *    disambiguated per-row by magnitude: epoch-nanos for any date after
+    *    1973 exceeds 1e17, epoch-micros stays below 1e17 until year ~5138.
+    *    Convert with integer `div` — `/` on longs is floating-point in Spark
+    *    and a double's ULP at ~1.7e18 is 256ns, corrupting ms precision.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = apply(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+  def normalizeTs(df: DataFrame, name: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(name).dataType match {
+      case TimestampType => df
+      case _: TimestampNTZType => // singleton in 4.x, but match structurally
+        df.withColumn(name, col(name).cast(TimestampType))
+      case LongType =>
+        val c = col(name)
+        val micros = when(abs(c) >= 100000000000000000L,
+          expr(s"`$name` div 1000")).otherwise(c)
+        df.withColumn(name, timestamp_micros(micros))
+      case other =>
+        throw new IllegalArgumentException(
+          s"cannot normalize time column `$name` of type $other")
     }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(apply(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -174,14 +174,33 @@ object TextAnalysis {
     * Scale shape: explode is narrow; the gram count is ONE map-side-combined
     * shuffle keyed by gram (doc multiplicity pre-aggregated per partition);
     * top-k is a `TakeOrderedAndProject`, never a global sort.
+    *
+    * `minOccurrences` (default 1 = off) is the 100 TB knob: the exact
+    * `count_distinct(doc_id)` internally expands to (gram, doc_id) pairs,
+    * dominated by the long tail of singleton grams that can never reach
+    * top-k. With `minOccurrences > 1` a cheap pure-count pre-pass (fully
+    * map-side combinable, no doc_id in the shuffle key) selects candidate
+    * grams first, and only their (gram, doc_id) pairs enter the exact
+    * aggregation — AQE broadcasts the candidate set when it is small. The
+    * caller owns the threshold: a gram with fewer total occurrences than
+    * `minOccurrences` is excluded even if it would otherwise rank.
     */
   def boilerplateNgrams(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                        textCol: String, n: Int = 3, k: Int = 20): org.apache.spark.sql.DataFrame =
-    docs
+                        textCol: String, n: Int = 3, k: Int = 20,
+                        minOccurrences: Long = 1L): org.apache.spark.sql.DataFrame = {
+    def exploded = docs
       .select(col(idCol).as("doc_id"), explode(wordNgrams(col(textCol), n)).as("gram"))
+    val candidates =
+      if (minOccurrences <= 1L) exploded
+      else exploded.join(
+        exploded.groupBy("gram").agg(count(lit(1)).as("occ"))
+          .filter(col("occ") >= minOccurrences).select("gram"),
+        Seq("gram"))
+    candidates
       .groupBy("gram")
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("gram").asc)
       .limit(k)
+  }
 }

@@ -151,4 +151,51 @@ class IoSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSet
     assert(back == Set((1L, "unit7", 1000L, 2000L), (2L, "unit9", 5000L, 9000L)))
   }
+
+  test("normalizeTs yields identical epoch-millis for all four ts encodings") {
+    // The driver has regenerated events.parquet with a different writer in
+    // three separate rounds (TIMESTAMP(NANOS) -> legacy long, then
+    // timestamp[us] without TZ -> TIMESTAMP_NTZ, which killed 20 queries in
+    // round 7). This pins every encoding to the same normalized axis.
+    import graft.Tables
+    // realistic epochs: the long-encoding disambiguation is by magnitude
+    // (nanos > 1e17 for any date past 1973), so values must be plausible
+    // event times, not toy millis
+    val millis = Seq(1577836800000L, 1704067200123L, 1893456000999L)
+    val dir = java.nio.file.Files.createTempDirectory("ts-drift").toString
+
+    // 1. TimestampType (µs, adjusted-to-UTC parquet annotation)
+    millis.toDF("ms").select(timestamp_millis(col("ms")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/tz")
+    // 2. TIMESTAMP_NTZ as round 7 saw it: NTZ-annotated parquet read with
+    //    NTZ inference ON (our builders turn it off; a hosting app's session
+    //    may not, so the Tables-level cast must cope on its own)
+    millis.toDF("ms")
+      .select(timestamp_millis(col("ms")).cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/ntz")
+    // 3. Long epoch-nanos (TIMESTAMP(NANOS) under legacy nanosAsLong)
+    millis.toDF("ms").select((col("ms") * 1000000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/nanos")
+    // 4. Long epoch-micros
+    millis.toDF("ms").select((col("ms") * 1000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/micros")
+
+    def readNorm(sub: String, ntzInference: Boolean = false): Seq[Long] = {
+      val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+      val saved = spark.conf.get(key)
+      spark.conf.set(key, ntzInference.toString)
+      try {
+        val df = Tables.normalizeTs(spark.read.parquet(s"$dir/$sub"))
+        assert(df.schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampType, s"$sub not normalized")
+        df.select(unix_millis(col("ts"))).as[Long].collect().toSeq.sorted
+      } finally spark.conf.set(key, saved)
+    }
+
+    assert(readNorm("tz") == millis)
+    assert(readNorm("ntz", ntzInference = true) == millis)
+    assert(readNorm("ntz") == millis) // and with inference off (our builders)
+    assert(readNorm("nanos") == millis)
+    assert(readNorm("micros") == millis)
+  }
 }

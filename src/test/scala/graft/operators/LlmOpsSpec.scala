@@ -211,10 +211,12 @@ class LlmOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val feats = TextAnalysis.repetitionFeatures(col("text"), n = 2)
     val got = df.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
-      .as[(Long, Long, Long, Double)].collect().toMap
-    assert(got(1L) == (4L, 2L, 0.5))
-    assert(got(2L) == (2L, 2L, 0.0))
-    assert(got(3L) == (1L, 1L, 0.0))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, total, distinct, frac) => id -> ((total, distinct, frac)) }
+      .toMap
+    assert(got(1L) == ((4L, 2L, 0.5)))
+    assert(got(2L) == ((2L, 2L, 0.0)))
+    assert(got(3L) == ((1L, 1L, 0.0)))
   }
 
   test("boilerplate mining ranks grams by frequency with document reach") {
@@ -227,6 +229,25 @@ class LlmOpsSpec extends SparkSpec {
     val top = TextAnalysis.boilerplateNgrams(df, "doc_id", "text", n = 3, k = 1)
       .as[(String, Long, Long)].collect()
     assert(top.sameElements(Array(("end of file", 3L, 2L))))
+  }
+
+  test("boilerplate minOccurrences pre-filter keeps the reachable top-k only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "end of file end of file"),
+      (2L, "end of file something"),
+      (3L, "totally different words here")
+    ).toDF("doc_id", "text")
+    // threshold 2: only "end of file" (3 occurrences) and the bridge gram
+    // "of file end" (1) / singletons are cut before the exact count pass
+    val pre = TextAnalysis.boilerplateNgrams(df, "doc_id", "text", n = 3, k = 10,
+        minOccurrences = 2L)
+      .as[(String, Long, Long)].collect()
+    assert(pre.sameElements(Array(("end of file", 3L, 2L))), pre.mkString(","))
+    // default threshold leaves behavior (and thus the driver hash) unchanged
+    val all = TextAnalysis.boilerplateNgrams(df, "doc_id", "text", n = 3, k = 10)
+      .as[(String, Long, Long)].collect()
+    assert(all.head == (("end of file", 3L, 2L)) && all.length > 1)
   }
 
   test("kmeans-trained IVF centroids hold recall on the swappable search path") {
