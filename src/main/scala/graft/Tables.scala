@@ -50,6 +50,10 @@ object Tables {
         val micros = when(abs(c) >= 100000000000000000L,
           expr(s"`$name` div 1000")).otherwise(c)
         df.withColumn(name, timestamp_micros(micros))
+      // two more shapes a future regeneration could plausibly ship:
+      // DATE (midnight UTC under the pinned session TZ) and ISO-8601 text
+      case DateType | StringType =>
+        df.withColumn(name, col(name).cast(TimestampType))
       case other =>
         throw new IllegalArgumentException(
           s"cannot normalize time column `$name` of type $other")

@@ -99,6 +99,30 @@ class PlanSpec extends SparkSpec {
       s"expected TakeOrderedAndProject for the top-k:\n${p.take(2000)}")
   }
 
+  test("text_fingerprint is a pure narrow map — zero exchanges") {
+    val p = plan("text_fingerprint")
+    assert(!p.contains("Exchange"),
+      s"text_fingerprint must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("boilerplate minOccurrences pre-filter adds a candidate join; default does not") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val dflt = operators.TextAnalysis.boilerplateNgrams(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!dflt.contains("Join"),
+      s"default path must not join:\n${dflt.take(2000)}")
+    val pre = operators.TextAnalysis.boilerplateNgrams(docs, "doc_id", "text",
+        minOccurrences = 2L)
+      .queryExecution.executedPlan.toString
+    assert(pre.contains("Join"),
+      s"pre-filter path must join grams to candidates:\n${pre.take(2000)}")
+    // the candidate pre-pass is a pure count keyed by gram — doc_id must
+    // not appear in its aggregate keys (that's the whole point)
+    assert(pre.contains("TakeOrderedAndProject"),
+      "pre-filter path must keep the top-k shape")
+  }
+
   test("dsl pattern plans reuse one exchange for the window pipeline") {
     val p = plan("dsl_timer")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -192,10 +192,28 @@ class IoSpec extends SparkSpec {
       } finally spark.conf.set(key, saved)
     }
 
+    // 5. ISO-8601 text (a CSV-ish writer's natural output)
+    millis.toDF("ms")
+      .select(date_format(timestamp_millis(col("ms")),
+        "yyyy-MM-dd HH:mm:ss.SSS").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/iso")
+
     assert(readNorm("tz") == millis)
     assert(readNorm("ntz", ntzInference = true) == millis)
     assert(readNorm("ntz") == millis) // and with inference off (our builders)
     assert(readNorm("nanos") == millis)
     assert(readNorm("micros") == millis)
+    assert(readNorm("iso") == millis)
+
+    // DATE truncates to midnight by construction — assert the mapping, not
+    // round-tripped millis
+    millis.toDF("ms")
+      .select(timestamp_millis(col("ms")).cast("date").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/date")
+    val dateNorm = Tables.normalizeTs(spark.read.parquet(s"$dir/date"))
+    assert(dateNorm.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(dateNorm.select(unix_millis(col("ts")) % (86400L * 1000))
+      .as[Long].collect().forall(_ == 0L), "date->timestamp not midnight UTC")
   }
 }

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.TextDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming near-dup detection: banding must be bit-identical to the batch
+  * LSH pipeline, the streamed pair set must match batch dedup on a planted
+  * corpus, and bucket state must honor the FIFO cap.
+  */
+class StreamingDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (4L, "one two three four five six seven eight nine ten eleven twelve"),
+    (5L, "the quick brown fox jumps over the lazy cat again and again today")
+  )
+
+  test("streaming banding is bit-identical to the batch LSH band rows") {
+    val docs = corpus.toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id").as("id"),
+      array_distinct(transform(
+        TextDedup.shinglesOfWords(split(col("text"), "\\s+"), 3),
+        s => xxhash64(s))).as("hs"))
+    val batch = TextDedup.minhashBandRows(sh, 128, 64)
+      .select(col("id").cast("long"), col("bk.band"), col("bk.bucket"))
+      .as[(Long, Int, Long)].collect().toSet
+    val streamForm = StreamingDedup.bandedDocs(docs, "doc_id", "text", 3, 128, 64)
+      .map(d => (d.id, d.band, d.bucket)).collect().toSet
+    assert(streamForm == batch,
+      s"banding diverged: only-stream=${(streamForm -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamForm).take(3)}")
+  }
+
+  test("streamed pair set matches batch minhash dedup across micro-batches") {
+    val batchPairs = TextDedup.minhashDuplicates(
+        corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(batchPairs == Set((1L, 2L), (1L, 5L), (2L, 5L)),
+      s"unexpected batch ground truth: $batchPairs")
+
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val pairs = StreamingDedup.minhashPairsStream(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val query = pairs.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      // duplicates split across micro-batches AND within one batch
+      ms.addData(corpus(0), corpus(2)) // d1, d3
+      query.processAllAvailable()
+      ms.addData(corpus(1), corpus(3), corpus(4)) // d2, d4, d5
+      query.processAllAvailable()
+      val got = spark.table("stream_dedup")
+        .select("id_a", "id_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(got == batchPairs, s"stream=$got batch=$batchPairs")
+      // the exact duplicate's signature estimate is exactly 1.0
+      val est = spark.table("stream_dedup")
+        .filter(col("id_a") === 1L && col("id_b") === 2L)
+        .select(max("est_jaccard")).as[Double].head()
+      assert(est == 1.0, s"exact dup estimated at $est")
+    } finally query.stop()
+  }
+
+  test("bucket cap evicts FIFO: detection runs against the recency window") {
+    implicit val sqlCtx = spark.sqlContext
+    val same = "identical words repeated for every single document here now"
+    val ms = MemoryStream[(Long, String)]
+    val pairs = StreamingDedup.minhashPairsStream(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", bucketCap = 1)
+    val query = pairs.writeStream.format("memory").queryName("stream_dedup_cap")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, same))
+      query.processAllAvailable()
+      ms.addData((2L, same)) // pairs with 1, then evicts it (cap=1)
+      query.processAllAvailable()
+      ms.addData((3L, same)) // pairs with 2 only — 1 is outside the window
+      query.processAllAvailable()
+      val got = spark.table("stream_dedup_cap")
+        .select("id_a", "id_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L), (2L, 3L)), s"got $got")
+    } finally query.stop()
+  }
+}
