@@ -69,6 +69,42 @@ class StreamingDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decontamination matches the batch gram-overlap pairs") {
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (200L, "completely unrelated benchmark question text here okay")
+    ).toDF("eval_id", "text")
+    val batch = TextDedup.contaminatedPairs(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        evalSet, "eval_id", "text")
+      .select(col("doc_id").cast("long"), col("eval_id").cast("long"),
+        col("shared").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty && batch.forall(_._2 == 100L),
+      s"expected contamination only against eval doc 100: $batch")
+
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val matches = StreamingDedup.contaminatedPairsStream(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      evalSet, "eval_id", "text")
+    val query = matches.writeStream.format("memory").queryName("stream_decon")
+      .outputMode("append").start()
+    try {
+      ms.addData(corpus(0), corpus(1))
+      query.processAllAvailable()
+      ms.addData(corpus(2), corpus(3), corpus(4))
+      query.processAllAvailable()
+      // a doc's matches land in one batch, so the global distinct-gram count
+      // per (doc, eval) equals the batch operator's `shared`
+      val got = spark.table("stream_decon")
+        .groupBy("doc_id", "eval_id")
+        .agg(count_distinct(col("g")).as("shared"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == batch, s"stream=$got batch=$batch")
+    } finally query.stop()
+  }
+
   test("bucket cap evicts FIFO: detection runs against the recency window") {
     implicit val sqlCtx = spark.sqlContext
     val same = "identical words repeated for every single document here now"
