@@ -105,6 +105,39 @@ class StreamingDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("adversarial hot bucket: 500 identical docs, state and pairs stay cap-bounded") {
+    // the streaming analogue of the batch census cap: every doc hashes to
+    // the SAME bucket in every band, the worst case a boilerplate corpus
+    // produces. With bucketCap=10 the state per bucket group never exceeds
+    // 10 members and each arrival compares against at most 10 — work is
+    // O(N * cap), not O(N^2).
+    implicit val sqlCtx = spark.sqlContext
+    val same = "identical words repeated for every single document here now"
+    val n = 500
+    val cap = 10
+    val bands = 4
+    val ms = MemoryStream[(Long, String)]
+    val pairs = StreamingDedup.minhashPairsStream(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      numHashes = 8, bands = bands, bucketCap = cap)
+    val query = pairs.writeStream.format("memory").queryName("stream_dedup_hot")
+      .outputMode("append").start()
+    try {
+      (1L to n).grouped(100).foreach { chunk =>
+        ms.addData(chunk.map(i => (i, same)))
+        query.processAllAvailable()
+      }
+      val got = spark.table("stream_dedup_hot")
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      // doc i pairs with min(i-1, cap) window members, once per band
+      val expected = (1 to n).map(i => math.min(i - 1, cap)).sum * bands
+      assert(got.length == expected, s"rows=${got.length} expected=$expected")
+      // FIFO window: a pair's ids are never further apart than the cap
+      assert(got.forall { case (a, b) => b - a <= cap },
+        s"pair outside the recency window: ${got.filter { case (a, b) => b - a > cap }.take(3).toSeq}")
+    } finally query.stop()
+  }
+
   test("bucket cap evicts FIFO: detection runs against the recency window") {
     implicit val sqlCtx = spark.sqlContext
     val same = "identical words repeated for every single document here now"
