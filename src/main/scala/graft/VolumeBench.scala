@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Volume ladder for the pattern engine (dev tool, like [[FlapBench]]):
+  * replicates the sf events table K× with DISTINCT key spaces (user_id
+  * offset per replica) — the realistic 100 TB shape, where data growth
+  * comes from more units, not longer per-unit histories (per-key depth is
+  * [[FlapBench]]'s axis) — then times a representative set of pattern/DSL
+  * queries at each rung and prints rows/s. Replicas land in
+  * /tmp/graft-volume/x<K>/events.parquet so [[SparkEntry.queries]] run
+  * against them unchanged.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.VolumeBench [factors...]"
+  */
+object VolumeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val factors = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10, 60)
+    val queries = Seq("pat_timer", "pat_sessions", "pat_truth_millis",
+      "dsl_andthen", "dsl_forstat", "dsl_nested")
+
+    factors.foreach { f =>
+      val dir = s"/tmp/graft-volume/x$f"
+      if (!new java.io.File(s"$dir/events.parquet").exists()) {
+        // distinct key space per replica: offset far above any real user_id
+        Tables.events(spark, sfDir)
+          .withColumn("_rep", explode(lit((0 until f).toArray)))
+          .withColumn("user_id", col("user_id") + col("_rep") * 10000000L)
+          .drop("_rep")
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      }
+      val rows = spark.read.parquet(s"$dir/events.parquet").count()
+      queries.foreach { name =>
+        (1 to 2).foreach { round =>
+          val t0 = System.nanoTime()
+          // checksum over every output column: a bare count() would let
+          // Catalyst prune the pattern computation for queries whose row
+          // count doesn't depend on it (e.g. per-event window statistics)
+          val df = SparkEntry.queries(name)(spark, dir)
+          val Array(n, _) = df
+            .agg(count(lit(1)), bit_xor(xxhash64(df.columns.map(col): _*)))
+            .head().toSeq.toArray
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[volume] x$f%-3d rows=$rows%-9d $name%-17s round=$round " +
+            f"out=$n%-7s sec=$sec%6.2f rate=${rows / sec / 1e3}%9.1fk rows/s")
+          spark.catalog.clearCache()
+        }
+      }
+    }
+    spark.stop()
+  }
+}
