@@ -28,10 +28,20 @@ object VolumeBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val factors = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10, 60)
+    val dedupMode = args.headOption.contains("dedup")
+    val rest = (if (dedupMode) args.drop(1) else args).toSeq.map(_.toInt)
+
+    if (dedupMode) runDedup(spark, sfDir, cpus.toInt,
+      if (rest.nonEmpty) rest else Seq(1, 10, 100))
+    else runPatterns(spark, sfDir, cpus.toInt,
+      if (rest.nonEmpty) rest else Seq(1, 10, 60))
+    spark.stop()
+  }
+
+  private def runPatterns(spark: SparkSession, sfDir: String, cpus: Int,
+                          factors: Seq[Int]): Unit = {
     val queries = Seq("pat_timer", "pat_sessions", "pat_truth_millis",
       "dsl_andthen", "dsl_forstat", "dsl_nested")
-
     factors.foreach { f =>
       val dir = s"/tmp/graft-volume/x$f"
       if (!new java.io.File(s"$dir/events.parquet").exists()) {
@@ -40,7 +50,7 @@ object VolumeBench {
           .withColumn("_rep", explode(lit((0 until f).toArray)))
           .withColumn("user_id", col("user_id") + col("_rep") * 10000000L)
           .drop("_rep")
-          .repartition(cpus.toInt)
+          .repartition(cpus)
           .write.mode("overwrite").parquet(s"$dir/events.parquet")
       }
       val rows = spark.read.parquet(s"$dir/events.parquet").count()
@@ -61,6 +71,47 @@ object VolumeBench {
         }
       }
     }
-    spark.stop()
+  }
+
+  /** Dedup-family ladder over a replicated documents table. Every replica
+    * prefixes each WORD with a replica tag: intra-replica similarity
+    * structure (shingle/signature/embedding-free dedups) is preserved
+    * exactly, while cross-replica shingle overlap is ZERO — so the planted
+    * duplicate-pair count scales linearly with K instead of quadratically
+    * (naive text replication would make every original dup cluster a
+    * K²-sized cross-replica clique and change the workload's shape).
+    */
+  private def runDedup(spark: SparkSession, sfDir: String, cpus: Int,
+                       factors: Seq[Int]): Unit = {
+    val queries = Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
+      "dedup_ngram", "text_boilerplate")
+    factors.foreach { f =>
+      val dir = s"/tmp/graft-volume/docs-x$f"
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        Tables.documents(spark, sfDir)
+          .withColumn("_rep", explode(lit((0 until f).toArray)))
+          .withColumn("doc_id", col("doc_id") + col("_rep") * 10000000L)
+          .withColumn("text", concat_ws(" ",
+            transform(split(col("text"), "\\s+"),
+              w => concat(lit("r"), col("_rep"), lit("_"), w))))
+          .drop("_rep")
+          .repartition(cpus)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      val rows = spark.read.parquet(s"$dir/documents.parquet").count()
+      queries.foreach { name =>
+        (1 to 2).foreach { round =>
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(name)(spark, dir)
+          val Array(n, _) = df
+            .agg(count(lit(1)), bit_xor(xxhash64(df.columns.map(col): _*)))
+            .head().toSeq.toArray
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[volume] docs-x$f%-3d rows=$rows%-9d $name%-17s round=$round " +
+            f"out=$n%-7s sec=$sec%6.2f rate=${rows / sec / 1e3}%9.1fk rows/s")
+          spark.catalog.clearCache()
+        }
+      }
+    }
   }
 }
