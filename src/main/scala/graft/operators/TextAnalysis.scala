@@ -175,15 +175,23 @@ object TextAnalysis {
     * shuffle keyed by gram (doc multiplicity pre-aggregated per partition);
     * top-k is a `TakeOrderedAndProject`, never a global sort.
     *
-    * `minOccurrences` (default 1 = off) is the 100 TB knob: the exact
-    * `count_distinct(doc_id)` internally expands to (gram, doc_id) pairs,
-    * dominated by the long tail of singleton grams that can never reach
-    * top-k. With `minOccurrences > 1` a cheap pure-count pre-pass (fully
-    * map-side combinable, no doc_id in the shuffle key) selects candidate
-    * grams first, and only their (gram, doc_id) pairs enter the exact
-    * aggregation — AQE broadcasts the candidate set when it is small. The
-    * caller owns the threshold: a gram with fewer total occurrences than
-    * `minOccurrences` is excluded even if it would otherwise rank.
+    * `minOccurrences` (default 1 = off): with a value > 1, a pure-count
+    * pre-pass (fully map-side combinable, no doc_id in the shuffle key)
+    * selects candidate grams first, and only their (gram, doc_id) pairs
+    * enter the exact `count_distinct` aggregation — AQE broadcasts the
+    * candidate set when it is small. The caller owns the threshold: a gram
+    * with fewer total occurrences than `minOccurrences` is excluded even if
+    * it would otherwise rank.
+    *
+    * When it pays (measured at 500k docs, BENCH_SCALING.md round-8 notes):
+    * NOT for wall-clock on singleton-dominated corpora — a singleton gram
+    * is one shuffled row in the pre-pass AND one in the expansion, so the
+    * filter saves little shuffle volume while adding a second scan and a
+    * join. Its value is bounding the exact aggregation's working set (the
+    * candidate set is tiny after the cut — 6 grams vs 21M in the measured
+    * corpus), i.e. when the unfiltered (gram, doc_id) hash aggregation is
+    * memory-bound/spilling, and for repeated mining over a materialized
+    * exploded-gram table where the scan is paid once.
     */
   def boilerplateNgrams(docs: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, n: Int = 3, k: Int = 20,
