@@ -34,10 +34,12 @@ object Tables {
     *    cast is value-preserving because the session TZ is pinned to UTC;
     *  - `LongType` epoch-nanos (TIMESTAMP(NANOS) parquet read under
     *    `spark.sql.legacy.parquet.nanosAsLong=true`) or epoch-micros —
-    *    disambiguated per-row by magnitude: epoch-nanos for any date after
-    *    1973 exceeds 1e17, epoch-micros stays below 1e17 until year ~5138.
-    *    Convert with integer `div` — `/` on longs is floating-point in Spark
-    *    and a double's ULP at ~1.7e18 is 256ns, corrupting ms precision.
+    *    or epoch-millis — disambiguated per-row by magnitude: epoch-nanos for
+    *    any date after 1973 exceeds 1e17, epoch-micros stays in [1e14, 1e17)
+    *    from 1973 to year ~5138, and epoch-millis stays below 1e14 until year
+    *    ~5138. Convert with integer `div`/multiply — `/` on longs is
+    *    floating-point in Spark and a double's ULP at ~1.7e18 is 256ns,
+    *    corrupting ms precision.
     */
   def normalizeTs(df: DataFrame, name: String = "ts"): DataFrame = {
     import org.apache.spark.sql.types._
@@ -48,7 +50,9 @@ object Tables {
       case LongType =>
         val c = col(name)
         val micros = when(abs(c) >= 100000000000000000L,
-          expr(s"`$name` div 1000")).otherwise(c)
+          expr(s"`$name` div 1000"))
+          .when(abs(c) < 100000000000000L, c * 1000L)
+          .otherwise(c)
         df.withColumn(name, timestamp_micros(micros))
       // two more shapes a future regeneration could plausibly ship:
       // DATE (midnight UTC under the pinned session TZ) and ISO-8601 text

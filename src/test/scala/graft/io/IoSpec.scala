@@ -152,7 +152,7 @@ class IoSpec extends SparkSpec {
     assert(back == Set((1L, "unit7", 1000L, 2000L), (2L, "unit9", 5000L, 9000L)))
   }
 
-  test("normalizeTs yields identical epoch-millis for all four ts encodings") {
+  test("normalizeTs yields identical epoch-millis for every ts encoding") {
     // The driver has regenerated events.parquet with a different writer in
     // three separate rounds (TIMESTAMP(NANOS) -> legacy long, then
     // timestamp[us] without TZ -> TIMESTAMP_NTZ, which killed 20 queries in
@@ -179,6 +179,10 @@ class IoSpec extends SparkSpec {
     // 4. Long epoch-micros
     millis.toDF("ms").select((col("ms") * 1000L).as("ts"))
       .write.mode("overwrite").parquet(s"$dir/micros")
+    // 4b. Long epoch-millis (a unix-ms writer, the one long encoding the
+    //     magnitude ladder had not yet seen: < 1e14 until year ~5138)
+    millis.toDF("ms").select(col("ms").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/longms")
 
     def readNorm(sub: String, ntzInference: Boolean = false): Seq[Long] = {
       val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
@@ -203,6 +207,7 @@ class IoSpec extends SparkSpec {
     assert(readNorm("ntz") == millis) // and with inference off (our builders)
     assert(readNorm("nanos") == millis)
     assert(readNorm("micros") == millis)
+    assert(readNorm("longms") == millis)
     assert(readNorm("iso") == millis)
 
     // DATE truncates to midnight by construction — assert the mapping, not
