@@ -90,4 +90,65 @@ object Sampling {
       .withColumn("bin",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budgetTokens))
   }
+
+  /** Deterministic global corpus shuffle: assign every document a
+    * pseudo-random shard and a dense position within it, so a training
+    * loader reads shards in parallel and positions in order — a reproducible
+    * shuffled epoch with no `rand()` (retry/speculation-stable, and a re-run
+    * with the same seed yields byte-identical order). Changing `seed`
+    * reshuffles everything.
+    *
+    * Shard membership comes from the first 16 bits of `md5(seed:id)` (mod
+    * `shards` — portable, any engine with `md5` reproduces it); position is
+    * a `row_number` over the shard ordered by the full hash, so within-shard
+    * order is also hash-random, not id order. Output is the INDEX only —
+    * `(id, shard, pos)` — never the payload: the one shuffle this plan
+    * performs moves (id, 32-byte hash) pairs, and the loader either joins
+    * content by id or writes content bucketed by shard. `shards` is the
+    * parallelism knob: each shard's positions are sorted in a single task,
+    * so size shards to ~the row count one task should sort (e.g. 10k shards
+    * at 1e11 rows = 1e7 narrow rows per task); more shards = more parallel,
+    * never less correct.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, shards: Int,
+                    seed: String = "0"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_hx"), col(idCol))
+    df.select(col(idCol),
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string"))).as("_hx"))
+      .withColumn("shard",
+        conv(substring(col("_hx"), 1, 4), 16, 10).cast("long") % shards)
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .drop("_hx")
+  }
+
+  /** Temperature-scaled source-mixture weights (the UnifiedQA/"sampling
+    * with temperature" recipe GPT-3, PaLM and the Pile all use): per
+    * stratum, `weight ∝ n_tokens^alpha` normalized over strata — `alpha=1`
+    * is proportional sampling, `alpha=0` uniform over sources, in between
+    * upweights small high-quality sources. `target_tokens` is the per-epoch
+    * token allocation out of `budgetTokens`.
+    *
+    * Scale shape: one map-side-combinable aggregation over the corpus (the
+    * only full-data pass), then a broadcast of the one-row normalizer onto
+    * the tiny per-stratum frame. `sqrt`-family powers are correctly-rounded
+    * IEEE in any engine, so the weights are reproducible by an external
+    * SQL oracle (to the 6-decimal rounding the output carries).
+    */
+  def mixtureWeights(df: DataFrame, stratumCol: String, tokens: Column,
+                     alpha: Double, budgetTokens: Long): DataFrame = {
+    val perStratum = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).cast("long").as("n_tokens"))
+    // sqrt is correctly-rounded IEEE; JVM pow is only 1-ulp, so route the
+    // common temperature through sqrt for bit-stable cross-engine weights
+    val wRaw =
+      if (alpha == 0.5) sqrt(col("n_tokens").cast("double"))
+      else pow(col("n_tokens").cast("double"), lit(alpha))
+    val z = perStratum.agg(sum(wRaw).as("_z"))
+    perStratum.crossJoin(broadcast(z))
+      .withColumn("weight", round(wRaw / col("_z"), 6))
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens.toDouble) * wRaw / col("_z")).cast("long"))
+      .drop("_z")
+  }
 }

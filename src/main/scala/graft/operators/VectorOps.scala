@@ -449,4 +449,79 @@ object VectorOps {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** SemDedup-style cluster-scoped pruning (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the corpus, then mark as prunable
+    * every vector with a >= `threshold` cosine neighbor of LOWER id inside
+    * its cluster. One row per pruned vector: `(drop_id, keep_id, cid, sim)`
+    * where `keep_id` is its most-similar such neighbor (tie: smallest id).
+    * Survivors are the ids never appearing as `drop_id`; a transitive
+    * canonical per near-dup group comes from feeding the (keep, drop)
+    * edges to [[Clusters.connectedComponents]].
+    *
+    * Differs from [[embeddingDuplicates]] in the candidate structure:
+    * clusters are Voronoi cells of the [[ivfTopK]] coarse quantizer (the
+    * same deterministic stride-sampled centroids, so an external SQL
+    * oracle replays them), not multi-table LSH buckets — the SemDedup
+    * observation is that near-duplicates land in one cell, so one
+    * cluster-keyed self-join replaces `tables` bucket joins at a small
+    * recall cost on cell boundaries.
+    *
+    * Scale shape: assignment is the [[ivfTopK]] per-partition broadcast
+    * pass (zero corpus shuffles); the pairwise expansion runs per cluster
+    * and is census-capped — clusters above `clusterCap` members sub-split
+    * by an 8-bit LSH sign bucket appended to the join key (similar vectors
+    * keep colliding; a degenerate mega-cell never goes quadratic).
+    * Candidates carry ids only; vectors join back for the one exact-cosine
+    * verify pass.
+    */
+  def semanticDuplicates(corpus: DataFrame, id: String, vec: String,
+                         threshold: Double, minStride: Int = 25,
+                         maxCentroids: Int = 1 << 16,
+                         clusterCap: Int = 2000): DataFrame = {
+    val base = Spread(corpus).select(col(id).cast("long").as("id"),
+        asDouble(col(vec)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stride = ivfStride(base.count(), minStride, maxCentroids)
+    val cents: Array[(Long, Array[Double], Double)] =
+      base.filter(col("id") % stride === 0)
+        .orderBy("id")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    // sparse tiny id space with no stride hit: everything is one cell
+    val assign =
+      if (cents.isEmpty) base.select(col("id"), lit(0L).as("cid"))
+      else assignCentroids(base, "id", "v", "nrm", cents, 1)
+    val heavy = assign.groupBy("cid").count()
+      .filter(col("count") > clusterCap).select(col("cid"))
+    val subPlanes = hyperplanes(tables = 1, bits = 8,
+      dim = cents.headOption.map(_._2.length).getOrElse(64)).head
+    val subBucket = subPlanes.zipWithIndex.map { case (p, b) =>
+      when(dot(col("v"), typedlit(p.toSeq)) >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val slim = assign.join(base.select(col("id"), col("v")), "id")
+      .join(broadcast(heavy.withColumn("_h", lit(1))), Seq("cid"), "left")
+      .withColumn("sub", when(col("_h").isNotNull, subBucket).otherwise(lit(0)))
+      .select(col("id"), col("cid"), col("sub"))
+    val cand = slim.as("a").join(slim.as("b"),
+        col("a.cid") === col("b.cid") && col("a.sub") === col("b.sub") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val pairs = cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb"))
+    // the pair's cell id == the drop side's assignment (join condition
+    // forces a.cid = b.cid), so recover it from `assign` instead of
+    // re-deriving the self-join
+    val scored = scorePairs(pairs)
+      .withColumn("sim", round(col("sim"), 6))
+      .filter(col("sim") >= threshold)
+      .join(assign.select(col("id").as("id_b"), col("cid")), "id_b")
+    val w = Window.partitionBy(col("id_b")).orderBy(col("sim").desc, col("id_a"))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("id_b").as("drop_id"), col("id_a").as("keep_id"),
+        col("cid"), col("sim"))
+  }
 }

@@ -145,6 +145,30 @@ object LlmQueries {
     // occurrences per document, exact integer arithmetic throughout.
     "text_rarity" -> { (s, d) =>
       TextAnalysis.corpusFamiliarity(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // Reproducible global corpus shuffle: every document gets a
+    // pseudo-random shard and a dense in-shard position (the index a
+    // training loader reads); id-only input by design.
+    "shuffle_shards" -> { (s, d) =>
+      Sampling.shuffleShards(Tables.documents(s, d).select("doc_id"),
+        "doc_id", shards = 16, seed = "42")
+    },
+
+    // Temperature-scaled source-mixture weights (alpha=0.5) with a
+    // 10M-token per-epoch allocation.
+    "mix_weights" -> { (s, d) =>
+      Sampling.mixtureWeights(
+        Tables.documents(s, d).select(col("source"),
+          TextAnalysis.wsTokens(col("text")).as("_nt")),
+        "source", col("_nt"), alpha = 0.5, budgetTokens = 10000000L)
+    },
+
+    // SemDedup-style cluster-scoped pruning: one row per prunable vector
+    // with its in-cluster keeper.
+    "dedup_semantic" -> { (s, d) =>
+      VectorOps.semanticDuplicates(Tables.embeddings(s, d), "vec_id",
+        "embedding", threshold = 0.4)
     })
 
   private val docsCte =
@@ -354,7 +378,69 @@ object LlmQueries {
         |e AS (SELECT * FROM g WHERE doc_id % 20 = 0)
         |SELECT c.doc_id, e.doc_id AS eval_id,
         |       len(list_intersect(c.grams, e.grams))::BIGINT AS shared
-        |FROM c JOIN e ON len(list_intersect(c.grams, e.grams)) > 0""".stripMargin)
+        |FROM c JOIN e ON len(list_intersect(c.grams, e.grams)) > 0""".stripMargin,
+
+    "shuffle_shards" -> shuffleShardsOracle,
+
+    "mix_weights" ->
+      """WITH t AS (SELECT source, count(*) AS n_docs,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY source),
+        |z AS (SELECT sum(sqrt(n_tokens::DOUBLE)) AS z FROM t)
+        |SELECT source, n_docs, n_tokens,
+        |       round(sqrt(n_tokens::DOUBLE) / z.z, 6) AS weight,
+        |       CAST(floor(10000000 * sqrt(n_tokens::DOUBLE) / z.z) AS BIGINT) AS target_tokens
+        |FROM t CROSS JOIN z""".stripMargin,
+
+    // SemDedup replay: the same stride-sampled centroids and max-cosine
+    // assignment as the ann_ivf oracle, then per-cell pairwise cosine and
+    // the keep = most-similar-lower-id rule. The engine's over-cap cell
+    // sub-split never fires at oracle scale (cells ~sqrt(N) members vs cap
+    // 2000), so plain cell equality reproduces its candidates.
+    "dedup_semantic" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM n),
+        |st AS (SELECT greatest(25,
+        |                CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT),
+        |                CAST(ceil(count(*)::DOUBLE / 65536.0) AS BIGINT)) AS stride
+        |       FROM m),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM m
+        |         WHERE vec_id % (SELECT stride FROM st) = 0),
+        |sims AS (SELECT m.vec_id, cent.cid,
+        |         list_sum([m.v[i]*cent.cv[i] for i in range(1, len(m.v)+1)]) /
+        |           (m.nrm*cent.cn) AS cs
+        |         FROM m CROSS JOIN cent),
+        |assign AS (SELECT vec_id, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid
+        |         FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |scored AS (SELECT cand.id_a, cand.id_b, cand.cid,
+        |    round(list_sum([x.v[i]*y.v[i] for i in range(1, len(x.v)+1)]) /
+        |          (x.nrm*y.nrm), 6) AS sim
+        |    FROM cand JOIN m x ON x.vec_id = cand.id_a JOIN m y ON y.vec_id = cand.id_b)
+        |SELECT id_b AS drop_id, id_a AS keep_id, cid, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY sim DESC, id_a) AS rn
+        |  FROM scored WHERE sim >= 0.4)
+        |WHERE rn = 1""".stripMargin)
+
+  /** Shuffle-shards oracle: md5('seed:id'), shard = first 16 hash bits mod
+    * 16 (the [[graft.operators.Sampling.hashBucket]] hex-digit arithmetic),
+    * pos = row_number within shard ordered by the full hash — hex strings
+    * compare identically in both engines (lowercase ASCII).
+    */
+  private lazy val shuffleShardsOracle: String = {
+    def dv(k: Int) =
+      s"(CASE WHEN ascii(substr(hx, $k, 1)) >= 97 THEN ascii(substr(hx, $k, 1)) - 87" +
+        s" ELSE ascii(substr(hx, $k, 1)) - 48 END)"
+    s"""WITH h AS (SELECT doc_id, md5('42:' || doc_id::VARCHAR) AS hx FROM documents),
+       |s AS (SELECT doc_id, hx,
+       |        CAST((${dv(1)} * 4096 + ${dv(2)} * 256 + ${dv(3)} * 16 + ${dv(4)}) % 16 AS BIGINT) AS shard
+       |      FROM h)
+       |SELECT doc_id, shard,
+       |       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
+       |FROM s""".stripMargin
+  }
 
   /** Stratified-sample oracle: lang scores are the text_quality oracle's;
     * the bucket re-derives Sampling.hashBucket (value of md5's first 4 hex

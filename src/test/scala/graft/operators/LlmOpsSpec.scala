@@ -397,4 +397,91 @@ class LlmOpsSpec extends SparkSpec {
       s"expected all C(500,2) identical pairs, got ${hotPairs.length}")
     assert(out.forall { case (a, b) => a < b })
   }
+
+  test("shuffleShards is a deterministic permutation with dense shard positions") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val n = docs.count()
+    val a = Sampling.shuffleShards(docs, "doc_id", shards = 16, seed = "42")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._3))
+    val b = Sampling.shuffleShards(docs, "doc_id", shards = 16, seed = "42")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._3))
+    assert(a.toSeq == b.toSeq, "same seed must reproduce the identical order")
+    // a permutation: every id exactly once, shards in range
+    assert(a.map(_._1).distinct.length.toLong == n)
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 16 })
+    // positions dense 0..count-1 within each shard
+    a.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $s positions not dense")
+    }
+    // hash-shuffled, not id order: within-shard order must not be sorted
+    // by id (P[sorted by chance] ~ 1/30!! per shard)
+    assert(a.groupBy(_._2).exists { case (_, rows) =>
+      val ids = rows.sortBy(_._3).map(_._1).toSeq
+      ids != ids.sorted
+    }, "within-shard order follows doc_id — not shuffled")
+    // a different seed produces a different permutation
+    val c = Sampling.shuffleShards(docs, "doc_id", shards = 16, seed = "43")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._3))
+    assert(c.map(_._1).toSeq != a.map(_._1).toSeq, "seed change did not reshuffle")
+  }
+
+  test("mixtureWeights normalizes temperature-scaled token masses") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", 100L), ("a", 300L),   // source a: 400 tokens
+      ("b", 1600L),               // source b: 1600 tokens
+      ("c", 100L)                 // source c: 100 tokens
+    ).toDF("source", "_nt")
+    val out = Sampling.mixtureWeights(docs, "source", col("_nt"),
+        alpha = 0.5, budgetTokens = 1000L)
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // sqrt masses: 20, 40, 10 -> z = 70
+    assert(out("a")._2 == 2L && out("a")._3 == 400L)
+    assert(math.abs(out("a")._4 - 20.0 / 70) < 1e-6)
+    assert(math.abs(out("b")._4 - 40.0 / 70) < 1e-6)
+    assert(math.abs(out("c")._4 - 10.0 / 70) < 1e-6)
+    assert(out.values.map(_._4).sum > 0.999 && out.values.map(_._4).sum < 1.001)
+    assert(out("b")._5 == math.floor(1000.0 * 40 / 70).toLong)
+    // alpha=1 degenerates to proportional sampling
+    val prop = Sampling.mixtureWeights(docs, "source", col("_nt"),
+        alpha = 1.0, budgetTokens = 2100L)
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(math.abs(prop("b") - 1600.0 / 2100) < 1e-6)
+  }
+
+  test("semanticDuplicates prunes planted in-cluster near-dups and caps mega-cells") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    // 30 spread-out base vectors + 3 planted copies of vector 7 (ids >= 100)
+    val base = (0L until 30L).map(i => (i, Array.fill(64)(r.nextGaussian().toFloat)))
+    val copies = Seq(100L, 101L, 102L).map { i =>
+      (i, base(7)._2.map(x => x + 0.001f * r.nextGaussian().toFloat))
+    }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val out = VectorOps.semanticDuplicates(df, "vec_id", "embedding",
+        threshold = 0.9, minStride = 5)
+      .select("drop_id", "keep_id").as[(Long, Long)].collect().toMap
+    // every copy is prunable; its keeper is a lower-id near-identical twin
+    assert(Set(100L, 101L, 102L).subsetOf(out.keySet),
+      s"planted copies not pruned: $out")
+    assert(out(100L) == 7L, s"copy 100 should keep original 7, got ${out(100L)}")
+    assert(Set(7L, 100L).contains(out(101L)))
+    // none of the spread-out base vectors (besides maybe 7's twins) drop
+    assert(out.keySet.forall(id => id >= 100L || base.exists(_._1 == id)))
+
+    // mega-cell: 400 identical vectors with a tiny cap still yield their
+    // full pairwise pruning list via the LSH sub-split (identical vectors
+    // share every sign bucket)
+    val hot = Array.fill(64)(r.nextGaussian().toFloat)
+    val big = (0L until 400L).map(i => (i, hot.clone())).toDF("vec_id", "embedding")
+    val pruned = VectorOps.semanticDuplicates(big, "vec_id", "embedding",
+        threshold = 0.99, minStride = 5, clusterCap = 50)
+      .select("drop_id", "keep_id").as[(Long, Long)].collect()
+    assert(pruned.length == 399, s"expected 399 pruned, got ${pruned.length}")
+    assert(pruned.forall(_._2 == 0L), "keeper of identical copies must be id 0")
+  }
 }
