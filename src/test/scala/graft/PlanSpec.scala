@@ -130,4 +130,31 @@ class PlanSpec extends SparkSpec {
     // segment aggregation chain
     assert(exchanges <= 3, s"dsl_timer shuffles $exchanges times:\n${p.take(3000)}")
   }
+
+  test("shuffle_shards shuffles once, on the shard key, ids only") {
+    val p = plan("shuffle_shards")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"shuffle_shards shuffles $exchanges times:\n${p.take(2000)}")
+    assert(p.contains("hashpartitioning(shard"),
+      "the one exchange must key on the shard column")
+    assert(!p.contains("text"), "the index must never carry document text")
+  }
+
+  test("mix_weights broadcasts the one-row normalizer") {
+    val p = plan("mix_weights")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected a broadcast of the normalizer aggregate:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the per-stratum frame must not shuffle to meet the normalizer")
+  }
+
+  test("dedup_semantic pairs ids inside cells; vectors stay out of the cell shuffle") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"))
+    // the cell self-join shuffles (id, cid, sub) triples only: some
+    // exchange must key on the cell id, and no exchange may carry the
+    // embedding array into the pair expansion
+    assert(p.contains("hashpartitioning(cid"),
+      s"expected the candidate self-join keyed on the cell id:\n${p.take(3000)}")
+  }
 }
