@@ -489,6 +489,28 @@ object VectorOps {
         .orderBy("id")
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    semanticPrune(base, cents, threshold, clusterCap)
+  }
+
+  /** [[semanticDuplicates]] with a caller-supplied quantizer — pair with
+    * [[kmeansCentroids]] for trained cells (the SemDedup paper's actual
+    * setup: k-means cells, prune within each), identically to how
+    * [[ivfTopKWith]] upgrades [[ivfTopK]].
+    */
+  def semanticDuplicatesWith(corpus: DataFrame, id: String, vec: String,
+                             threshold: Double,
+                             cents: Array[(Long, Array[Double], Double)],
+                             clusterCap: Int = 2000): DataFrame = {
+    val base = Spread(corpus).select(col(id).cast("long").as("id"),
+        asDouble(col(vec)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    semanticPrune(base, cents, threshold, clusterCap)
+  }
+
+  private def semanticPrune(base: DataFrame,
+                            cents: Array[(Long, Array[Double], Double)],
+                            threshold: Double, clusterCap: Int): DataFrame = {
     // sparse tiny id space with no stride hit: everything is one cell
     val assign =
       if (cents.isEmpty) base.select(col("id"), lit(0L).as("cid"))

@@ -484,4 +484,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(pruned.length == 399, s"expected 399 pruned, got ${pruned.length}")
     assert(pruned.forall(_._2 == 0L), "keeper of identical copies must be id 0")
   }
+
+  test("semanticDuplicatesWith prunes inside trained k-means cells") {
+    import spark.implicits._
+    val r = new scala.util.Random(13)
+    val base = (0L until 40L).map(i => (i, Array.fill(64)(r.nextGaussian().toFloat)))
+    val copies = Seq(200L, 201L).map { i =>
+      (i, base(3)._2.map(x => x + 0.001f * r.nextGaussian().toFloat))
+    }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val cents = VectorOps.kmeansCentroids(df, "vec_id", "embedding", k = 6)
+    val out = VectorOps.semanticDuplicatesWith(df, "vec_id", "embedding",
+        threshold = 0.9, cents)
+      .select("drop_id", "keep_id").as[(Long, Long)].collect().toMap
+    // a near-identical copy lands in its original's cell by construction
+    // (same direction => same max-cosine centroid) and gets pruned there
+    assert(Set(200L, 201L).subsetOf(out.keySet), s"copies not pruned: $out")
+    assert(out(200L) == 3L)
+  }
 }
