@@ -28,13 +28,17 @@ object VolumeBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dedupMode = args.headOption.contains("dedup")
-    val rest = (if (dedupMode) args.drop(1) else args).toSeq.map(_.toInt)
+    val mode = args.headOption.filter(Set("dedup", "vectors")).getOrElse("patterns")
+    val rest = (if (mode == "patterns") args else args.drop(1)).toSeq.map(_.toInt)
 
-    if (dedupMode) runDedup(spark, sfDir, cpus.toInt,
-      if (rest.nonEmpty) rest else Seq(1, 10, 100))
-    else runPatterns(spark, sfDir, cpus.toInt,
-      if (rest.nonEmpty) rest else Seq(1, 10, 60))
+    mode match {
+      case "dedup" => runDedup(spark, sfDir, cpus.toInt,
+        if (rest.nonEmpty) rest else Seq(1, 10, 100))
+      case "vectors" => runVectors(spark, sfDir, cpus.toInt,
+        if (rest.nonEmpty) rest else Seq(1, 10, 100))
+      case _ => runPatterns(spark, sfDir, cpus.toInt,
+        if (rest.nonEmpty) rest else Seq(1, 10, 60))
+    }
     spark.stop()
   }
 
@@ -108,6 +112,47 @@ object VolumeBench {
             .head().toSeq.toArray
           val sec = (System.nanoTime() - t0) / 1e9
           println(f"[volume] docs-x$f%-3d rows=$rows%-9d $name%-17s round=$round " +
+            f"out=$n%-7s sec=$sec%6.2f rate=${rows / sec / 1e3}%9.1fk rows/s")
+          spark.catalog.clearCache()
+        }
+      }
+    }
+  }
+
+  /** Vector-family ladder over a replicated embeddings table. Each replica
+    * applies a deterministic per-(replica, dimension) sign flip: applying
+    * one flip pattern to every vector of a replica preserves intra-replica
+    * cosines EXACTLY (cos(Sx, Sy) = cos(x, y) for a diagonal ±1 S), so the
+    * planted near-dup structure replicates linearly, while cross-replica
+    * directions decorrelate — LSH buckets and k-means cells spread replicas
+    * apart instead of stacking them into K²-sized hot cells.
+    */
+  private def runVectors(spark: SparkSession, sfDir: String, cpus: Int,
+                         factors: Seq[Int]): Unit = {
+    val queries = Seq("dedup_embed", "dedup_semantic", "ann_lsh", "ann_ivf")
+    factors.foreach { f =>
+      val dir = s"/tmp/graft-volume/vecs-x$f"
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        Tables.embeddings(spark, sfDir)
+          .withColumn("_rep", explode(lit((0 until f).toArray)))
+          .withColumn("vec_id", col("vec_id") + col("_rep") * 10000000L)
+          .withColumn("embedding", transform(col("embedding"), (x, i) =>
+            (x * when(pmod(xxhash64(col("_rep"), i), lit(2)) === 0, lit(1.0))
+              .otherwise(lit(-1.0))).cast("float")))
+          .drop("_rep")
+          .repartition(cpus)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      val rows = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      queries.foreach { name =>
+        (1 to 2).foreach { round =>
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(name)(spark, dir)
+          val Array(n, _) = df
+            .agg(count(lit(1)), bit_xor(xxhash64(df.columns.map(col): _*)))
+            .head().toSeq.toArray
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[volume] vecs-x$f%-3d rows=$rows%-9d $name%-17s round=$round " +
             f"out=$n%-7s sec=$sec%6.2f rate=${rows / sec / 1e3}%9.1fk rows/s")
           spark.catalog.clearCache()
         }

@@ -159,4 +159,68 @@ class StreamingDedupSpec extends SparkSpec {
       assert(got == Set((1L, 2L), (2L, 3L)), s"got $got")
     } finally query.stop()
   }
+
+  // planted embedding corpus: 20 spread-out directions + near-copies of two
+  // of them (64-dim, the batch default)
+  private def plantedVecs: Seq[(Long, Array[Float])] = {
+    val r = new scala.util.Random(17)
+    val base = (0L until 20L).map(i => (i, Array.fill(64)(r.nextGaussian().toFloat)))
+    val copies = Seq(
+      (100L, base(4)._2.map(x => x + 0.001f * r.nextGaussian().toFloat)),
+      (101L, base(4)._2.map(x => x + 0.001f * r.nextGaussian().toFloat)),
+      (102L, base(9)._2.map(x => x + 0.001f * r.nextGaussian().toFloat)))
+    base ++ copies
+  }
+
+  test("streaming vector bucketing is bit-identical to batch bucketRows") {
+    val planes = graft.operators.VectorOps.hyperplanes(tables = 8, bits = 4, dim = 64)
+    val df = plantedVecs.toDF("vec_id", "embedding")
+    val base = df.select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val batch = graft.operators.VectorOps.bucketRows(base, "id", "v", planes)
+      .select(col("id").cast("long"), col("bk.table"), col("bk.bucket"))
+      .as[(Long, Int, Long)].collect().toSet
+    val streamForm = StreamingDedup.bucketedVecs(df, "vec_id", "embedding", planes)
+      .map(d => (d.id, d.table, d.bucket)).collect().toSet
+    assert(streamForm == batch,
+      s"buckets diverged: only-stream=${(streamForm -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamForm).take(3)}")
+  }
+
+  test("streamed embedding pair set matches batch embeddingDuplicates") {
+    val batchPairs = graft.operators.VectorOps.embeddingDuplicates(
+        plantedVecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.9)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(batchPairs == Set((4L, 100L), (4L, 101L), (100L, 101L), (9L, 102L)),
+      s"unexpected batch ground truth: $batchPairs")
+
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Array[Float])]
+    val pairs = StreamingDedup.embeddingPairsStream(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      threshold = 0.9)
+    val query = pairs.writeStream.format("memory").queryName("stream_vecdedup")
+      .outputMode("append").start()
+    try {
+      // copies split across micro-batches AND within one batch
+      val vs = plantedVecs
+      ms.addData(vs.filter(_._1 <= 9L))
+      query.processAllAvailable()
+      ms.addData(vs.filter(v => v._1 > 9L && v._1 != 101L))
+      query.processAllAvailable()
+      ms.addData(vs.filter(_._1 == 101L))
+      query.processAllAvailable()
+      val got = spark.table("stream_vecdedup")
+        .select("id_a", "id_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(got == batchPairs, s"stream=$got batch=$batchPairs")
+      // near-identical copies score within a rounding step of batch's sim
+      val sim = spark.table("stream_vecdedup")
+        .filter(col("id_a") === 100L && col("id_b") === 101L)
+        .select(max("sim")).as[Double].head()
+      assert(sim > 0.999, s"copy pair scored $sim")
+    } finally query.stop()
+  }
 }
