@@ -415,39 +415,165 @@ object VectorOps {
     * shared LSH buckets only (never all pairs).
     *
     * Bucket skew is capped the same way the text dedups cap it
-    * ([[TextDedup.cappedPairs]]): a per-bucket census runs first (map-side
-    * partial agg, skew-safe), buckets above `bucketCap` members are routed
-    * to an exact-signature fallback — grouping by the FULL LSH signature
-    * (all `tables` buckets), so a boilerplate cluster of identical
-    * embeddings collapses to one group (whose pairwise output is the
-    * contract) while a degenerate single-table hot bucket sub-splits by
+    * ([[TextDedup.cappedPairs]]'s census shape): a per-bucket census runs
+    * first (map-side partial agg, skew-safe), buckets above `bucketCap`
+    * members are routed to an exact-signature fallback — grouping by the
+    * FULL LSH signature (all `tables` buckets), so a boilerplate cluster of
+    * identical embeddings collapses to one group (whose pairwise output is
+    * the contract) while a degenerate single-table hot bucket sub-splits by
     * every other table's bits. No bucket ever enters the quadratic
     * expansion above the cap.
+    *
+    * Verification is IN-GROUP ([[verifyGroups]]): members carry their
+    * vector into the (capped) bucket group once, pairs score and filter
+    * inside the task, and only surviving (id_a, id_b, sim) rows exist as
+    * data — candidate pairs never shuffle, with or without payload.
+    */
+  /** @param autoBits when true, widen `bits` to
+    *   `ceil(log2(N / (bucketCap/2)))` (clamped to [bits, 16]) so the
+    *   expected bucket population N/2^bits stays ~bucketCap/2 as the corpus
+    *   grows. With fixed bits every bucket eventually exceeds the census
+    *   cap and candidates collapse to exact-signature groups — a silent
+    *   recall cliff (the volume ladder shows fixed bits=4 finding 0 planted
+    *   pairs at 10x). Per-table collision probability for a true pair is
+    *   `(1-θ/π)^bits`, so widening suits HIGH thresholds (sim >= ~0.8 keeps
+    *   32-table recall >= 0.99 up to bits = 16); low-threshold sweeps should
+    *   raise `tables` alongside. Off by default: bits is part of the
+    *   operator's oracle-checked contract.
     */
   def embeddingDuplicates(corpus: DataFrame, id: String, vec: String,
                           threshold: Double,
                           tables: Int = 32, bits: Int = 4, dim: Int = 64,
-                          bucketCap: Int = 200): DataFrame = {
-    val planes = hyperplanes(tables, bits, dim)
+                          bucketCap: Int = 200,
+                          autoBits: Boolean = false): DataFrame = {
     // cache: the bucket computation (tables x bits dot products) would
-    // otherwise run once per consumer (census, light path, heavy path);
-    // candidate generation happens on ids only so vector arrays never
-    // enter a pair shuffle
-    val base = Spread(corpus).select(col(id).as("id"), asDouble(col(vec)).as("v"))
+    // otherwise run once per consumer (census, heavy-id path, light path).
+    // Ids are long-cast for the in-group verifier (numeric ids, like the
+    // other vector operators).
+    val base = Spread(corpus).select(col(id).cast("long").as("id"),
+        asDouble(col(vec)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bitsEff =
+      if (!autoBits) bits
+      else {
+        val n = base.count().toDouble
+        val target = math.max(1.0, bucketCap / 2.0)
+        math.min(16, math.max(bits,
+          math.ceil(math.log(n / target) / math.log(2.0)).toInt))
+      }
+    val planes = hyperplanes(tables, bitsEff, dim)
     val keyed = bucketRows(base, "id", "v", planes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val heavyBuckets = keyed.groupBy("bk").count()
+      .filter(col("count") > bucketCap).select("bk")
+    // over-cap buckets: exact grouping by full signature (group sizes are
+    // bounded by true-duplicate multiplicity — the pair contract is
+    // inherently quadratic in an exact-duplicate group)
     val exactKey = keyed.groupBy("id")
       .agg(xxhash64(sort_array(collect_list(
         struct(col("bk.table"), col("bk.bucket"))))).as("k"))
-    val pairs = TextDedup.cappedPairs(keyed, exactKey, bucketCap)
-      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb"))
-    scorePairs(pairs)
-      .withColumn("sim", round(col("sim"), 6))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
+    val heavyMembers = keyed.join(broadcast(heavyBuckets), Seq("bk"))
+      .select("id").distinct()
+      .join(exactKey, "id").join(base, "id")
+      .groupBy("k").agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    // sub-cap buckets: vectors ride the banding pass (narrow — no join),
+    // and verification happens INSIDE each bucket group. The alternative —
+    // distinct candidate ids, then joining both vectors onto every pair —
+    // shuffles pairs x vector payload: at 200k vectors with ~100-member
+    // buckets that is ~3e8 pairs x ~1 KiB, hundreds of GB; this shape
+    // shuffles members x vector once (N x tables rows) and the pair loop
+    // never leaves the bucket's task.
+    val lightMembers = bucketRowsCarry(base, planes)
+      .join(broadcast(heavyBuckets), Seq("bk"), "left_anti")
+      .groupBy("bk").agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    // a pair can surface from a sub-cap bucket AND the heavy fallback (or
+    // several buckets); sims are bit-identical everywhere, keep one
+    verifyGroups(lightMembers.select("ms").union(heavyMembers.select("ms")),
+        threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** [[bucketRows]] carrying the vector and norm through the banding pass:
+    * (bk, id, v, nrm) per table — used when verification happens in-bucket
+    * so vectors never join onto candidate pairs.
+    */
+  private def bucketRowsCarry(df: DataFrame,
+                              planes: Seq[Seq[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tables = planes.size
+    val bits = planes.head.size
+    val dim = planes.head.head.length
+    val flat = new Array[Double](tables * bits * dim)
+    for (t <- 0 until tables; b <- 0 until bits; i <- 0 until dim)
+      flat((t * bits + b) * dim + i) = planes(t)(b)(i)
+    val bc = df.sparkSession.sparkContext.broadcast(flat)
+    val in = df.select(col("id"), col("v"), col("nrm"))
+    val outSchema = StructType(Seq(
+      StructField("bk", StructType(Seq(
+        StructField("table", IntegerType, nullable = false),
+        StructField("bucket", LongType, nullable = false)))),
+      in.schema.fields(0), in.schema.fields(1), in.schema.fields(2)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      val p = bc.value
+      rows.flatMap { r =>
+        val v = r.getSeq[Double](1).toArray
+        (0 until tables).iterator.map { t =>
+          var bucket = 0L
+          var b = 0
+          while (b < bits) {
+            val off = (t * bits + b) * dim
+            var s = 0.0
+            var i = 0
+            while (i < dim) { s += v(i) * p(off + i); i += 1 }
+            if (s >= 0) bucket |= (1L << b)
+            b += 1
+          }
+          Row(Row(t, bucket), r.get(0), r.get(1), r.get(2))
+        }
+      }
+    }(enc)
+  }
+
+  /** Pairwise cosine INSIDE each member group (`ms`: array of (id, v, nrm),
+    * group size <= the caller's cap): members sort by id, every (i < j)
+    * pair scores dot/(na*nb) with the same left-to-right loop as
+    * [[scorePairs]], rounds HALF_UP to 6 like Spark's `round`, and only
+    * pairs >= threshold leave the task — candidate pairs never exist as
+    * rows, let alone carry vector payloads through a shuffle.
+    */
+  private def verifyGroups(groups: DataFrame, threshold: Double): DataFrame = {
+    val spark = groups.sparkSession
+    import spark.implicits._
+    groups.select(col("ms")).as[Seq[(Long, Seq[Double], Double)]]
+      .flatMap { ms0 =>
+        val ms = ms0.sortBy(_._1).toArray
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < ms.length) {
+          val (ida, va0, na) = ms(i)
+          val va = va0.toArray
+          var j = i + 1
+          while (j < ms.length) {
+            val (idb, vb0, nb) = ms(j)
+            val vb = vb0.toArray
+            var s = 0.0
+            var d = 0
+            while (d < va.length) { s += va(d) * vb(d); d += 1 }
+            val sim = BigDecimal(s / (na * nb))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (sim >= threshold) out += ((ida, idb, sim))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("id_a", "id_b", "sim")
   }
 
   /** SemDedup-style cluster-scoped pruning (Abbas et al. 2023,
@@ -470,10 +596,11 @@ object VectorOps {
     * Scale shape: assignment is the [[ivfTopK]] per-partition broadcast
     * pass (zero corpus shuffles); the pairwise expansion runs per cluster
     * and is census-capped — clusters above `clusterCap` members sub-split
-    * by an 8-bit LSH sign bucket appended to the join key (similar vectors
-    * keep colliding; a degenerate mega-cell never goes quadratic).
-    * Candidates carry ids only; vectors join back for the one exact-cosine
-    * verify pass.
+    * by an 8-bit LSH sign bucket appended to the group key (similar vectors
+    * keep colliding; a degenerate mega-cell never goes quadratic). Members
+    * carry (id, vector, norm) into their cell group in ONE shuffle and
+    * verification happens inside the task ([[verifyGroups]]) — candidate
+    * pairs never exist as shuffled rows.
     */
   def semanticDuplicates(corpus: DataFrame, id: String, vec: String,
                          threshold: Double, minStride: Int = 25,
@@ -522,24 +649,21 @@ object VectorOps {
     val subBucket = subPlanes.zipWithIndex.map { case (p, b) =>
       when(dot(col("v"), typedlit(p.toSeq)) >= 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
-    val slim = assign.join(base.select(col("id"), col("v")), "id")
+    // one shuffle keyed on (cell, sub): members carry (id, v, nrm) into
+    // their cell group and ALL pairwise work happens inside it — the
+    // alternative (id-only self-join, then joining both vectors onto every
+    // candidate pair) shuffles pairs x vector payload, which at sqrt(N)
+    // cell sizes is ~N^1.5 x 1 KiB of traffic
+    val members = assign
       .join(broadcast(heavy.withColumn("_h", lit(1))), Seq("cid"), "left")
+      .join(base, "id")
       .withColumn("sub", when(col("_h").isNotNull, subBucket).otherwise(lit(0)))
-      .select(col("id"), col("cid"), col("sub"))
-    val cand = slim.as("a").join(slim.as("b"),
-        col("a.cid") === col("b.cid") && col("a.sub") === col("b.sub") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val pairs = cand
-      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb"))
-    // the pair's cell id == the drop side's assignment (join condition
-    // forces a.cid = b.cid), so recover it from `assign` instead of
-    // re-deriving the self-join
-    val scored = scorePairs(pairs)
-      .withColumn("sim", round(col("sim"), 6))
-      .filter(col("sim") >= threshold)
+      .groupBy(col("cid"), col("sub"))
+      .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    // the pair's cell id == the drop side's assignment (pairs never cross
+    // cells), so recover it from `assign` after the in-group verify
+    val scored = verifyGroups(members.select("ms"), threshold)
       .join(assign.select(col("id").as("id_b"), col("cid")), "id_b")
     val w = Window.partitionBy(col("id_b")).orderBy(col("sim").desc, col("id_a"))
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)

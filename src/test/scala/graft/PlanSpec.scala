@@ -137,7 +137,11 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"shuffle_shards shuffles $exchanges times:\n${p.take(2000)}")
     assert(p.contains("hashpartitioning(shard"),
       "the one exchange must key on the shard column")
-    assert(!p.contains("text"), "the index must never carry document text")
+    // the scan feeding the index is pruned to the id column (the relation
+    // node itself may list every table column when the table is cached)
+    assert("InMemoryTableScan \\[doc_id#\\d+L\\]".r.findFirstIn(p).isDefined ||
+      p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"the index scan must read doc_id only:\n${p.take(2000)}")
   }
 
   test("mix_weights broadcasts the one-row normalizer") {

@@ -485,6 +485,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(pruned.forall(_._2 == 0L), "keeper of identical copies must be id 0")
   }
 
+  test("autoBits restores recall once fixed-bits buckets all exceed the cap") {
+    import spark.implicits._
+    val r = new scala.util.Random(23)
+    val base = (0L until 2000L).map(i => (i, Array.fill(64)(r.nextGaussian().toFloat)))
+    // 0.1-sigma perturbation: cosine ~0.995 (still >= 0.9) but several of
+    // the 128 sign bits flip, so the copies' FULL signatures differ from
+    // their originals (0.001-sigma copies keep identical signatures and the
+    // exact-signature fallback legitimately catches them)
+    val copies = Seq(
+      (9000L, base(5)._2.map(x => x + 0.1f * r.nextGaussian().toFloat)),
+      (9001L, base(77)._2.map(x => x + 0.1f * r.nextGaussian().toFloat)))
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val planted = Set((5L, 9000L), (77L, 9001L))
+    // fixed bits=4: 2002/16 = ~125 per bucket > cap 50, so EVERY bucket
+    // routes to the exact-signature fallback — the near-dup copies have
+    // differing signatures and vanish
+    val fixed = VectorOps.embeddingDuplicates(df, "vec_id", "embedding",
+        threshold = 0.9, bucketCap = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((fixed intersect planted) != planted,
+      s"expected the fixed-bits recall cliff to drop a planted pair, got $fixed")
+    // autoBits widens to ceil(log2(2002/25)) = 7 bits: buckets ~16 members,
+    // the light pairwise path runs, near-identical copies collide in some
+    // table with probability ~1
+    val auto = VectorOps.embeddingDuplicates(df, "vec_id", "embedding",
+        threshold = 0.9, bucketCap = 50, autoBits = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(planted.subsetOf(auto), s"autoBits missed planted pairs: $auto")
+  }
+
   test("semanticDuplicatesWith prunes inside trained k-means cells") {
     import spark.implicits._
     val r = new scala.util.Random(13)
