@@ -223,4 +223,36 @@ class StreamingDedupSpec extends SparkSpec {
       assert(sim > 0.999, s"copy pair scored $sim")
     } finally query.stop()
   }
+
+  test("vector bucket index survives a query restart through the checkpoint") {
+    // the copies arrive only AFTER the restart, so detecting (4, 100)
+    // requires vector 4's stored unit direction to round-trip through the
+    // state store
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-vec").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-out-vec").toString
+    val ms = MemoryStream[(Long, Array[Float])]
+    val pairs = StreamingDedup.embeddingPairsStream(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      threshold = 0.9)
+    def start() = pairs.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val vs = plantedVecs
+    val q1 = start()
+    ms.addData(vs.filter(_._1 < 20L)) // base only — no pairs yet
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    ms.addData(vs.filter(_._1 >= 20L)) // the three near-copies
+    q2.processAllAvailable()
+    try {
+      val got = spark.read.parquet(outDir)
+        .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+      assert(got == Set((4L, 100L), (4L, 101L), (100L, 101L), (9L, 102L)),
+        s"post-restart pairs: $got")
+    } finally q2.stop()
+  }
 }
