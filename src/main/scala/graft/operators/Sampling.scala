@@ -151,4 +151,59 @@ object Sampling {
         floor(lit(budgetTokens.toDouble) * wRaw / col("_z")).cast("long"))
       .drop("_z")
   }
+
+  /** Hashed-n-gram target-affinity weights — the data-selection shape of
+    * DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every document by how much its hashed
+    * n-gram feature distribution looks like a target domain's, then sample
+    * the raw corpus by that weight. Word `n`-grams hash into `buckets`
+    * feature buckets; `affinity` is the per-document mean bucket
+    * likelihood ratio
+    *
+    *   (Σ_g countTarget[bucket(g)] / Σ_g countRaw[bucket(g)]) · (Nraw / Ntarget)
+    *
+    * — >1 means the document's features are over-represented in the target,
+    * <1 under-represented. DSIR proper exponentiates per-gram log-ratios;
+    * this keeps every aggregate an exact INTEGER sum (order-independent,
+    * bit-stable across engines — the ratio and one final rounding are the
+    * only floating-point steps), the same determinism stance as
+    * [[graft.operators.TextAnalysis.corpusFamiliarity]]. The md5-hex bucket
+    * is [[hashBucket]]'s, so any SQL engine replays it.
+    *
+    * `isTarget` marks the in-corpus target slice (a curated source, a
+    * quality tier). A document with no words gets `n_grams = 0` and NULL
+    * affinity — visible, not silently dropped.
+    *
+    * Scale shape: one narrow explode+hash pass; ONE map-side-combinable
+    * aggregation builds the `buckets`-row feature table (tiny — it is
+    * explicitly `broadcast` back onto the gram stream, so the corpus never
+    * shuffles for the lookup); one doc-keyed map-side-combinable aggregate;
+    * totals are a 1-row broadcast. The target slice needs no second pass —
+    * its counts ride the same aggregation as a conditional sum.
+    */
+  def affinityWeights(docs: DataFrame, idCol: String, textCol: String,
+                      isTarget: Column, buckets: Int = 1024,
+                      n: Int = 2): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("_tgt"),
+        explode(TextAnalysis.wordNgrams(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), col("_tgt"),
+        (conv(substring(md5(col("gram")), 1, 4), 16, 10).cast("long")
+          % buckets).as("_bucket"))
+    val featureTable = grams.groupBy("_bucket")
+      .agg(count(lit(1)).as("_cr"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+    val totals = featureTable.agg(sum(col("_cr")).as("_nr"), sum(col("_ct")).as("_nt"))
+    val perDoc = grams.join(broadcast(featureTable), "_bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("_ct")).as("_st"), sum(col("_cr")).as("_sr"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        round(col("_st").cast("double") * col("_nr") /
+          (col("_sr").cast("double") * col("_nt")), 6).as("affinity"))
+  }
 }

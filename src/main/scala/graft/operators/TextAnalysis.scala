@@ -165,6 +165,40 @@ object TextAnalysis {
         size(array_distinct(grams)).cast("double") / size(grams), 6))
   }
 
+  /** PII patterns: (name, regex, replacement). The regexes are written for
+    * the portable intersection of Java regex and RE2 (character classes,
+    * bounded repetition, `\b`) so an external SQL oracle reproduces both
+    * the match counts and the redacted text byte-for-byte. The phone
+    * pattern requires a leading `+` — the no-prefix forms ("555 0100")
+    * false-positive on ordinary numeric text, and a redaction pass must be
+    * precision-biased (a dropped real phone number costs one leak; a
+    * mangled measurement corrupts training text corpus-wide).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phones", "\\+[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"))
+
+  /** Per-document PII match counts (one `n_<name>` column per pattern).
+    * Narrow codegen'd map — no shuffle.
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, re, _) =>
+      s"n_$name" -> regexp_count(text, lit(re)).cast("long")
+    }
+
+  /** Redact all PII patterns from `text`, in [[piiPatterns]] order (emails
+    * before IPs before phones — the earlier replacements' placeholders
+    * contain no characters the later patterns match, so the passes are
+    * order-independent in effect; the fixed order just makes the output
+    * deterministic by construction). Narrow map; `regexp_replace` is
+    * global in both Spark and ANSI-SQL engines' `'g'` mode.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, re, rep)) =>
+      regexp_replace(t, re, rep)
+    }
+
   /** Corpus-level boilerplate mining: the `k` most frequent word `n`-grams
     * across `docs`, with the number of distinct documents each appears in —
     * the candidate list a boilerplate-removal pass strips (headers, footers,

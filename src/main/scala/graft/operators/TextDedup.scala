@@ -345,6 +345,60 @@ object TextDedup {
     * [[simhashDuplicates]] fully oracle-checkable — xxhash64 was not
     * portable.
     */
+  /** Exact duplicate-substring spans — the substring-level counterpart of
+    * document-level dedup (the ExactSubstr pass of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): find, per
+    * document, the maximal word ranges whose every `n`-word window also
+    * occurs in at least `minDocs` distinct documents. A downstream pass cuts
+    * those ranges out of the text instead of dropping whole documents —
+    * the right tool for shared headers, quoted passages and licence blocks
+    * embedded in otherwise-unique pages.
+    *
+    * The reference formulation is a corpus-wide suffix array — inherently
+    * sequential and memory-resident. This is the distributed re-expression:
+    * rolling `n`-word windows are the suffix array's LCP>=n relation, and
+    * adjacent duplicated windows merge into the same maximal span a suffix
+    * array would report (a duplicated substring of L>=n words is exactly a
+    * run of L-n+1 duplicated windows).
+    *
+    * Output: (doc_id, span_start, span_end, n_windows) with span bounds as
+    * word indices (0-based, inclusive).
+    *
+    * Scale shape: windows are hashed to md5 immediately, so no shuffle
+    * carries text — (1) one map-side-combinable gram-keyed aggregation
+    * finds windows with >= minDocs distinct docs (128-bit keys: a 64-bit
+    * hash would birthday-collide ~1e7 times at 1e12 windows, planting false
+    * spans; md5's 128 bits keep the expected collision count below 1e-13);
+    * (2) the positions-to-duplicates join is keyed by the same hash, and
+    * AQE broadcasts the duplicate set when small; (3) span merging is one
+    * doc-keyed window (`pos - row_number`) plus a map-side-combinable
+    * aggregate. Intra-document repeats alone do NOT fire (that axis is
+    * [[TextAnalysis.repetitionFeatures]]); `minDocs` counts distinct
+    * documents.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.wordNgrams(col(textCol), n)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("gram")).as("_gh"))
+    val dup = grams.groupBy("_gh")
+      .agg(count_distinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select("_gh")
+    grams.join(dup, "_gh")
+      .select("doc_id", "pos")
+      .withColumn("_run", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_run"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("_run")
+  }
+
   private def md5Bit(hx: Column, j: Int): Column = {
     val a = ascii(substring(hx, 1 + j / 4, 1))
     val dv = when(a >= 97, a - 87).otherwise(a - 48) // lowercase hex digit

@@ -169,6 +169,22 @@ object LlmQueries {
     "dedup_semantic" -> { (s, d) =>
       VectorOps.semanticDuplicates(Tables.embeddings(s, d), "vec_id",
         "embedding", threshold = 0.4)
+    },
+
+    // Exact duplicate-substring spans (ExactSubstr, Lee et al. 2022):
+    // maximal word ranges whose every 8-word window appears in >= 2
+    // distinct documents — the planted near-dup pairs light up as long
+    // shared spans.
+    "dedup_substring" -> { (s, d) =>
+      TextDedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
+        n = 8, minDocs = 2)
+    },
+
+    // DSIR-shaped hashed-bigram affinity against an in-corpus target slice
+    // (source src0 plays the curated domain).
+    "affinity_weights" -> { (s, d) =>
+      Sampling.affinityWeights(Tables.documents(s, d), "doc_id", "text",
+        isTarget = col("source") === "src0", buckets = 1024, n = 2)
     })
 
   private val docsCte =
@@ -422,7 +438,64 @@ object LlmQueries {
         |SELECT id_b AS drop_id, id_a AS keep_id, cid, sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY sim DESC, id_a) AS rn
         |  FROM scored WHERE sim >= 0.4)
-        |WHERE rn = 1""".stripMargin)
+        |WHERE rn = 1""".stripMargin,
+
+    // Duplicate-substring replay: rolling 8-word windows by position, the
+    // >=2-distinct-docs window set, and the pos - row_number() run merge.
+    // Gram strings join directly (the engine's md5 of the same strings is
+    // injective on this corpus by the 128-bit argument in the scaladoc).
+    "dedup_substring" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(range(0, greatest(len(ws) - 8, 0) + 1)) AS pos, ws
+        |      FROM w),
+        |gg AS (SELECT doc_id, pos,
+        |         array_to_string(list_slice(ws, pos + 1, pos + 8), ' ') AS gram
+        |       FROM g),
+        |dup AS (SELECT gram FROM gg GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos FROM gg JOIN dup USING (gram)),
+        |runs AS (SELECT doc_id, pos,
+        |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+        |         FROM hits)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        |       count(*) AS n_windows
+        |FROM runs GROUP BY doc_id, rid""".stripMargin,
+
+    "affinity_weights" -> affinityWeightsOracle)
+
+  /** Affinity-weights oracle: hashed-bigram buckets via the same
+    * md5-first-4-hex-digits arithmetic as [[sampleStratifiedOracle]], exact
+    * integer bucket/doc sums, one final double ratio rounded to 6 — the
+    * engine's arithmetic step for step.
+    */
+  private lazy val affinityWeightsOracle: String = {
+    def dv(k: Int) =
+      s"(CASE WHEN ascii(substr(hx, $k, 1)) >= 97 THEN ascii(substr(hx, $k, 1)) - 87" +
+        s" ELSE ascii(substr(hx, $k, 1)) - 48 END)"
+    s"""WITH w AS (SELECT doc_id, source,
+       |             string_split_regex(lower(text), '\\s+') AS ws FROM documents),
+       |g AS (SELECT doc_id, source,
+       |        unnest(range(0, greatest(len(ws) - 2, 0) + 1)) AS pos, ws
+       |      FROM w),
+       |gr AS (SELECT doc_id, source,
+       |         md5(array_to_string(list_slice(ws, pos + 1, pos + 2), ' ')) AS hx
+       |       FROM g),
+       |b AS (SELECT doc_id, source,
+       |        (${dv(1)} * 4096 + ${dv(2)} * 256 + ${dv(3)} * 16 + ${dv(4)}) % 1024 AS bucket
+       |      FROM gr),
+       |ft AS (SELECT bucket, count(*) AS cr,
+       |         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct
+       |       FROM b GROUP BY bucket),
+       |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM ft),
+       |agg AS (SELECT doc_id, count(*) AS n_grams,
+       |          sum(ct) AS st, sum(cr) AS sr
+       |        FROM b JOIN ft USING (bucket) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(agg.n_grams, 0)::BIGINT AS n_grams,
+       |       round((st::DOUBLE * nr) / (sr::DOUBLE * nt), 6) AS affinity
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN agg USING (doc_id) CROSS JOIN tot""".stripMargin
+  }
 
   /** Shuffle-shards oracle: md5('seed:id'), shard = first 16 hash bits mod
     * 16 (the [[graft.operators.Sampling.hashBucket]] hex-digit arithmetic),

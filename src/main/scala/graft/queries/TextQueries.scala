@@ -55,6 +55,25 @@ object TextQueries {
     "text_boilerplate" -> { (s, d) =>
       graft.operators.TextAnalysis.boilerplateNgrams(
         Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // PII detection + redaction. The synthetic corpus contains no PII, so
+    // the query PLANTS a deterministic email/IP/phone per document (the same
+    // expression the oracle SQL builds) — the driver's hash compare then
+    // genuinely cross-verifies the Java-regex vs RE2 dialects on both the
+    // match counts and the byte-exact redacted text (digested: the full
+    // redaction is corpus-sized). Pure narrow map.
+    "text_pii" -> { (s, d) =>
+      import graft.operators.TextAnalysis.{piiCounts, redactPii}
+      val planted = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 call +1 555 01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+      Tables.documents(s, d).select(
+        col("doc_id") +:
+          piiCounts(planted).map { case (n, c) => c.as(n) } :+
+          md5(redactPii(planted)).as("redacted_digest"): _*)
     })
 
   val oracle: Map[String, String] = Map(
@@ -86,6 +105,21 @@ object TextQueries {
         |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
         |    AS rep_ratio
         |FROM g""".stripMargin,
+    "text_pii" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or 10.0.' ||
+        |    (doc_id % 256) || '.7 call +1 555 01' ||
+        |    lpad((doc_id % 100)::VARCHAR, 2, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_digest
+        |FROM p""".stripMargin,
     "text_boilerplate" ->
       """WITH g AS (SELECT doc_id,
         |    unnest(list_transform(range(0, greatest(len(w) - 3, 0) + 1),

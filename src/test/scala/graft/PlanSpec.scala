@@ -152,6 +152,34 @@ class PlanSpec extends SparkSpec {
       "the per-stratum frame must not shuffle to meet the normalizer")
   }
 
+  test("text_pii is a pure narrow map — zero exchanges") {
+    val p = plan("text_pii")
+    assert(!p.contains("Exchange"),
+      s"text_pii must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("dedup_substring shuffles hashes, never text") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("CartesianProduct"))
+    // every exchange is keyed on the md5 gram hash or the doc id — the gram
+    // STRING itself (the only wide payload) must not be a shuffle key
+    val keys = "hashpartitioning\\(([a-zA-Z_]+)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("_gh", "doc_id")),
+      s"unexpected shuffle keys $keys:\n${p.take(3000)}")
+  }
+
+  test("affinity_weights broadcasts the feature table and the totals row") {
+    val p = plan("affinity_weights")
+    // the corpus gram stream must meet the 1024-row feature table by
+    // broadcast — never by shuffling the grams into a sort-merge join
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected a broadcast feature-table join:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin [_bucket"),
+      "the gram stream must not sort-merge against the feature table")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("dedup_semantic pairs ids inside cells; vectors stay out of the cell shuffle") {
     val p = plan("dedup_semantic")
     assert(!p.contains("CartesianProduct"))

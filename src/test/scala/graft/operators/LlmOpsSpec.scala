@@ -532,4 +532,107 @@ class LlmOpsSpec extends SparkSpec {
     assert(Set(200L, 201L).subsetOf(out.keySet), s"copies not pruned: $out")
     assert(out(200L) == 3L)
   }
+
+  test("pii counts and redaction hit planted PII and leave clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail bob.smith+x@sub.example.org now"),
+      (2L, "from 192.168.0.1 to 10.20.30.40 done"),
+      (3L, "call +1 (555) 010-0199 today"),
+      (4L, "mix a@b.io at 8.8.8.8 dial +49 30 1234567 end"),
+      (5L, "clean text with version 2.5 and price 1.000,50"))
+      .toDF("id", "t")
+    val out = rows.select(col("id") +:
+        TextAnalysis.piiCounts(col("t")).map { case (n, c) => c.as(n) } :+
+          TextAnalysis.redactPii(col("t")).as("red"): _*)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map { case (id, e, ip, ph, red) => id -> ((e, ip, ph, red)) }.toMap
+    assert(out(1L) == ((1L, 0L, 0L, "mail <EMAIL> now")))
+    assert(out(2L) == ((0L, 2L, 0L, "from <IP> to <IP> done")))
+    assert(out(3L) == ((0L, 0L, 1L, "call <PHONE> today")))
+    assert(out(4L) == ((1L, 1L, 1L, "mix <EMAIL> at <IP> dial <PHONE> end")))
+    // precision bias: dotted versions / decimal prices / unprefixed numbers
+    // must NOT be mangled
+    assert(out(5L) == ((0L, 0L, 0L, "clean text with version 2.5 and price 1.000,50")))
+  }
+
+  test("duplicateSpans merges shared windows into maximal cross-doc spans") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over" // 6 words => 4 3-gram windows
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),        // span at words [2,7]
+      (2L, s"$shared epsilon zeta eta theta iota"),   // span at words [0,5]
+      // intra-doc repetition only: its 3-grams repeat WITHIN the doc but
+      // appear in no other document => no span (that axis is
+      // repetitionFeatures, not substring dedup)
+      (3L, "solo solo solo solo solo solo solo solo"))
+      .toDF("doc_id", "text")
+    val spans = TextDedup.duplicateSpans(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, s, e, w) => id -> ((s, e, w)) }.toMap
+    assert(spans == Map(1L -> ((2L, 7L, 4L)), 2L -> ((0L, 5L, 4L))), spans.toString)
+    // minDocs above the sharing degree silences the pair
+    assert(TextDedup.duplicateSpans(docs, "doc_id", "text", n = 3, minDocs = 3)
+      .isEmpty)
+  }
+
+  test("duplicateSpans reports disjoint runs as separate spans") {
+    import spark.implicits._
+    val a = "one two three four" // 2 3-gram windows
+    val b = "five six seven eight" // 2 more, separated by unique junk
+    val docs = Seq(
+      (1L, s"$a j1 j2 j3 $b"),
+      (2L, s"$a k1 k2 k3 $b"))
+      .toDF("doc_id", "text")
+    val spans = TextDedup.duplicateSpans(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // per doc: [0,3] from a and [7,10] from b — NOT one merged [0,10]
+    assert(spans == Set((1L, 0L, 3L, 2L), (1L, 7L, 10L, 2L),
+      (2L, 0L, 3L, 2L), (2L, 7L, 10L, 2L)), spans.toString)
+  }
+
+  test("affinityWeights matches a JVM md5-bucket oracle and ranks target-like docs higher") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark data spark data spark data", "tgt"),
+      (2L, "spark data spark data other words", "tgt"),
+      (3L, "spark data spark data spark data", "raw"), // target-like raw doc
+      (4L, "gravel moss lichen basalt fjord tundra", "raw"))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.affinityWeights(docs, "doc_id", "text",
+        isTarget = col("source") === "tgt", buckets = 64, n = 2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, ng, a) => id -> ((ng, a)) }.toMap
+
+    // independent JVM re-derivation: bigrams -> md5 first-4-hex bucket ->
+    // integer bucket sums -> one ratio
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def bigrams(t: String): Seq[Int] = {
+      val w = t.toLowerCase.split("\\s+").toSeq
+      (0 to math.max(w.length - 2, 0))
+        .map(i => w.slice(i, i + 2).mkString(" "))
+        .map(g => Integer.parseInt(md5hex(g).take(4), 16) % 64)
+    }
+    val all = Seq(1L -> "tgt", 2L -> "tgt", 3L -> "raw", 4L -> "raw")
+    val texts = docs.as[(Long, String, String)].collect().map(r => r._1 -> r._2).toMap
+    val cr = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    val ct = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    for ((id, src) <- all; b <- bigrams(texts(id))) {
+      cr(b) += 1; if (src == "tgt") ct(b) += 1
+    }
+    val (nr, nt) = (cr.values.sum, ct.values.sum)
+    for ((id, _) <- all) {
+      val bs = bigrams(texts(id))
+      val (st, sr) = (bs.map(ct).sum, bs.map(cr).sum)
+      val expect = BigDecimal(st.toDouble * nr / (sr.toDouble * nt))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(id)._1 == bs.length && out(id)._2 == expect,
+        s"doc $id: got ${out(id)}, expected ($st/$sr -> $expect)")
+    }
+    // the target-like raw doc scores like the target; alien vocab scores lower
+    assert(out(3L)._2 > 1.0 && out(3L)._2 > out(4L)._2,
+      s"affinity ordering wrong: ${out(3L)} vs ${out(4L)}")
+  }
 }
