@@ -87,8 +87,14 @@ object VolumeBench {
     */
   private def runDedup(spark: SparkSession, sfDir: String, cpus: Int,
                        factors: Seq[Int]): Unit = {
+    // r8 additions: dedup_substring's cross-replica 8-gram overlap is zero
+    // under the word prefixes, so span counts scale linearly like the pair
+    // dedups; affinity_weights' target slice (source=src0) replicates with
+    // the corpus, so the feature-table shape is invariant; text_pii is the
+    // narrow-map control rung.
     val queries = Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
-      "dedup_ngram", "text_boilerplate")
+      "dedup_ngram", "text_boilerplate", "dedup_substring",
+      "affinity_weights", "text_pii")
     factors.foreach { f =>
       val dir = s"/tmp/graft-volume/docs-x$f"
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {

@@ -184,12 +184,18 @@ object Sampling {
   def affinityWeights(docs: DataFrame, idCol: String, textCol: String,
                       isTarget: Column, buckets: Int = 1024,
                       n: Int = 2): DataFrame = {
-    val grams = docs
-      .select(col(idCol).as("doc_id"), isTarget.as("_tgt"),
-        explode(TextAnalysis.wordNgrams(col(textCol), n)).as("gram"))
+    // split once below the Spread shuffle (the gram lambda reads a
+    // materialized attribute, not a per-element re-split) and persist the
+    // narrow (doc_id, tgt, bucket) frame — it feeds both the feature-table
+    // aggregation and the per-doc scoring pass
+    val grams = Spread(docs.select(col(idCol).as("doc_id"), isTarget.as("_tgt"),
+        split(lower(col(textCol)), "\\s+").as("_ws")))
+      .select(col("doc_id"), col("_tgt"),
+        explode(TextAnalysis.ngramsOfWords(col("_ws"), n)).as("gram"))
       .select(col("doc_id"), col("_tgt"),
         (conv(substring(md5(col("gram")), 1, 4), 16, 10).cast("long")
           % buckets).as("_bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val featureTable = grams.groupBy("_bucket")
       .agg(count(lit(1)).as("_cr"),
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))

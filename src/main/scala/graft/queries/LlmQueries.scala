@@ -185,6 +185,18 @@ object LlmQueries {
     "affinity_weights" -> { (s, d) =>
       Sampling.affinityWeights(Tables.documents(s, d), "doc_id", "text",
         isTarget = col("source") === "src0", buckets = 1024, n = 2)
+    },
+
+    // The cut step of ExactSubstr: every document with its duplicated
+    // spans removed (digested — the full cleaned corpus is the real
+    // output) plus the surviving word count.
+    "dedup_substring_cut" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val spans = TextDedup.duplicateSpans(docs, "doc_id", "text",
+        n = 8, minDocs = 2)
+      TextDedup.cutSpans(docs, spans, "doc_id", "text")
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_digest"),
+          col("n_words_kept"))
     })
 
   private val docsCte =
@@ -462,7 +474,38 @@ object LlmQueries {
         |       count(*) AS n_windows
         |FROM runs GROUP BY doc_id, rid""".stripMargin,
 
-    "affinity_weights" -> affinityWeightsOracle)
+    "affinity_weights" -> affinityWeightsOracle,
+
+    // Span-cut replay, fully relational (covered word positions from the
+    // span set, anti-joined against all positions, surviving words
+    // re-joined in order) — a fully-duplicated document keeps 0 words and
+    // digests the empty string in both engines.
+    "dedup_substring_cut" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(range(0, greatest(len(ws) - 8, 0) + 1)) AS pos, ws
+        |      FROM w),
+        |gg AS (SELECT doc_id, pos,
+        |         array_to_string(list_slice(ws, pos + 1, pos + 8), ' ') AS gram
+        |       FROM g),
+        |dup AS (SELECT gram FROM gg GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos FROM gg JOIN dup USING (gram)),
+        |runs AS (SELECT doc_id, pos,
+        |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+        |         FROM hits),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        |       FROM runs GROUP BY doc_id, rid),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS p FROM sp),
+        |pos_all AS (SELECT doc_id, unnest(range(0, len(ws))) AS p, ws FROM w),
+        |kept AS (SELECT pos_all.doc_id, pos_all.p, ws[p + 1] AS word
+        |         FROM pos_all ANTI JOIN cov USING (doc_id, p)),
+        |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean,
+        |          count(*) AS nk
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, md5(coalesce(agg.clean, '')) AS clean_digest,
+        |       coalesce(agg.nk, 0)::BIGINT AS n_words_kept
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin)
 
   /** Affinity-weights oracle: hashed-bigram buckets via the same
     * md5-first-4-hex-digits arithmetic as [[sampleStratifiedOracle]], exact

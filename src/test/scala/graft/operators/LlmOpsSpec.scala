@@ -591,6 +591,25 @@ class LlmOpsSpec extends SparkSpec {
       (2L, 0L, 3L, 2L), (2L, 7L, 10L, 2L)), spans.toString)
   }
 
+  test("cutSpans removes exactly the span-covered words, keeps the rest in order") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over" // 6 words
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"$shared epsilon zeta eta theta iota"),
+      (3L, shared), // fully duplicated -> empty survivor
+      (4L, "untouched words survive whole"))
+      .toDF("doc_id", "text")
+    val spans = TextDedup.duplicateSpans(docs, "doc_id", "text", n = 3)
+    val out = TextDedup.cutSpans(docs, spans, "doc_id", "text")
+      .as[(Long, String, Long)].collect()
+      .map { case (id, t, nk) => id -> ((t, nk)) }.toMap
+    assert(out(1L) == (("alpha beta gamma delta", 4L)), out(1L).toString)
+    assert(out(2L) == (("epsilon zeta eta theta iota", 5L)), out(2L).toString)
+    assert(out(3L) == (("", 0L)), out(3L).toString)
+    assert(out(4L) == (("untouched words survive whole", 4L)), out(4L).toString)
+  }
+
   test("affinityWeights matches a JVM md5-bucket oracle and ranks target-like docs higher") {
     import spark.implicits._
     val docs = Seq(
