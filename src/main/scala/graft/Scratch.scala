@@ -36,7 +36,11 @@ object Scratch {
         val t1 = System.nanoTime()
         df.queryExecution.executedPlan // force analysis + optimization
         val t2 = System.nanoTime()
-        val n = df.count()
+        // full-output checksum, not count(): count lets Catalyst prune
+        // narrow per-row computations entirely (same action as Bench r8+)
+        import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
+        val n = df.agg(count(lit(1)), bit_xor(xxhash64(df.columns.map(col): _*)))
+          .head().getLong(0)
         val t3 = System.nanoTime()
         println(f"[scratch] $name round=$round rows=$n " +
           f"build=${(t1 - t0) / 1e9}%.2f plan=${(t2 - t1) / 1e9}%.2f " +

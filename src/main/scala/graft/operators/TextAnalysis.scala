@@ -133,13 +133,58 @@ object TextAnalysis {
   /** Document fingerprint: lexicographic minimum of the md5 of each 5-word
     * window — a winnowing-style rolling selection that is stable under small
     * edits away from the minimum window. md5 keeps it reproducible in any
-    * engine.
+    * engine. Same per-element-re-split caveat as [[wordNgrams]]; corpus
+    * pipelines use [[fingerprintFrame]].
     */
-  def fingerprint(text: Column, window: Int = 5): Column = {
-    val w = words(text)
+  def fingerprint(text: Column, window: Int = 5): Column =
+    fingerprintOfWords(words(text), window)
+
+  /** [[fingerprint]] over a pre-split words array. */
+  def fingerprintOfWords(w: Column, window: Int = 5): Column =
     array_min(transform(sequence(lit(0), greatest(size(w) - window, lit(0))),
       i => md5(concat_ws(" ", slice(w, i + lit(1), lit(window))))))
-  }
+
+  /** Frame-level [[fingerprint]]: computes the split ONCE per row behind a
+    * collapse barrier, so the window lambda reads a materialized attribute.
+    *
+    * The Column form embeds `split(text)` in the (interpreted) transform
+    * lambda, whose body re-evaluates per element — every window position
+    * re-splits the whole document, O(words²) per row. A narrow map has no
+    * shuffle boundary to materialize at, so the barrier is the
+    * [[Sampling.stratifiedSample]] trick: a `monotonically_increasing_id`
+    * column makes the intermediate Project non-collapsible (CollapseProject
+    * will not merge across a nondeterministic expression), pinning the
+    * split as a per-row attribute. Still a pure narrow map — zero
+    * exchanges (asserted in `PlanSpec`). 3.4 s → linear at 5k docs / 271k
+    * words on the sf0.1 bench.
+    */
+  def fingerprintFrame(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, window: Int = 5,
+                       fpName: String = "fp"): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), "\\s+").as("_ws"),
+        monotonically_increasing_id().as("_b"))
+      .select(col("doc_id"), fingerprintOfWords(col("_ws"), window).as(fpName))
+
+  /** Frame-level [[repetitionFeatures]], same barrier rationale as
+    * [[fingerprintFrame]]: stage 1 pins the split words, stage 2 pins the
+    * gram array AND both counts (so `array_distinct` runs once, not twice),
+    * stage 3 derives the ratio. Zero exchanges.
+    */
+  def repetitionFrame(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), "\\s+").as("_ws"),
+        monotonically_increasing_id().as("_b1"))
+      .select(col("doc_id"), ngramsOfWords(col("_ws"), n).as("_grams"),
+        monotonically_increasing_id().as("_b2"))
+      .select(col("doc_id"),
+        size(col("_grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("_grams"))).cast("long").as("n_distinct"),
+        monotonically_increasing_id().as("_b3"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6)
+          .as("rep_ratio"))
 
   /** All word n-grams of `text` as space-joined strings (one per start
     * position; a doc shorter than `n` words yields its single truncated

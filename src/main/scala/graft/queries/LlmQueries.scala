@@ -87,9 +87,9 @@ object LlmQueries {
     },
 
     // Winnowing-style md5 fingerprint; grouping by it finds boilerplate.
+    // Narrow map with the split pinned behind a collapse barrier.
     "text_fingerprint" -> { (s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
+      TextAnalysis.fingerprintFrame(Tables.documents(s, d), "doc_id", "text")
     },
 
     // Multimodal plumbing: binary payload + metadata -> batched feature

@@ -43,11 +43,11 @@ object TextQueries {
     },
 
     // Intra-document repetition (duplicated bigram fraction): the cheap
-    // looping-text / boilerplate-stuffing filter. Pure narrow map.
+    // looping-text / boilerplate-stuffing filter. Pure narrow map (split
+    // and gram array pinned behind collapse barriers — see repetitionFrame).
     "text_repetition" -> { (s, d) =>
-      val feats = graft.operators.TextAnalysis.repetitionFeatures(col("text"), n = 2)
-      Tables.documents(s, d)
-        .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      graft.operators.TextAnalysis.repetitionFrame(
+        Tables.documents(s, d), "doc_id", "text", n = 2)
     },
 
     // Corpus boilerplate mining: top-20 most frequent 3-grams with document
