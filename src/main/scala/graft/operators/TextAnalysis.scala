@@ -232,6 +232,10 @@ object TextAnalysis {
   val piiPatterns: Seq[(String, String, String)] = Seq(
     ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("ssns", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    // card before phone: a spaced 16-digit PAN is a substring of what the
+    // phone pattern would otherwise swallow
+    ("cards", "\\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\\b", "<CARD>"),
     ("phones", "\\+[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"))
 
   /** Per-document PII match counts (one `n_<name>` column per pattern).

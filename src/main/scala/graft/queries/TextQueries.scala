@@ -68,7 +68,8 @@ object TextQueries {
       val planted = concat(
         col("text"), lit(" contact user"), col("doc_id").cast("string"),
         lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
-        lit(".7 call +1 555 01"),
+        lit(".7 ssn 123-45-67"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit(" pay 4111 1111 1111 1111 call +1 555 01"),
         lpad((col("doc_id") % 100).cast("string"), 2, "0"))
       Tables.documents(s, d).select(
         col("doc_id") +:
@@ -108,16 +109,22 @@ object TextQueries {
     "text_pii" ->
       """WITH p AS (SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com or 10.0.' ||
-        |    (doc_id % 256) || '.7 call +1 555 01' ||
+        |    (doc_id % 256) || '.7 ssn 123-45-67' ||
+        |    lpad((doc_id % 100)::VARCHAR, 2, '0') ||
+        |    ' pay 4111 1111 1111 1111 call +1 555 01' ||
         |    lpad((doc_id % 100)::VARCHAR, 2, '0') AS t
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssns,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b')) AS BIGINT) AS n_cards,
         |  CAST(len(regexp_extract_all(t, '\+[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |    '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b', '<CARD>', 'g'),
         |    '\+[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_digest
         |FROM p""".stripMargin,
     "text_boilerplate" ->

@@ -540,20 +540,27 @@ class LlmOpsSpec extends SparkSpec {
       (2L, "from 192.168.0.1 to 10.20.30.40 done"),
       (3L, "call +1 (555) 010-0199 today"),
       (4L, "mix a@b.io at 8.8.8.8 dial +49 30 1234567 end"),
-      (5L, "clean text with version 2.5 and price 1.000,50"))
+      (5L, "clean text with version 2.5 and price 1.000,50"),
+      (6L, "ssn 123-45-6789 card 4111 1111 1111 1111 ok"),
+      // precision bias: a 3-2-4 digit date-range or a 4-4 grouping alone
+      // must NOT fire the ssn/card patterns
+      (7L, "pages 100-20-3000x and code 1234 5678 end"))
       .toDF("id", "t")
     val out = rows.select(col("id") +:
         TextAnalysis.piiCounts(col("t")).map { case (n, c) => c.as(n) } :+
           TextAnalysis.redactPii(col("t")).as("red"): _*)
-      .as[(Long, Long, Long, Long, String)].collect()
-      .map { case (id, e, ip, ph, red) => id -> ((e, ip, ph, red)) }.toMap
-    assert(out(1L) == ((1L, 0L, 0L, "mail <EMAIL> now")))
-    assert(out(2L) == ((0L, 2L, 0L, "from <IP> to <IP> done")))
-    assert(out(3L) == ((0L, 0L, 1L, "call <PHONE> today")))
-    assert(out(4L) == ((1L, 1L, 1L, "mix <EMAIL> at <IP> dial <PHONE> end")))
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
+      .map { case (id, e, ip, ssn, card, ph, red) =>
+        id -> ((e, ip, ssn, card, ph, red)) }.toMap
+    assert(out(1L) == ((1L, 0L, 0L, 0L, 0L, "mail <EMAIL> now")))
+    assert(out(2L) == ((0L, 2L, 0L, 0L, 0L, "from <IP> to <IP> done")))
+    assert(out(3L) == ((0L, 0L, 0L, 0L, 1L, "call <PHONE> today")))
+    assert(out(4L) == ((1L, 1L, 0L, 0L, 1L, "mix <EMAIL> at <IP> dial <PHONE> end")))
     // precision bias: dotted versions / decimal prices / unprefixed numbers
     // must NOT be mangled
-    assert(out(5L) == ((0L, 0L, 0L, "clean text with version 2.5 and price 1.000,50")))
+    assert(out(5L) == ((0L, 0L, 0L, 0L, 0L, "clean text with version 2.5 and price 1.000,50")))
+    assert(out(6L) == ((0L, 0L, 1L, 1L, 0L, "ssn <SSN> card <CARD> ok")))
+    assert(out(7L) == ((0L, 0L, 0L, 0L, 0L, "pages 100-20-3000x and code 1234 5678 end")))
   }
 
   test("duplicateSpans merges shared windows into maximal cross-doc spans") {
