@@ -617,6 +617,54 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(4L) == (("untouched words survive whole", 4L)), out(4L).toString)
   }
 
+  test("duplicateSpans + cutSpans match a brute-force JVM oracle on random corpora") {
+    import spark.implicits._
+    val n = 3
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+      val corpus = (0L until 30L).map { id =>
+        id -> Array.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val docs = corpus.toDF("doc_id", "text")
+
+      // independent JVM re-derivation of the span semantics
+      val words = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+      def gramsOf(w: Seq[String]): Seq[(Int, String)] =
+        (0 to math.max(w.length - n, 0)).map(i => i -> w.slice(i, i + n).mkString(" "))
+      val docsPerGram = words.toSeq
+        .flatMap { case (id, w) => gramsOf(w).map { case (_, g) => g -> id } }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+      val expectSpans = words.flatMap { case (id, w) =>
+        val dupPos = gramsOf(w).collect { case (i, g) if docsPerGram(g) >= 2 => i }
+        // merge adjacent positions into maximal runs
+        dupPos.foldLeft(List.empty[(Int, Int, Int)]) {
+          case ((s, e, c) :: rest, p) if p == e + 1 => (s, p, c + 1) :: rest
+          case (acc, p) => (p, p, 1) :: acc
+        }.map { case (s, e, c) => (id, s.toLong, (e + n - 1).toLong, c.toLong) }
+      }.toSet
+      val gotSpans = TextDedup.duplicateSpans(docs, "doc_id", "text", n)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(gotSpans == expectSpans,
+        s"seed $seed: missing=${(expectSpans -- gotSpans).take(3)}, extra=${(gotSpans -- expectSpans).take(3)}")
+
+      // cut: surviving words are exactly the positions no span covers
+      val covered = expectSpans.groupBy(_._1).map { case (id, sp) =>
+        id -> sp.flatMap { case (_, s, e, _) => s to e }.toSet
+      }
+      val expectCut = words.map { case (id, w) =>
+        val kept = w.zipWithIndex.collect {
+          case (x, i) if !covered.getOrElse(id, Set.empty).contains(i.toLong) => x
+        }
+        (id, kept.mkString(" "), kept.size.toLong)
+      }.toSet
+      val gotCut = TextDedup.cutSpans(docs,
+          TextDedup.duplicateSpans(docs, "doc_id", "text", n), "doc_id", "text")
+        .as[(Long, String, Long)].collect().toSet
+      assert(gotCut == expectCut, s"seed $seed: cut mismatch")
+    }
+  }
+
   test("affinityWeights matches a JVM md5-bucket oracle and ranks target-like docs higher") {
     import spark.implicits._
     val docs = Seq(
