@@ -152,6 +152,37 @@ object Sampling {
       .drop("_z")
   }
 
+  /** Deterministic train/validation/test assignment: every row gets a
+    * split label from its [[hashBucket]] (md5 16-bit value mod 100), with
+    * the first `splits` entry covering buckets `[0, pct)`, the next
+    * `[pct, pct+pct2)`, and so on; rows past the last boundary get
+    * `defaultSplit`. The holdout therefore has the same three properties
+    * as [[stratifiedSample]]: reproducible across reruns/retries (no
+    * `rand()`), stable under partition count, and portable (any engine
+    * with `md5` can re-derive membership — an eval harness in another
+    * stack selects the identical holdout). Because the bucket is a pure
+    * function of the id, a document keeps its split for life: re-running
+    * the pipeline over a grown corpus never leaks yesterday's training
+    * docs into today's test set.
+    *
+    * Scale shape: one narrow codegen'd projection — no shuffle, no state.
+    */
+  def holdoutSplit(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Int)] = Seq("test" -> 1, "valid" -> 1),
+                   defaultSplit: String = "train"): DataFrame = {
+    require(splits.map(_._2).sum <= 100, "split percentages exceed 100")
+    // bucket lands in its own projection so the when-chain branches
+    // reference an attribute, not branch-count copies of the md5
+    val uppers = splits.scanLeft(0) { case (acc, (_, pct)) => acc + pct }.tail
+    val label = splits.zip(uppers).foldRight(lit(defaultSplit): Column) {
+      case (((name, _), hi), rest) =>
+        when(col("_bucket") < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn("_bucket", hashBucket(col(idCol)))
+      .withColumn("split", label)
+      .drop("_bucket")
+  }
+
   /** Hashed-n-gram target-affinity weights — the data-selection shape of
     * DSIR (Xie et al. 2023, "Data Selection for Language Models via
     * Importance Resampling"): score every document by how much its hashed

@@ -383,7 +383,11 @@ object TextDedup {
     // split once below the Spread shuffle (materialized attribute — the
     // window lambda must not re-split the text per position), and persist
     // the narrow (doc_id, pos, hash) frame: it feeds BOTH the duplicate
-    // aggregation and the join back (2.4x on the sf0.1 bench)
+    // aggregation and the join back (2.4x on the sf0.1 bench). At corpus
+    // scale the frame is ~1 row per word (id + long + 32B hash); if that
+    // exceeds cluster storage, drop the persist and pay the second
+    // narrow scan instead — the same call minhashDuplicates makes for
+    // its signature frame
     val grams = Spread(docs.select(col(idCol).as("doc_id"),
         split(lower(col(textCol)), "\\s+").as("_ws")))
       .select(col("doc_id"),

@@ -187,6 +187,13 @@ object LlmQueries {
         isTarget = col("source") === "src0", buckets = 1024, n = 2)
     },
 
+    // Deterministic lifetime train/valid/test assignment (2% test, 3%
+    // valid, rest train) from the md5 bucket.
+    "split_assign" -> { (s, d) =>
+      Sampling.holdoutSplit(Tables.documents(s, d).select("doc_id"),
+        "doc_id", splits = Seq("test" -> 2, "valid" -> 3))
+    },
+
     // The cut step of ExactSubstr: every document with its duplicated
     // spans removed (digested — the full cleaned corpus is the real
     // output) plus the surviving word count.
@@ -476,6 +483,8 @@ object LlmQueries {
 
     "affinity_weights" -> affinityWeightsOracle,
 
+    "split_assign" -> splitAssignOracle,
+
     // Span-cut replay, fully relational (covered word positions from the
     // span set, anti-joined against all positions, surviving words
     // re-joined in order) — a fully-duplicated document keeps 0 words and
@@ -506,6 +515,25 @@ object LlmQueries {
         |SELECT d.doc_id, md5(coalesce(agg.clean, '')) AS clean_digest,
         |       coalesce(agg.nk, 0)::BIGINT AS n_words_kept
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin)
+
+  /** Holdout-split oracle: the [[sampleStratifiedOracle]] bucket
+    * arithmetic, mapped through the cumulative split boundaries
+    * (test < 2, valid < 5, else train).
+    */
+  private lazy val splitAssignOracle: String = {
+    def dv(k: Int) =
+      s"(CASE WHEN ascii(substr(hx, $k, 1)) >= 97 THEN ascii(substr(hx, $k, 1)) - 87" +
+        s" ELSE ascii(substr(hx, $k, 1)) - 48 END)"
+    s"""WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR) AS hx FROM documents),
+       |b AS (SELECT doc_id,
+       |        (${dv(1)} * 4096 + ${dv(2)} * 256 + ${dv(3)} * 16 + ${dv(4)}) % 100 AS bucket
+       |      FROM h)
+       |SELECT doc_id,
+       |       CASE WHEN bucket < 2 THEN 'test'
+       |            WHEN bucket < 5 THEN 'valid'
+       |            ELSE 'train' END AS split
+       |FROM b""".stripMargin
+  }
 
   /** Affinity-weights oracle: hashed-bigram buckets via the same
     * md5-first-4-hex-digits arithmetic as [[sampleStratifiedOracle]], exact

@@ -617,6 +617,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(4L) == (("untouched words survive whole", 4L)), out(4L).toString)
   }
 
+  test("holdoutSplit is a stable partition that agrees with the JVM bucket oracle") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val out = Sampling.holdoutSplit(ids, "id", Seq("test" -> 2, "valid" -> 3))
+      .as[(Long, String)].collect().toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    out.foreach { case (id, split) =>
+      val b = Integer.parseInt(md5hex(id.toString).take(4), 16) % 100
+      val expect = if (b < 2) "test" else if (b < 5) "valid" else "train"
+      assert(split == expect, s"id $id bucket $b: $split != $expect")
+    }
+    // every row labeled; proportions near the requested percentages
+    val bys = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bys.keySet == Set("test", "valid", "train"))
+    assert(bys("test") > 20 && bys("test") < 70, bys.toString)
+    assert(bys("valid") > 30 && bys("valid") < 100, bys.toString)
+    // growing the corpus never relabels an old id (lifetime stability)
+    val grown = Sampling.holdoutSplit((0L until 4000L).toDF("id"), "id",
+      Seq("test" -> 2, "valid" -> 3)).as[(Long, String)].collect().toMap
+    assert(out.forall { case (id, s) => grown(id) == s })
+  }
+
   test("duplicateSpans + cutSpans match a brute-force JVM oracle on random corpora") {
     import spark.implicits._
     val n = 3
