@@ -170,6 +170,87 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** A reusable MinHash LSH index over a corpus: `bands` = one
+    * (id, band-bucket) row per (doc, band); `signatures` = per-doc hashed
+    * shingle set + its exact-set key. Both persisted — build once, probe
+    * per batch (at production scale, write both to parquet and reload).
+    */
+  final case class MinhashIndex(bands: DataFrame, signatures: DataFrame)
+
+  /** Build the [[MinhashIndex]] for a corpus — ONE pass over the text.
+    * Same shingling/banding math as [[minhashDuplicates]] (shared xxhash64
+    * seed chains), so probes against the index find exactly the candidates
+    * a full recomputation would.
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 3, numHashes: Int = 128,
+                   bands: Int = 64): MinhashIndex = {
+    val sig = Spread(df.select(col(idCol).as("id"),
+        split(col(textCol), "\\s+").as("_w")))
+      .select(col("id"),
+        array_distinct(transform(shinglesOfWords(col("_w"), shingleK),
+          s => xxhash64(s))).as("hs"))
+      .withColumn("k", xxhash64(array_sort(col("hs"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    MinhashIndex(
+      minhashBandRows(sig.select("id", "hs"), numHashes, bands)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      sig)
+  }
+
+  /** Incremental near-dup detection: pairs between a NEW batch and an
+    * already-indexed corpus — the daily-crawl shape. At 100 TB nobody
+    * re-bands yesterday's corpus to admit today's documents: the corpus
+    * costs ONE indexing pass ever ([[minhashIndex]]), and each arriving
+    * batch pays only its own shingling plus a bucket-equality join against
+    * the index. Verification reads the STORED hashed shingle sets of
+    * candidate corpus docs — the corpus text is never touched again.
+    * (The streaming counterpart is `StreamingDedup.minhashPairsStream`,
+    * which holds the same index as `flatMapGroupsWithState` state; this is
+    * the batch/backfill form.)
+    *
+    * Hot buckets are capped like [[minhashDuplicates]]: an index bucket
+    * with more than `bucketCap` members never joins positionally — instead
+    * every new doc probes the corpus by exact signature-set key, which
+    * recovers the true duplicates inside boilerplate buckets at
+    * O(n log n). The exact-key probe runs unconditionally (an exact dup is
+    * always a candidate); `distinct` merges the two candidate sources.
+    *
+    * Output: (new_id, old_id, jaccard >= threshold), exact jaccard on the
+    * hashed shingle sets.
+    */
+  def minhashDuplicatesAgainst(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      index: MinhashIndex,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
+      threshold: Double = 0.5, bucketCap: Int = 200): DataFrame = {
+    val nsig = Spread(newDocs.select(col(idCol).as("id"),
+        split(col(textCol), "\\s+").as("_w")))
+      .select(col("id"),
+        array_distinct(transform(shinglesOfWords(col("_w"), shingleK),
+          s => xxhash64(s))).as("hs"))
+      .withColumn("k", xxhash64(array_sort(col("hs"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val census = index.bands.groupBy(col("bk")).agg(count(lit(1)).as("_n"))
+    val light = index.bands.join(census.filter(col("_n") <= bucketCap), "bk")
+    val candLight = minhashBandRows(nsig.select("id", "hs"), numHashes, bands)
+      .select(col("id").as("new_id"), col("bk"))
+      .join(light.select(col("id").as("old_id"), col("bk")), "bk")
+      .select("new_id", "old_id")
+    val candExact = nsig.select(col("id").as("new_id"), col("k"))
+      .join(index.signatures.select(col("id").as("old_id"), col("k")), "k")
+      .select("new_id", "old_id")
+    candLight.union(candExact).distinct()
+      .join(nsig.select(col("id").as("new_id"), col("hs").as("hs_a")), "new_id")
+      .join(index.signatures.select(col("id").as("old_id"), col("hs").as("hs_b")),
+        "old_id")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
+  }
+
   /** (id, bk struct<band,bucket>) LSH band keys — all `numHashes` minhash
     * coordinates and the per-band bucket hashes in ONE tight loop per
     * document over the hashed shingle set, emitted as `bands` rows per doc.

@@ -187,6 +187,17 @@ object LlmQueries {
         isTarget = col("source") === "src0", buckets = 1024, n = 2)
     },
 
+    // Incremental dedup: every 10th document plays the arriving batch,
+    // probing the MinHash index built over the rest — corpus text is read
+    // once for the index and never again.
+    "dedup_incremental" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val idx = TextDedup.minhashIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      TextDedup.minhashDuplicatesAgainst(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", idx)
+    },
+
     // Deterministic lifetime train/valid/test assignment (2% test, 3%
     // valid, rest train) from the md5 bucket.
     "split_assign" -> { (s, d) =>
@@ -484,6 +495,22 @@ object LlmQueries {
     "affinity_weights" -> affinityWeightsOracle,
 
     "split_assign" -> splitAssignOracle,
+
+    // Incremental-dedup oracle: brute-force 3-gram jaccard restricted to
+    // (batch, corpus) cross pairs — recall 1 transfers from dedup_minhash
+    // because probe and index share the banding math.
+    "dedup_incremental" ->
+      s"""$docsCte,
+         |sh AS (SELECT doc_id,
+         |         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+         |                        for i in range(1, greatest(len(words) - 1, 2))]) AS grams
+         |       FROM d)
+         |SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+         |       round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |             len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5""".stripMargin,
 
     // Span-cut replay, fully relational (covered word positions from the
     // span set, anti-joined against all positions, surviving words

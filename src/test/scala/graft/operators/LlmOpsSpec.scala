@@ -617,6 +617,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(4L) == (("untouched words survive whole", 4L)), out(4L).toString)
   }
 
+  test("incremental probe finds exactly the batch pipeline's cross pairs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).cache()
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    // ground truth: the full batch pipeline over everything, restricted to
+    // pairs that straddle the slice boundary
+    val full = TextDedup.minhashDuplicates(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .collect { case (a, b, j) if (a % 10 == 0) != (b % 10 == 0) =>
+        (if (a % 10 == 0) (a, b) else (b, a), j)
+      }.toMap
+    val idx = TextDedup.minhashIndex(corpus, "doc_id", "text")
+    val inc = TextDedup.minhashDuplicatesAgainst(batch, "doc_id", "text", idx)
+      .as[(Long, Long, Double)].collect()
+      .map { case (n, o, j) => (n, o) -> j }.toMap
+    assert(full.nonEmpty, "fixture should contain cross-slice near-dups")
+    assert(inc == full, s"missing=${(full.keySet -- inc.keySet).take(3)}, " +
+      s"extra=${(inc.keySet -- full.keySet).take(3)}")
+  }
+
+  test("incremental probe's exact fallback survives an over-cap boilerplate bucket") {
+    import spark.implicits._
+    val boiler = "spark spark data data table table scan scan join join"
+    // 300 identical docs swamp every band bucket past the cap of 200
+    val corpus = ((0L until 300L).map(i => (i, boiler)) :+
+      (900L, "completely unrelated words here nothing shared at all ok"))
+      .toDF("doc_id", "text")
+    val batch = Seq((1000L, boiler)).toDF("doc_id", "text")
+    val idx = TextDedup.minhashIndex(corpus, "doc_id", "text")
+    val out = TextDedup.minhashDuplicatesAgainst(batch, "doc_id", "text", idx)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 300 && out.forall { case (n, _, j) => n == 1000L && j == 1.0 },
+      s"expected 300 exact matches, got ${out.length}")
+  }
+
   test("holdoutSplit is a stable partition that agrees with the JVM bucket oracle") {
     import spark.implicits._
     val ids = (0L until 2000L).toDF("id")
