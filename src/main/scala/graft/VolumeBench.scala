@@ -92,9 +92,12 @@ object VolumeBench {
     // dedups; affinity_weights' target slice (source=src0) replicates with
     // the corpus, so the feature-table shape is invariant; text_pii is the
     // narrow-map control rung.
+    // dedup_incremental measures index build + probe together (the catalog
+    // query rebuilds the index each run); in production the index
+    // amortizes, so the rung is an upper bound on the probe cost.
     val queries = Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
       "dedup_ngram", "text_boilerplate", "dedup_substring",
-      "affinity_weights", "text_pii")
+      "affinity_weights", "text_pii", "dedup_incremental")
     factors.foreach { f =>
       val dir = s"/tmp/graft-volume/docs-x$f"
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {
