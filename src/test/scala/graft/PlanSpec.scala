@@ -180,6 +180,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("split_assign is a pure narrow projection — zero exchanges") {
+    val p = plan("split_assign")
+    assert(!p.contains("Exchange"),
+      s"split_assign must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("dedup_incremental probes the index without cartesian products or text shuffles") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct"))
+    // candidate generation joins on the band-bucket struct / signature key /
+    // ids; the raw text column must never be a shuffle key
+    val keys = "hashpartitioning\\(([a-zA-Z_]+)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet
+    assert(!keys.contains("text"), s"text in shuffle keys $keys")
+  }
+
   test("dedup_semantic pairs ids inside cells; vectors stay out of the cell shuffle") {
     val p = plan("dedup_semantic")
     assert(!p.contains("CartesianProduct"))
