@@ -32,6 +32,27 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Hashable projection of every output column: names are backtick-quoted
+    * (a dotted column name would otherwise parse as a field path) and any
+    * column whose type contains a MapType is rendered to JSON first —
+    * `xxhash64` rejects maps (non-deterministic iteration order), which
+    * would report a future map-emitting query as FAILED instead of slow.
+    */
+  private[graft] def checksumCols(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, to_json}
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType      => true
+      case a: ArrayType    => hasMap(a.elementType)
+      case s: StructType   => s.fields.exists(f => hasMap(f.dataType))
+      case _               => false
+    }
+    df.schema.fields.toSeq.map { f =>
+      val c = col("`" + f.name + "`")
+      if (hasMap(f.dataType)) to_json(c) else c
+    }
+  }
+
   /** name -> (seconds, ok); filled incrementally so the hook can read it. */
   private val measured = new ConcurrentHashMap[String, (Double, Boolean)]()
   private val emitted  = new AtomicBoolean(false)
@@ -108,9 +129,9 @@ object Bench {
           // entirely (a text_pii "measurement" under count() is a parquet
           // row count — the regexes never run). Same action as
           // VolumeBench; r8 methodology change, noted in BENCH_SCALING.md.
-          import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
+          import org.apache.spark.sql.functions.{bit_xor, count, lit, xxhash64}
           val df = catalog(name)(spark, sfDir)
-          df.agg(count(lit(1)), bit_xor(xxhash64(df.columns.map(col): _*))).head()
+          df.agg(count(lit(1)), bit_xor(xxhash64(Bench.checksumCols(df): _*))).head()
           true
         }
         catch { case e: Throwable =>

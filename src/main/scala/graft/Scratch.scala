@@ -39,7 +39,7 @@ object Scratch {
         // full-output checksum, not count(): count lets Catalyst prune
         // narrow per-row computations entirely (same action as Bench r8+)
         import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
-        val n = df.agg(count(lit(1)), bit_xor(xxhash64(df.columns.map(col): _*)))
+        val n = df.agg(count(lit(1)), bit_xor(xxhash64(Bench.checksumCols(df): _*)))
           .head().getLong(0)
         val t3 = System.nanoTime()
         println(f"[scratch] $name round=$round rows=$n " +

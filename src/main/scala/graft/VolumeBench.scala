@@ -66,7 +66,7 @@ object VolumeBench {
           // count doesn't depend on it (e.g. per-event window statistics)
           val df = SparkEntry.queries(name)(spark, dir)
           val Array(n, _) = df
-            .agg(count(lit(1)), bit_xor(xxhash64(df.columns.map(col): _*)))
+            .agg(count(lit(1)), bit_xor(xxhash64(Bench.checksumCols(df): _*)))
             .head().toSeq.toArray
           val sec = (System.nanoTime() - t0) / 1e9
           println(f"[volume] x$f%-3d rows=$rows%-9d $name%-17s round=$round " +
@@ -117,7 +117,7 @@ object VolumeBench {
           val t0 = System.nanoTime()
           val df = SparkEntry.queries(name)(spark, dir)
           val Array(n, _) = df
-            .agg(count(lit(1)), bit_xor(xxhash64(df.columns.map(col): _*)))
+            .agg(count(lit(1)), bit_xor(xxhash64(Bench.checksumCols(df): _*)))
             .head().toSeq.toArray
           val sec = (System.nanoTime() - t0) / 1e9
           println(f"[volume] docs-x$f%-3d rows=$rows%-9d $name%-17s round=$round " +
@@ -176,7 +176,7 @@ object VolumeBench {
           val t0 = System.nanoTime()
           val df = mk(dir)
           val Array(n, _) = df
-            .agg(count(lit(1)), bit_xor(xxhash64(df.columns.map(col): _*)))
+            .agg(count(lit(1)), bit_xor(xxhash64(Bench.checksumCols(df): _*)))
             .head().toSeq.toArray
           val sec = (System.nanoTime() - t0) / 1e9
           println(f"[volume] vecs-x$f%-3d rows=$rows%-9d $name%-17s round=$round " +

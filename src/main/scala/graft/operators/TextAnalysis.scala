@@ -150,13 +150,19 @@ object TextAnalysis {
     * The Column form embeds `split(text)` in the (interpreted) transform
     * lambda, whose body re-evaluates per element — every window position
     * re-splits the whole document, O(words²) per row. A narrow map has no
-    * shuffle boundary to materialize at, so the barrier is the
-    * [[Sampling.stratifiedSample]] trick: a `monotonically_increasing_id`
-    * column makes the intermediate Project non-collapsible (CollapseProject
-    * will not merge across a nondeterministic expression), pinning the
-    * split as a per-row attribute. Still a pure narrow map — zero
-    * exchanges (asserted in `PlanSpec`). 3.4 s → linear at 5k docs / 271k
-    * words on the sf0.1 bench.
+    * shuffle boundary to materialize at, so the split is projected in its
+    * own stage. What actually keeps the stages apart is CollapseProject's
+    * cost rule: it declines to inline a non-cheap expression (the regex
+    * split) that the upper projection references more than once (`size` in
+    * the sequence bound + `slice` in the lambda body). The extra
+    * `monotonically_increasing_id` column is belt-and-braces — note that it
+    * alone is NOT load-bearing: ColumnPruning removes unreferenced child
+    * columns regardless of determinism, so if a future edit made the upper
+    * stage reference `_ws` exactly once the projections would silently
+    * collapse back to O(words²). `PlanSpec`'s "collapse barriers hold" test
+    * pins the behavior (the split must appear exactly once in the executed
+    * plan) so that regression is loud. Still a pure narrow map — zero
+    * exchanges. 3.4 s → linear at 5k docs / 271k words on the sf0.1 bench.
     */
   def fingerprintFrame(docs: org.apache.spark.sql.DataFrame, idCol: String,
                        textCol: String, window: Int = 5,

@@ -173,9 +173,42 @@ object TextDedup {
   /** A reusable MinHash LSH index over a corpus: `bands` = one
     * (id, band-bucket) row per (doc, band); `signatures` = per-doc hashed
     * shingle set + its exact-set key. Both persisted — build once, probe
-    * per batch (at production scale, write both to parquet and reload).
+    * per batch; [[TextDedup.saveIndex]]/[[TextDedup.loadIndex]] give the
+    * parquet round-trip production uses (index daily crawls against a
+    * corpus indexed once, possibly by another job). Call [[release]] when
+    * done probing — the persisted frames otherwise pin storage blocks for
+    * the session lifetime.
     */
-  final case class MinhashIndex(bands: DataFrame, signatures: DataFrame)
+  final case class MinhashIndex(bands: DataFrame, signatures: DataFrame) {
+    /** Drop the cached blocks (non-blocking); the index is still usable
+      * afterwards, it just recomputes (or re-reads parquet) on next probe. */
+    def release(): Unit = {
+      bands.unpersist(blocking = false)
+      signatures.unpersist(blocking = false)
+    }
+  }
+
+  /** Write a [[MinhashIndex]] to `<path>/bands` + `<path>/signatures` —
+    * the durable form of the corpus index: build once (one pass over the
+    * corpus text), reload per arriving batch forever after. Plain parquet,
+    * so the index is also queryable by any other engine.
+    */
+  def saveIndex(index: MinhashIndex, path: String): Unit = {
+    index.bands.write.mode("overwrite").parquet(s"$path/bands")
+    index.signatures.write.mode("overwrite").parquet(s"$path/signatures")
+  }
+
+  /** Reload a [[MinhashIndex]] written by [[saveIndex]]. The frames are NOT
+    * re-persisted: parquet scans of the narrow band/signature tables are
+    * cheap, columnar and partition-parallel — caching them again would just
+    * duplicate the data in block storage. Probes against a loaded index are
+    * value-identical to probes against the in-memory one (asserted in
+    * LlmOpsSpec).
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex =
+    MinhashIndex(
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/signatures"))
 
   /** Build the [[MinhashIndex]] for a corpus — ONE pass over the text.
     * Same shingling/banding math as [[minhashDuplicates]] (shared xxhash64
@@ -231,9 +264,19 @@ object TextDedup {
           s => xxhash64(s))).as("hs"))
       .withColumn("k", xxhash64(array_sort(col("hs"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val census = index.bands.groupBy(col("bk")).agg(count(lit(1)).as("_n"))
+    // batch band rows feed BOTH the census and the positional join —
+    // persist the narrow (id, bk) frame instead of re-running the fused
+    // band loop per consumer
+    val nb = minhashBandRows(nsig.select("id", "hs"), numHashes, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // census counts index AND batch members, so a bucket crossing the cap
+    // only once both sides land in it classifies exactly like the batch
+    // pipeline's cappedPairs would on the combined corpus (same cap margin,
+    // same exact-only routing) — keeps incremental ≡ batch at the boundary
+    val census = index.bands.select("bk").union(nb.select("bk"))
+      .groupBy(col("bk")).agg(count(lit(1)).as("_n"))
     val light = index.bands.join(census.filter(col("_n") <= bucketCap), "bk")
-    val candLight = minhashBandRows(nsig.select("id", "hs"), numHashes, bands)
+    val candLight = nb
       .select(col("id").as("new_id"), col("bk"))
       .join(light.select(col("id").as("old_id"), col("bk")), "bk")
       .select("new_id", "old_id")

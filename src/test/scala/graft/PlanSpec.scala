@@ -123,6 +123,27 @@ class PlanSpec extends SparkSpec {
       "pre-filter path must keep the top-k shape")
   }
 
+  test("fingerprint/repetition collapse barriers hold — the split runs once per row") {
+    // regression guard for the O(words²) shape: if the staged projections
+    // ever collapse, the regex split gets inlined into the window lambda
+    // (re-split per window position) and shows up more than once in the
+    // executed plan. The mechanism keeping the stages apart is
+    // CollapseProject's non-cheap/multi-reference rule — this test is the
+    // guard that a future single-reference edit can't silently undo it.
+    val fp = plan("text_fingerprint")
+    val fpSplits = "split\\(".r.findAllIn(fp).length
+    assert(fpSplits == 1,
+      s"text_fingerprint must materialize the split once, found $fpSplits:\n${fp.take(3000)}")
+    val rep = plan("text_repetition")
+    val repSplits = "split\\(".r.findAllIn(rep).length
+    assert(repSplits == 1,
+      s"text_repetition must materialize the split once, found $repSplits:\n${rep.take(3000)}")
+    // stage 2 pins the gram array so array_distinct runs once, not per use
+    val repDistinct = "array_distinct\\(".r.findAllIn(rep).length
+    assert(repDistinct == 1,
+      s"text_repetition must compute array_distinct once, found $repDistinct:\n${rep.take(3000)}")
+  }
+
   test("dsl pattern plans reuse one exchange for the window pipeline") {
     val p = plan("dsl_timer")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

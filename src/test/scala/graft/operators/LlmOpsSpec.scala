@@ -638,6 +638,29 @@ class LlmOpsSpec extends SparkSpec {
       s"extra=${(inc.keySet -- full.keySet).take(3)}")
   }
 
+  test("a saved+reloaded index probes identically to the in-memory one") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).cache()
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val idx = TextDedup.minhashIndex(corpus, "doc_id", "text")
+    val mem = TextDedup.minhashDuplicatesAgainst(batch, "doc_id", "text", idx)
+      .as[(Long, Long, Double)].collect().toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "mhidx").toString
+    try {
+      TextDedup.saveIndex(idx, dir)
+      idx.release() // probes below must come from parquet, not cache
+      val reloaded = TextDedup.loadIndex(spark, dir)
+      val disk = TextDedup.minhashDuplicatesAgainst(batch, "doc_id", "text", reloaded)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(mem.nonEmpty && disk == mem,
+        s"missing=${(mem -- disk).take(3)}, extra=${(disk -- mem).take(3)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("incremental probe's exact fallback survives an over-cap boilerplate bucket") {
     import spark.implicits._
     val boiler = "spark spark data data table table scan scan join join"
