@@ -215,7 +215,41 @@ object LlmQueries {
       TextDedup.cutSpans(docs, spans, "doc_id", "text")
         .select(col("doc_id"), md5(col("clean_text")).as("clean_digest"),
           col("n_words_kept"))
+    },
+
+    // The over-cap exact-signature fallback under load: every 5th document
+    // becomes identical boilerplate (a 100-doc group whose every band
+    // bucket blows past cap 20 — at production scale this branch runs
+    // constantly on licence blocks and shared headers). The boilerplate
+    // pairs must come out of the exact-signature group (jaccard 1.0, pair
+    // count exactly C(100,2)) while the untouched near-dup pairs still
+    // arrive through the light banding path.
+    "dedup_minhash_hot" -> { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, lit(boilerText))
+          .otherwise(col("text")).as("text"))
+      TextDedup.minhashDuplicates(planted, "doc_id", "text", bucketCap = 20)
+    },
+
+    // The mega-cell sub-split under load: clusterCap forced to 25 puts 9
+    // of the 20 quantizer cells over cap, so their members split by the
+    // 8-bit LSH sign bucket before the pairwise expansion — the branch a
+    // degenerate production cell (all-zero embeddings, crawler junk)
+    // exercises constantly. The oracle replays the sub-split bit-for-bit
+    // from the literal hyperplane matrix.
+    "dedup_semantic_hot" -> { (s, d) =>
+      VectorOps.semanticDuplicates(Tables.embeddings(s, d), "vec_id",
+        "embedding", threshold = 0.4, clusterCap = 25)
     })
+
+  /** Planted boilerplate for [[queries dedup_minhash_hot]]: fixed text with
+    * enough words for a nontrivial 3-gram set; shares no 3-word sequence
+    * with the generated corpus, so cross pairs never reach jaccard 0.5.
+    */
+  private[queries] val boilerText: String =
+    "standard licence header text all rights reserved redistribution and " +
+      "use in source and binary forms with or without modification are " +
+      "permitted provided that the following conditions are met"
 
   private val docsCte =
     "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)"
@@ -494,6 +528,42 @@ object LlmQueries {
 
     "affinity_weights" -> affinityWeightsOracle,
 
+    // Over-cap fallback replay: planted docs (doc_id % 5 = 0) carry
+    // identical text, so every band bucket holding them has 100 members >>
+    // cap 20 and the engine must route them through the exact-signature
+    // group — replayed here literally as "identical distinct-gram set =>
+    // pair" within the planted slice. Untouched docs keep flowing through
+    // the light banding path (their buckets hold <= 2 members: the corpus
+    // near-dup clusters are pairs, measured), replayed as recall-1 brute
+    // force. Cross pairs can't reach 0.5 (the boilerplate shares no 3-word
+    // sequence with the corpus).
+    "dedup_minhash_hot" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             CASE WHEN doc_id % 5 = 0 THEN '$boilerText'
+         |                  ELSE text END AS text
+         |           FROM documents),
+         |w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM d),
+         |sh AS (SELECT doc_id,
+         |         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+         |                        for i in range(1, greatest(len(words) - 1, 2))]) AS grams
+         |       FROM w),
+         |light AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |               len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+         |  FROM sh a JOIN sh b
+         |    ON a.doc_id < b.doc_id AND a.doc_id % 5 <> 0 AND b.doc_id % 5 <> 0
+         |  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |        len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5),
+         |heavy AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0::DOUBLE AS jaccard
+         |  FROM sh a JOIN sh b
+         |    ON a.doc_id < b.doc_id AND a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+         |  WHERE list_sort(a.grams) = list_sort(b.grams))
+         |SELECT * FROM light UNION ALL SELECT * FROM heavy""".stripMargin,
+
+    "dedup_semantic_hot" -> dedupSemanticHotOracle,
+
     "split_assign" -> splitAssignOracle,
 
     // Incremental-dedup oracle: brute-force 3-gram jaccard restricted to
@@ -643,6 +713,53 @@ object LlmQueries {
        |      FROM h)
        |SELECT doc_id, lang_id FROM b
        |WHERE bucket < CASE lang_id WHEN 'en' THEN 10 ELSE 40 END""".stripMargin
+  }
+
+  /** Mega-cell sub-split replay: the dedup_semantic oracle's cells, plus —
+    * for cells whose census exceeds clusterCap 25 — the engine's 8-bit LSH
+    * sign bucket appended to the pair key, re-derived from the literal
+    * hyperplane matrix (hyperplanes(1, 8, 64) is seeded and deterministic,
+    * exactly like the ann_lsh oracle's). Light cells keep sub = 0, so one
+    * (cid, sub) equality join replays both branches.
+    */
+  private lazy val dedupSemanticHotOracle: String = {
+    val planes = VectorOps.hyperplanes(tables = 1, bits = 8, dim = 64).head
+    val pl = planes.flatten.mkString("[", ",", "]")
+    val subExpr = (0 until 8).map { b =>
+      s"(CASE WHEN list_sum([m.v[i+1] * p[${b * 64}+i+1] for i in range(0,64)]) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH pl AS (SELECT $pl::DOUBLE[] AS p),
+       |n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |m AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM n),
+       |st AS (SELECT greatest(25,
+       |                CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT),
+       |                CAST(ceil(count(*)::DOUBLE / 65536.0) AS BIGINT)) AS stride
+       |       FROM m),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM m
+       |         WHERE vec_id % (SELECT stride FROM st) = 0),
+       |sims AS (SELECT m.vec_id, cent.cid,
+       |         list_sum([m.v[i]*cent.cv[i] for i in range(1, len(m.v)+1)]) /
+       |           (m.nrm*cent.cn) AS cs
+       |         FROM m CROSS JOIN cent),
+       |assign AS (SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |    FROM sims) WHERE rn = 1),
+       |census AS (SELECT cid, count(*) AS cnt FROM assign GROUP BY cid),
+       |sub AS (SELECT a.vec_id, a.cid,
+       |          CASE WHEN census.cnt > 25 THEN $subExpr ELSE 0 END AS sub
+       |        FROM assign a JOIN census USING (cid)
+       |        JOIN m ON m.vec_id = a.vec_id CROSS JOIN pl),
+       |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid
+       |         FROM sub a JOIN sub b
+       |           ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id < b.vec_id),
+       |scored AS (SELECT cand.id_a, cand.id_b, cand.cid,
+       |    round(list_sum([x.v[i]*y.v[i] for i in range(1, len(x.v)+1)]) /
+       |          (x.nrm*y.nrm), 6) AS sim
+       |    FROM cand JOIN m x ON x.vec_id = cand.id_a JOIN m y ON y.vec_id = cand.id_b)
+       |SELECT id_b AS drop_id, id_a AS keep_id, cid, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY sim DESC, id_a) AS rn
+       |  FROM scored WHERE sim >= 0.4)
+       |WHERE rn = 1""".stripMargin
   }
 
   /** LSH ANN re-derived in DuckDB: VectorOps.hyperplanes is seeded and
