@@ -28,7 +28,7 @@ object VolumeBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val mode = args.headOption.filter(Set("dedup", "vectors")).getOrElse("patterns")
+    val mode = args.headOption.filter(Set("dedup", "vectors", "skew")).getOrElse("patterns")
     val rest = (if (mode == "patterns") args else args.drop(1)).toSeq.map(_.toInt)
 
     mode match {
@@ -36,6 +36,8 @@ object VolumeBench {
         if (rest.nonEmpty) rest else Seq(1, 10, 100))
       case "vectors" => runVectors(spark, sfDir, cpus.toInt,
         if (rest.nonEmpty) rest else Seq(1, 10, 100))
+      case "skew" => runSkew(spark, sfDir, cpus.toInt,
+        if (rest.nonEmpty) rest else Seq(10, 60))
       case _ => runPatterns(spark, sfDir, cpus.toInt,
         if (rest.nonEmpty) rest else Seq(1, 10, 60))
     }
@@ -73,6 +75,92 @@ object VolumeBench {
             f"out=$n%-7s sec=$sec%6.2f rate=${rows / sec / 1e3}%9.1fk rows/s")
           spark.catalog.clearCache()
         }
+      }
+    }
+  }
+
+  /** Hot-key skew adversary for the pattern engine: ONE key owns ~90% of
+    * the corpus — the classic pattern-engine scale killer, because every
+    * window stage partitions by key and a hot key serializes into one task.
+    * The hot key's history is the realistic long-lived-unit shape: a dense
+    * 60 s feed with a connectivity gap (> eventsMaxGapMs) every 5000
+    * events, so its state splits into thousands of independent gap runs.
+    * The remaining 10% are ordinary distinct-key replicas of the sf events
+    * table.
+    *
+    * Each pattern runs A/B: `gapSubPartition = true` (default — the
+    * compiler forces the (key, gap_run) exchange) vs `false` (the coarse
+    * hash(keys) exchange Spark plans on its own), asserting identical
+    * incident counts + output checksums. The irreducible serial part under
+    * skew is the gap/idx assignment window (lag + running sum over one
+    * sorted task of the hot key); everything downstream parallelizes.
+    */
+  private def runSkew(spark: SparkSession, sfDir: String, cpus: Int,
+                      factors: Seq[Int]): Unit = {
+    import graft.dsl.{PatternConfig, TspEngine}
+    val G = 604800000L          // eventsMaxGapMs: 7 days (DslQueries cfg)
+    val S = 86400000L           // session gap: 1 day
+    val gapStep = 8L * 86400000L // inter-run hole: 8 days > G
+    val patterns = Seq(
+      "skew_simple"  -> "value > 100",
+      "skew_timer"   -> "value > 50 for 24 hr",
+      "skew_forstat" -> "value > 100 for 168 hr > 5 times",
+      "skew_andthen" -> "value > 150 andThen event_type = 'purchase'")
+    factors.foreach { f =>
+      val dir = s"/tmp/graft-volume/skew-x$f"
+      if (!new java.io.File(s"$dir/events.parquet").exists()) {
+        val base = Tables.events(spark, sfDir)
+        val baseN = base.count()
+        val hotN = baseN * f * 9L / 10L
+        val coldReps = math.max(1, f / 10)
+        // dense ids -> deterministic synthetic history for the hot key:
+        // 60 s cadence, one > G hole every 5000 events => hotN/5000 gap runs
+        val hot = spark.range(hotN).select(
+          col("id").as("event_id"),
+          timestamp_millis(lit(946684800000L) + col("id") * 60000L +
+            (col("id") / 5000L) * gapStep).as("ts"),
+          lit(-1L).as("user_id"),
+          element_at(
+            lit(Array("view", "click", "purchase", "error")),
+            (pmod(xxhash64(col("id"), lit(1)), lit(4)) + 1).cast("int")).as("event_type"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(201))).cast("double").as("value"),
+          lit("{}").as("props"))
+        val cold = base
+          .withColumn("_rep", explode(lit((0 until coldReps).toArray)))
+          .withColumn("user_id", col("user_id") + col("_rep") * 10000000L)
+          .drop("_rep")
+          .select(hot.columns.map(col): _*)
+        hot.unionByName(cold)
+          .repartition(cpus)
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      }
+      val events = Tables.events(spark, dir)
+      val rows = events.count()
+      patterns.foreach { case (name, pat) =>
+        val results = Seq(true, false).map { sub =>
+          val cfg = PatternConfig(Seq("user_id"), "ts", eventsMaxGapMs = G,
+            sessionGapMs = S, gapSubPartition = sub)
+          val mk = () => TspEngine.incidents(events, pat, cfg)
+            .select(col("user_id"), col("from_ms"), col("to_ms"), col("n_events"))
+          val timings = (1 to 2).map { round =>
+            val t0 = System.nanoTime()
+            val df = mk()
+            val Array(n, h) = df
+              .agg(count(lit(1)), bit_xor(xxhash64(Bench.checksumCols(df): _*)))
+              .head().toSeq.toArray
+            val sec = (System.nanoTime() - t0) / 1e9
+            println(f"[skew] x$f%-3d rows=$rows%-9d $name%-14s sub=$sub%-5s " +
+              f"round=$round out=$n%-6s sec=$sec%7.2f rate=${rows / sec / 1e3}%9.1fk rows/s")
+            spark.catalog.clearCache()
+            (n, h, sec)
+          }
+          (sub, timings.last._1, timings.last._2, timings.map(_._3).min)
+        }
+        val Seq((_, nOn, hOn, tOn), (_, nOff, hOff, tOff)) = results
+        require(nOn == nOff && hOn == hOff,
+          s"$name: sub-partitioned output diverges (n $nOn vs $nOff, hash $hOn vs $hOff)")
+        println(f"[skew] x$f%-3d $name%-14s speedup=${tOff / tOn}%5.2fx " +
+          f"(on=${tOn}%6.2f s off=${tOff}%6.2f s, identical output)")
       }
     }
   }

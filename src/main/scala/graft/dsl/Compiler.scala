@@ -27,7 +27,23 @@ final case class PatternConfig(
     * ToIncidentsMapper.scala:19-21 — per-event extraction, Int.MinValue on
     * parse failure). None = no unit column on incidents.
     */
-  unitIdField: Option[String] = None
+  unitIdField: Option[String] = None,
+  /** Re-distribute events on (keys..., gap_run) after gap assignment.
+    *
+    * Every pattern stage's window partitions *logically* by
+    * (keys, gap_run) — state resets at data gaps — but Spark's
+    * EnsureRequirements never plans the finer exchange on its own:
+    * hashpartitioning(keys) from the gap-assignment window already
+    * *satisfies* ClusteredDistribution(keys :+ gap_run), so without this
+    * explicit repartition a hot key (one unit owning most of the corpus)
+    * serializes every window stage into a single task. With it, the hot
+    * key's gap runs spread across the cluster and only the cheap linear
+    * gap/idx assignment pass (lag + running sum + row_number) remains
+    * per-key-serial. Costs one extra exchange of the event frame, which
+    * the skew ladder (VolumeBench skew mode) shows is noise next to the
+    * win once any key is large.
+    */
+  gapSubPartition: Boolean = true
 )
 
 /** AST -> Spark compiler.
@@ -196,6 +212,10 @@ final class PatternCompiler(base: DataFrame, cfg: PatternConfig) {
       .withColumn(GAP,
         sum(when(delta > cfg.eventsMaxGapMs, 1).otherwise(0)).over(keyW).cast("long"))
       .withColumn(IDX, row_number().over(keyW).cast("long"))
+    // see PatternConfig.gapSubPartition: force the exchange Spark's
+    // subset-clustering rule would otherwise elide, so window stages run at
+    // (key, gap_run) granularity instead of one-task-per-key
+    if (cfg.gapSubPartition) df = df.repartition(pcols.map(col): _*)
   }
 
   /** The working frame with everything compiled so far (for multi-pattern

@@ -35,6 +35,15 @@ import scala.collection.mutable.ArrayBuffer
   */
 object StreamingEval {
 
+  /** One deque entry: (eventMs, numericValue, stringValue). The string
+    * slot is null except for `lag` over a string-typed field, where the
+    * lagged value itself is the string (`lag(status) = 'FAILURE'` must
+    * compare the real string, not a NaN-coerced double); the numeric slot
+    * is NaN there. One shared tuple shape keeps the
+    * flatMapGroupsWithState state encoders identical across all op kinds.
+    */
+  type Ent = (Long, Double, String)
+
   sealed trait OpSpec extends Serializable {
     def id: Int
     def node: Ast
@@ -66,12 +75,20 @@ object StreamingEval {
 
     def numIdx(n: String): Int = numFields.indexOf(n)
 
+    /** Index into `strs` when `a` is a string-typed field reference (the
+      * string-lag deque mode), -1 otherwise.
+      */
+    private def strArgIdx(a: Ast): Int = a match {
+      case Ident(n) => strFields.indexOf(n)
+      case _        => -1
+    }
+
     /** Evaluate one event; `deques` is the per-key op state (mutated in
       * place — the caller persists it back into the group state).
       */
-    def eval(deques: Array[ArrayBuffer[(Long, Double)]], t: Long,
+    def eval(deques: Array[ArrayBuffer[Ent]], t: Long,
              nums: Array[Double], strs: Array[String]): Boolean = {
-      val opVals = new Array[Double](ops.size)
+      val opVals = new Array[Any](ops.size)
       val opBools = new Array[Boolean](ops.size)
 
       def anyOf(a: Ast): Any = a match {
@@ -173,19 +190,30 @@ object StreamingEval {
       ops.foreach {
         case AggSpec(id, fn, arg, w, _) =>
           val dq = deques(id)
-          val v = toD(anyOf(arg))
           fn match {
+            case "lag" if strArgIdx(arg) >= 0 =>
+              // lag over a string-typed field: carry the STRING through the
+              // deque (batch: last(strCol, ignoreNulls) over (unbounded, -w])
+              // so `lag(status) = 'FAILURE'` compares real strings
+              val s = strs(strArgIdx(arg))
+              if (s != null) dq += ((t, Double.NaN, s))
+              while (dq.length >= 2 && dq(1)._1 <= t - w) dq.remove(0)
+              opVals(id) =
+                if (dq.nonEmpty && dq.head._1 <= t - w) dq.head._3
+                else Double.NaN
             case "lag" =>
               // last non-missing value at or before t - w (batch:
               // last(x, ignoreNulls) over (unbounded, -w])
-              if (!v.isNaN) dq += ((t, v))
+              val v = toD(anyOf(arg))
+              if (!v.isNaN) dq += ((t, v, null))
               while (dq.length >= 2 && dq(1)._1 <= t - w) dq.remove(0)
               opVals(id) =
                 if (dq.nonEmpty && dq.head._1 <= t - w) dq.head._2 else Double.NaN
             case _ =>
               // open-left window (t-w, t]; a missing current arg fails the
               // aggregate at this event without poisoning the window
-              if (!v.isNaN) dq += ((t, v))
+              val v = toD(anyOf(arg))
+              if (!v.isNaN) dq += ((t, v, null))
               while (dq.nonEmpty && dq.head._1 <= t - w) dq.remove(0)
               opVals(id) =
                 if (v.isNaN) Double.NaN
@@ -198,7 +226,7 @@ object StreamingEval {
         case ForSpec(id, inner, exactly, w, interval, _) =>
           val dq = deques(id)
           val c = toB(anyOf(inner))
-          dq += ((t, if (c) 1.0 else 0.0))
+          dq += ((t, if (c) 1.0 else 0.0, null))
           // keep one entry before the closed [t-w, t] window: interval
           // durations attribute to the previous event and clip at t-w
           while (dq.length >= 2 && dq(1)._1 < t - w) dq.remove(0)
@@ -207,10 +235,10 @@ object StreamingEval {
           var failMs = 0L
           var k = 0
           while (k < dq.length) {
-            val (ms, cv) = dq(k)
+            val (ms, cv, _) = dq(k)
             if (ms >= t - w && cv == 1.0) succCnt += 1
             if (k > 0) {
-              val (pms, pcv) = dq(k - 1)
+              val (pms, pcv, _) = dq(k - 1)
               if (ms >= t - w) {
                 val d = ms - math.max(pms, t - w)
                 if (pcv == 1.0) succMs += d else failMs += d
@@ -227,7 +255,7 @@ object StreamingEval {
           val dq = deques(id)
           val c = toB(anyOf(inner))
           if (!c) dq.clear()
-          else if (dq.isEmpty) dq += ((t, 0.0))
+          else if (dq.isEmpty) dq += ((t, 0.0, null))
           opBools(id) = c && t >= dq.head._1 + w
       }
 

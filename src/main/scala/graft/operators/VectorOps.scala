@@ -234,6 +234,31 @@ object VectorOps {
       math.max(math.ceil(math.sqrt(n.toDouble)).toLong,
         math.ceil(n.toDouble / maxCentroids).toLong))
 
+  /** Byte-bounded centroid budget: the quantizer collects
+    * ([[ivfTopK]]/[[semanticDuplicates]] sampled centroids,
+    * [[kmeansCentroids]] init + recentered means) are capped in BYTES, not
+    * rows — `maxCentroids` rows are ~35 MB at dim 64 but ~500 MB at dim
+    * 1024, which would sink the driver and every executor the matrix
+    * broadcasts to. A collected row costs ~`8*dim` for the doubles plus
+    * ~64 B of id/norm/object headers; the budget keeps
+    * rows*perRow <= `maxBytes` (default 64 MB — a broadcast-join build-side
+    * budget), floored at 256 rows so tiny budgets still quantize.
+    *
+    * Recall trade when the byte cap binds: fewer cells means longer
+    * inverted lists, so IVF probes scan a larger corpus fraction
+    * (`nprobe / #cells` grows) and SemDedup cells lean harder on the
+    * `clusterCap` sub-split — throughput degrades smoothly; no cliff.
+    */
+  def centroidBudget(dim: Int, maxCentroids: Int = 1 << 16,
+                     maxBytes: Long = 64L << 20): Int = {
+    val perRow = 8L * math.max(1, dim) + 64L
+    math.max(256L, math.min(maxCentroids.toLong, maxBytes / perRow)).toInt
+  }
+
+  /** Dimension of the vector column (from one row; 0 on an empty frame). */
+  private def probeDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+
   /** Lloyd k-means over unit-direction vectors — the optional trainer for
     * [[ivfTopK]]'s coarse quantizer (spherical k-means: cosine assignment,
     * mean recentering). Deterministic: initial centroids are the k rows
@@ -253,15 +278,20 @@ object VectorOps {
     * triples ready for [[ivfTopKWith]].
     */
   def kmeansCentroids(corpus: DataFrame, id: String, vec: String,
-                      k: Int, iters: Int = 2): Array[(Long, Array[Double], Double)] = {
+                      k: Int, iters: Int = 2,
+                      maxCentroidBytes: Long = 64L << 20): Array[(Long, Array[Double], Double)] = {
     import org.apache.spark.sql.Row
     val base = Spread(corpus).select(col(id).cast("long").as("nid"),
         asDouble(col(vec)).as("nv"))
       .withColumn("nn", norm(col("nv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // byte-bound k like the sampled-quantizer collects: the init collect
+    // AND every iteration's recentered-means collect are k rows of dim
+    // doubles
+    val kEff = math.min(k, centroidBudget(probeDim(base, "nv"), k, maxCentroidBytes))
     var cents: Array[(Long, Array[Double], Double)] =
       base.filter(col("nn") > 0)
-        .orderBy(xxhash64(col("nid")), col("nid")).limit(k).collect()
+        .orderBy(xxhash64(col("nid")), col("nid")).limit(kEff).collect()
         .zipWithIndex
         .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray, r.getDouble(2)) }
     var it = 0
@@ -357,14 +387,16 @@ object VectorOps {
   def ivfTopK(queries: DataFrame, qid: String, qvec: String,
               corpus: DataFrame, id: String, vec: String,
               k: Int, minStride: Int = 25, nprobe: Int = 4,
-              maxCentroids: Int = 1 << 16): DataFrame = {
+              maxCentroids: Int = 1 << 16,
+              maxCentroidBytes: Long = 64L << 20): DataFrame = {
     val cBase = Spread(corpus).select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
       .withColumn("nn", norm(col("nv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qBase = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stride = ivfStride(cBase.count(), minStride, maxCentroids)
+    val stride = ivfStride(cBase.count(), minStride,
+      centroidBudget(probeDim(cBase, "nv"), maxCentroids, maxCentroidBytes))
     // deterministic coarse centroids; the collect is bounded: ~sqrt(N) rows
     // until maxCentroids caps it — the same budget a broadcast-join build
     // side gets
@@ -605,12 +637,14 @@ object VectorOps {
   def semanticDuplicates(corpus: DataFrame, id: String, vec: String,
                          threshold: Double, minStride: Int = 25,
                          maxCentroids: Int = 1 << 16,
-                         clusterCap: Int = 2000): DataFrame = {
+                         clusterCap: Int = 2000,
+                         maxCentroidBytes: Long = 64L << 20): DataFrame = {
     val base = Spread(corpus).select(col(id).cast("long").as("id"),
         asDouble(col(vec)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stride = ivfStride(base.count(), minStride, maxCentroids)
+    val stride = ivfStride(base.count(), minStride,
+      centroidBudget(probeDim(base, "v"), maxCentroids, maxCentroidBytes))
     val cents: Array[(Long, Array[Double], Double)] =
       base.filter(col("id") % stride === 0)
         .orderBy("id")

@@ -72,7 +72,7 @@ object StreamingPatterns {
   /** Evaluator-path state: the run machine plus one bounded (ms, value)
     * deque per windowed operator.
     */
-  case class EvalState(run: RunState, ops: Seq[Seq[(Long, Double)]])
+  case class EvalState(run: RunState, ops: Seq[Seq[graft.dsl.StreamingEval.Ent]])
 
   case class StreamIncident(key: String, fromMs: Long, toMs: Long, nEvents: Long)
 
@@ -167,7 +167,7 @@ object StreamingPatterns {
     * cascade levels, and the undecided event buffer.
     */
   case class ChainState(run: RunState,
-                        ops: Seq[Seq[Seq[(Long, Double)]]],
+                        ops: Seq[Seq[Seq[graft.dsl.StreamingEval.Ent]]],
                         nextIdx: Long, rawLastMs: Long,
                         levels: Seq[ChainLevel],
                         buf: Seq[(Long, Long)])
@@ -253,7 +253,7 @@ object StreamingPatterns {
     wq: Seq[(Long, Long)], lastFail: Boolean,
     lastTimeIdx: Long, lastTimeMs: Long,
     openV: Boolean, hasOpen: Boolean, openTimes: Seq[(Long, Long)],
-    leafOps: Seq[Seq[(Long, Double)]])
+    leafOps: Seq[Seq[graft.dsl.StreamingEval.Ent]])
 
   case class TreeState(run: RunState, nextIdx: Long, rawLastMs: Long,
                        nodes: Seq[TreeNodeState], buf: Seq[(Long, Long)])
@@ -379,7 +379,7 @@ object StreamingPatterns {
     val openV = Array.from(st0.nodes.map(_.openV))
     val hasOpen = Array.from(st0.nodes.map(_.hasOpen))
     val openTimes = Array.from(st0.nodes.map(s => Vector.from(s.openTimes)))
-    val leafDeques: Map[Int, Array[ArrayBuffer[(Long, Double)]]] =
+    val leafDeques: Map[Int, Array[ArrayBuffer[graft.dsl.StreamingEval.Ent]]] =
       leafIds.map(li => li ->
         st0.nodes(li).leafOps.map(v => ArrayBuffer.from(v)).toArray).toMap
 
@@ -733,7 +733,7 @@ object StreamingPatterns {
     * (idx, ms) times, undecided events, and decided-true idx intervals.
     */
   case class WaitState(run: RunState,
-                       ops: Seq[Seq[(Long, Double)]],
+                       ops: Seq[Seq[graft.dsl.StreamingEval.Ent]],
                        nextIdx: Long, rawLastMs: Long,
                        wq: Seq[(Long, Long)], lastFail: Boolean,
                        lastTimeIdx: Long, lastTimeMs: Long,
@@ -997,7 +997,7 @@ object StreamingPatterns {
   ): Iterator[StreamIncident] = {
     val st = state.getOption.getOrElse(
       EvalState(RunState.empty, Vector.fill(program.ops.size)(Vector.empty)))
-    val deques: Array[ArrayBuffer[(Long, Double)]] =
+    val deques: Array[ArrayBuffer[graft.dsl.StreamingEval.Ent]] =
       st.ops.map(v => ArrayBuffer.from(v)).toArray
     val out = ArrayBuffer.empty[StreamIncident]
     // op state must survive any quiet spell a future event could bridge:

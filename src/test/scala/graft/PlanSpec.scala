@@ -147,9 +147,28 @@ class PlanSpec extends SparkSpec {
   test("dsl pattern plans reuse one exchange for the window pipeline") {
     val p = plan("dsl_timer")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    // one exchange for the window pipeline + at most one for the final
-    // segment aggregation chain
-    assert(exchanges <= 3, s"dsl_timer shuffles $exchanges times:\n${p.take(3000)}")
+    // one exchange for gap assignment + one finer (key, gap_run) exchange
+    // for the window pipeline + at most two for the segment/session chain
+    assert(exchanges <= 4, s"dsl_timer shuffles $exchanges times:\n${p.take(3000)}")
+  }
+
+  test("dsl window stages exchange on (key, gap_run) — hot keys sub-partition at gaps") {
+    // hashpartitioning(keys) SATISFIES ClusteredDistribution(keys, gap_run),
+    // so without the compiler's explicit repartition Spark never plans the
+    // finer exchange and a hot key serializes every window stage into one
+    // task. Assert the finer-grained exchange is present by default and
+    // absent when the knob is off.
+    val p = plan("dsl_timer")
+    assert("Exchange hashpartitioning\\(user_id#\\d+L?, _p_gap".r.findFirstIn(p).isDefined,
+      s"expected a (user_id, _p_gap) exchange in dsl_timer:\n${p.take(3000)}")
+    val cfg = dsl.PatternConfig(Seq("user_id"), "ts",
+      eventsMaxGapMs = 604800000L, sessionGapMs = 86400000L,
+      gapSubPartition = false)
+    val off = dsl.TspEngine.incidents(Tables.events(spark, sf),
+      "value > 50 for 24 hr", cfg)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id#\\d+L?, _p_gap".r.findFirstIn(off).isEmpty,
+      s"gapSubPartition=false must not add the finer exchange:\n${off.take(3000)}")
   }
 
   test("shuffle_shards shuffles once, on the shard key, ids only") {

@@ -124,6 +124,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.count() == 3L)
   }
 
+  test("centroid collects are byte-bounded, not just row-bounded") {
+    // the row cap alone lets dim scale the collect unboundedly: 65536 rows
+    // are ~35 MB at dim 64 but ~500 MB at dim 1024. The byte budget caps
+    // rows by dim; at the catalog's dim 64 the default 64 MB budget leaves
+    // the row cap untouched (hash-stability of the oracle queries).
+    assert(VectorOps.centroidBudget(64) == (1 << 16))
+    val at1024 = VectorOps.centroidBudget(1024)
+    assert(at1024 < (1 << 16) && at1024.toLong * (8L * 1024 + 64) <= (64L << 20),
+      s"dim-1024 budget $at1024 must fit 64 MB")
+    // floor: a tiny budget still quantizes instead of degenerating
+    assert(VectorOps.centroidBudget(4096, maxBytes = 1024) == 256)
+    // the reduced cap flows through ivfStride: fewer cells => larger stride
+    val n = 1000000000L
+    val strideDefault = VectorOps.ivfStride(n, 25, VectorOps.centroidBudget(64))
+    val strideHighDim = VectorOps.ivfStride(n, 25, VectorOps.centroidBudget(1024))
+    assert(strideHighDim > strideDefault,
+      s"dim-1024 stride $strideHighDim must exceed dim-64 stride $strideDefault")
+    // kmeans clamps k to the byte budget (init collect + per-iteration
+    // means collect are both k rows of dim doubles)
+    import spark.implicits._
+    val df = (1 to 600).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d) % 17 - 8) / 8.0f)))
+      .toDF("vec_id", "embedding")
+    val clamped = VectorOps.kmeansCentroids(df, "vec_id", "embedding",
+      k = 500, iters = 1, maxCentroidBytes = 1024)
+    assert(clamped.length <= 256, s"expected <= 256 centroids, got ${clamped.length}")
+    assert(clamped.nonEmpty)
+  }
+
   test("simhash: identical texts collide, planted near-dups are close") {
     import spark.implicits._
     val df = Seq(

@@ -1,0 +1,29 @@
+package graft.streaming
+
+/** The full streaming suites re-run under RocksDB state storage.
+  *
+  * The default HDFS-backed provider keeps every state map on the JVM heap;
+  * at 100 TB-scale key cardinality (one state entry per (band, bucket) for
+  * the dedup index, per key for the pattern machines) the heap is the
+  * limit, and the production deployment runs
+  * `spark.sql.streaming.stateStore.providerClass =
+  * RocksDBStateStoreProvider` instead (off-heap, spills to local SSD,
+  * changelog-checkpoints to the fault-tolerant store). RocksDB round-trips
+  * state through UnsafeRow serialization on EVERY access rather than
+  * holding live JVM objects, so any encoder / mutable-state-object gap in
+  * our `flatMapGroupsWithState` machines that the on-heap provider would
+  * mask surfaces here — including across the checkpoint-restart tests,
+  * which exercise RocksDB snapshot upload + recovery.
+  */
+class StreamingRocksDbSpec extends StreamingSpec {
+  override protected def stateStoreProvider: Option[String] =
+    Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}
+
+/** [[StreamingDedupSpec]] under RocksDB state storage — see
+  * [[StreamingRocksDbSpec]].
+  */
+class StreamingDedupRocksDbSpec extends StreamingDedupSpec {
+  override protected def stateStoreProvider: Option[String] =
+    Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}

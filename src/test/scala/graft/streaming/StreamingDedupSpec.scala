@@ -8,8 +8,25 @@ import org.apache.spark.sql.functions._
 /** Streaming near-dup detection: banding must be bit-identical to the batch
   * LSH pipeline, the streamed pair set must match batch dedup on a planted
   * corpus, and bucket state must honor the FIFO cap.
+  *
+  * [[StreamingDedupRocksDbSpec]] re-runs the suite under the RocksDB state
+  * store provider (see [[StreamingSpec]]'s scaladoc for why).
   */
-class StreamingDedupSpec extends SparkSpec {
+class StreamingDedupSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  protected def stateStoreProvider: Option[String] = None
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    stateStoreProvider.foreach(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
+
+  override protected def afterAll(): Unit = {
+    if (stateStoreProvider.isDefined)
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    super.afterAll()
+  }
 
   import spark.implicits._
 

@@ -7,8 +7,34 @@ import org.apache.spark.sql.functions._
 /** Streaming pattern evaluation over a MemoryStream: timer semantics,
   * incident session merge, gap reset and watermark-driven pending flush must
   * match the batch engine.
+  *
+  * Runs under the default (HDFS-backed, on-heap) state store;
+  * [[StreamingRocksDbSpec]] re-runs the whole suite under
+  * RocksDBStateStoreProvider — the provider a 100 TB deployment needs,
+  * since at production key cardinality the JVM heap can no longer hold the
+  * state maps. Suites execute sequentially in the forked test JVM, so the
+  * session-level provider conf cannot leak into a concurrently running
+  * suite.
   */
-class StreamingSpec extends SparkSpec {
+class StreamingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  /** None = Spark's default provider; subclasses override. The conf is
+    * read at stream start, so setting it on the shared session between
+    * suites re-homes every query the suite starts.
+    */
+  protected def stateStoreProvider: Option[String] = None
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    stateStoreProvider.foreach(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
+
+  override protected def afterAll(): Unit = {
+    if (stateStoreProvider.isDefined)
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    super.afterAll()
+  }
 
   import spark.implicits._
   import StreamingPatterns._
@@ -298,6 +324,10 @@ class StreamingSpec extends SparkSpec {
       "sum(v, 40 sec) > 500 until v < 5",
       // string field comparison through the evaluator path
       "sum(v, 40 sec) > 400 until etype = 'err'",
+      // string-typed lag: the deque must carry the STRING (regression:
+      // toD coerced it to NaN and the comparison never fired)
+      "lag(etype) = 'err'",
+      "lag(etype, 20 sec) = 'err' and v > 50",
       // andThen: incremental closed-run merge must equal the batch merge
       "v > 120 andThen v < 40",
       "v > 100 for 20 sec andThen v < 50",
