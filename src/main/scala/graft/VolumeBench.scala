@@ -118,7 +118,7 @@ object VolumeBench {
         val hot = spark.range(hotN).select(
           col("id").as("event_id"),
           timestamp_millis(lit(946684800000L) + col("id") * 60000L +
-            (col("id") / 5000L) * gapStep).as("ts"),
+            expr("id div 5000") * gapStep).as("ts"),
           lit(-1L).as("user_id"),
           element_at(
             lit(Array("view", "click", "purchase", "error")),
