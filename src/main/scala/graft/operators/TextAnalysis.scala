@@ -226,6 +226,80 @@ object TextAnalysis {
         size(array_distinct(grams)).cast("double") / size(grams), 6))
   }
 
+  /** Gopher/MassiveText-shaped document quality rules (Rae et al. 2021,
+    * arXiv:2112.11446, table A1) over a text column that may contain line
+    * breaks — the standard pre-training filter stack: length/word-shape
+    * bounds, symbol-line structure (bullets, ellipses), intra-document
+    * duplication (duplicate lines, dominant bigram). Two deviations from
+    * the paper, both documented: fractions are COUNT fractions (the paper
+    * mixes count and character fractions; integer counts keep the score
+    * bit-stable across engines, the same stance as [[corpusFamiliarity]]),
+    * and the stop-word rule is covered separately by
+    * [[qualityFeatures]]'s `stop_ratio`.
+    *
+    * Shape: pure narrow map, zero exchanges. The lines / words / bigram
+    * arrays are pinned behind [[fingerprintFrame]]-style collapse barriers
+    * so each materializes once per row; the dominant-bigram count comes
+    * from the longest equal run of the SORTED bigram array — one
+    * O(n log n) `array_sort` plus one linear `aggregate` fold per doc,
+    * never the O(n²) per-element `filter` count.
+    *
+    * Thresholds (gopher_pass): 50 <= n_words <= 100000, 3 <= mean word
+    * length <= 10, >= 80% of words contain an alphabetic character,
+    * duplicate-line fraction <= 0.30, bullet-start lines <= 0.90,
+    * ellipsis-end lines <= 0.30, dominant bigram <= 0.20 of bigrams.
+    */
+  def gopherFrame(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    // longest equal run in the sorted bigram array = the dominant bigram's
+    // occurrence count (state: previous element, current run, best run)
+    def maxRun(sorted: Column): Column = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), "\n").as("_ls"),
+        split(col(textCol), "\\s+").as("_ws"),
+        monotonically_increasing_id().as("_b1"))
+      .select(col("doc_id"), col("_ls"), col("_ws"),
+        size(col("_ws")).cast("long").as("n_words"),
+        array_sort(ngramsOfWords(col("_ws"), 2)).as("_bgs"),
+        monotonically_increasing_id().as("_b2"))
+      .select(col("doc_id"),
+        col("n_words"),
+        round(aggregate(col("_ws"), lit(0L), (a, x) => a + length(x))
+          .cast("double") / col("n_words"), 6).as("mean_word_len"),
+        round(size(filter(col("_ws"), x => x.rlike("[A-Za-z]")))
+          .cast("double") / col("n_words"), 6).as("frac_alpha_words"),
+        round((size(col("_ls")) - size(array_distinct(col("_ls"))))
+          .cast("double") / size(col("_ls")), 6).as("dup_line_frac"),
+        round(size(filter(col("_ls"), x => x.startsWith("- ")))
+          .cast("double") / size(col("_ls")), 6).as("bullet_line_frac"),
+        round(size(filter(col("_ls"), x => x.endsWith("...")))
+          .cast("double") / size(col("_ls")), 6).as("ellipsis_line_frac"),
+        round(when(col("n_words") < 2, lit(0.0))
+          .otherwise(maxRun(col("_bgs")).cast("double") / (col("n_words") - 1)), 6)
+          .as("top_bigram_frac"),
+        monotonically_increasing_id().as("_b3"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("frac_alpha_words"), col("dup_line_frac"),
+        col("bullet_line_frac"), col("ellipsis_line_frac"),
+        col("top_bigram_frac"),
+        (col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("frac_alpha_words") >= 0.8 &&
+          col("dup_line_frac") <= 0.3 &&
+          col("bullet_line_frac") <= 0.9 &&
+          col("ellipsis_line_frac") <= 0.3 &&
+          col("top_bigram_frac") <= 0.2).as("gopher_pass"))
+  }
+
   /** PII patterns: (name, regex, replacement). The regexes are written for
     * the portable intersection of Java regex and RE2 (character classes,
     * bounded repetition, `\b`) so an external SQL oracle reproduces both

@@ -63,6 +63,25 @@ object TextQueries {
     // genuinely cross-verifies the Java-regex vs RE2 dialects on both the
     // match counts and the byte-exact redacted text (digested: the full
     // redaction is corpus-sized). Pure narrow map.
+    // Gopher/MassiveText quality rules. The synthetic corpus has no line
+    // structure, so the query SYNTHESIZES it deterministically (the same
+    // expression the oracle SQL builds): reflow onto 7-word lines, double
+    // every 6th document's lines (duplicate-line rule), bullet every 3rd
+    // document's lines (bullet rule), ellipsis-suffix every 4th (ellipsis
+    // rule) — every rule fires on a real slice of the corpus and the hash
+    // compare cross-verifies the full signal set. Pure narrow map.
+    "text_gopher" -> { (s, d) =>
+      val id = col("doc_id")
+      val l0 = regexp_replace(col("text"), "((?:\\S+ ){6}\\S+) ", "$1\n")
+      val l1 = when(id % 6 === 0, concat(l0, lit("\n"), l0)).otherwise(l0)
+      val l2 = when(id % 3 === 0,
+        concat(lit("- "), regexp_replace(l1, "\n", "\n- "))).otherwise(l1)
+      val lined = when(id % 4 === 0,
+        concat(regexp_replace(l2, "\n", "...\n"), lit("..."))).otherwise(l2)
+      graft.operators.TextAnalysis.gopherFrame(
+        Tables.documents(s, d).select(id, lined.as("text")), "doc_id", "text")
+    },
+
     "text_pii" -> { (s, d) =>
       import graft.operators.TextAnalysis.{piiCounts, redactPii}
       val planted = concat(
@@ -106,6 +125,51 @@ object TextQueries {
         |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
         |    AS rep_ratio
         |FROM g""".stripMargin,
+    "text_gopher" ->
+      """WITH l0 AS (SELECT doc_id,
+        |    regexp_replace(text, '((?:\S+ ){6}\S+) ', '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |l1 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN t || chr(10) || t ELSE t END AS t FROM l0),
+        |l2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN '- ' || replace(t, chr(10), chr(10) || '- ') ELSE t END AS t
+        |  FROM l1),
+        |l3 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN replace(t, chr(10), '...' || chr(10)) || '...' ELSE t END AS t
+        |  FROM l2),
+        |f AS (SELECT doc_id, string_split(t, chr(10)) AS ls,
+        |        string_split_regex(t, '\s+') AS ws FROM l3),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i + 1])) AS g
+        |       FROM f WHERE len(ws) >= 2),
+        |top AS (SELECT doc_id, max(c) AS topc FROM
+        |         (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+        |        GROUP BY doc_id),
+        |m AS (SELECT f.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+        |    / len(ws), 6) AS mean_word_len,
+        |  round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+        |    AS DOUBLE) / len(ws), 6) AS frac_alpha_words,
+        |  round(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
+        |    AS dup_line_frac,
+        |  round(CAST(len(list_filter(ls, x -> starts_with(x, '- ')))
+        |    AS DOUBLE) / len(ls), 6) AS bullet_line_frac,
+        |  round(CAST(len(list_filter(ls, x -> ends_with(x, '...')))
+        |    AS DOUBLE) / len(ls), 6) AS ellipsis_line_frac,
+        |  round(CASE WHEN len(ws) < 2 THEN 0.0
+        |        ELSE CAST(coalesce(topc, 0) AS DOUBLE) / (len(ws) - 1) END, 6)
+        |    AS top_bigram_frac
+        |  FROM f LEFT JOIN top ON f.doc_id = top.doc_id)
+        |SELECT *,
+        |  (n_words BETWEEN 50 AND 100000 AND
+        |   mean_word_len BETWEEN 3 AND 10 AND
+        |   frac_alpha_words >= 0.8 AND dup_line_frac <= 0.3 AND
+        |   bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3 AND
+        |   top_bigram_frac <= 0.2) AS gopher_pass
+        |FROM m""".stripMargin,
     "text_pii" ->
       """WITH p AS (SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com or 10.0.' ||

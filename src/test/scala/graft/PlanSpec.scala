@@ -99,6 +99,19 @@ class PlanSpec extends SparkSpec {
       s"expected TakeOrderedAndProject for the top-k:\n${p.take(2000)}")
   }
 
+  test("text_gopher is a pure narrow map — zero exchanges, split pinned once") {
+    val p = plan("text_gopher")
+    assert(!p.contains("Exchange"),
+      s"text_gopher must not shuffle:\n${p.take(2000)}")
+    // the lines/words splits and the sorted bigram array must each
+    // materialize once (collapse barriers hold); the dominant-bigram count
+    // must be the sorted-run fold, not a per-element filter scan
+    val splits = "split\\(".r.findAllIn(p).length
+    assert(splits == 2, s"expected 2 pinned splits (lines + words), found $splits")
+    assert("array_sort\\(".r.findAllIn(p).length == 1,
+      "bigram sort must run once")
+  }
+
   test("text_fingerprint is a pure narrow map — zero exchanges") {
     val p = plan("text_fingerprint")
     assert(!p.contains("Exchange"),

@@ -153,6 +153,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(clamped.nonEmpty)
   }
 
+  test("gopher quality rules fire on planted rule-violating documents") {
+    import spark.implicits._
+    val clean = (1 to 60).map(i => s"word$i").mkString(" ")          // passes all
+    val dupLines = "aa bb cc\naa bb cc\naa bb cc\n" + clean          // dup lines > 0.3
+    val bullets = (1 to 12).map(i => s"- item$i number").mkString("\n") +
+      "\n" + clean.split(" ").take(8).mkString(" ")                  // bullets > 0.9
+    val ellipses = (1 to 12).map(i => s"trailing line $i...").mkString("\n") // ellipsis > 0.3
+    val loop = Seq.fill(40)("same pair").mkString(" ")               // top bigram dominant
+    val numeric = (1 to 60).map(_.toString).mkString(" ")            // alpha frac 0
+    val short = "too short"                                          // n_words < 50
+    val df = Seq(
+      (1L, clean), (2L, dupLines), (3L, bullets), (4L, ellipses),
+      (5L, loop), (6L, numeric), (7L, short)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFrame(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(8), "clean doc must pass")
+    assert(!got(2L).getBoolean(8) && got(2L).getDouble(4) > 0.3, "dup lines")
+    assert(!got(3L).getBoolean(8) && got(3L).getDouble(5) > 0.9, "bullets")
+    assert(!got(4L).getBoolean(8) && got(4L).getDouble(6) > 0.3, "ellipses")
+    assert(!got(5L).getBoolean(8) && got(5L).getDouble(7) > 0.2, "dominant bigram")
+    assert(!got(6L).getBoolean(8) && got(6L).getDouble(3) < 0.8, "alpha words")
+    assert(!got(7L).getBoolean(8) && got(7L).getLong(1) < 50, "short doc")
+    // dominant-bigram run math: "same pair same pair ..." has 79 bigrams,
+    // 40 of them "pair same"? no: "same pair" appears 40 times, "pair same"
+    // 39 — the max run over the sorted array must be exactly 40
+    assert(got(5L).getDouble(7) == math.rint(40.0 / 79 * 1e6) / 1e6,
+      s"expected 40/79 rounded, got ${got(5L).getDouble(7)}")
+  }
+
   test("simhash: identical texts collide, planted near-dups are close") {
     import spark.implicits._
     val df = Seq(
