@@ -130,6 +130,71 @@ object TextAnalysis {
           .as("commonness"))
   }
 
+  /** Bigram-LM conditional-probability score per document — the
+    * distributed, bit-stable stand-in for the KenLM perplexity quality
+    * filter of CCNet (Wenzek et al. 2019, arXiv:1911.00359): text whose
+    * word transitions are improbable under the corpus's own bigram model
+    * (gibberish, OCR noise, wrong-language shards) scores low and gets
+    * filtered before training.
+    *
+    * Integer-quantized Laplace bigram model, the [[corpusFamiliarity]]
+    * stance taken one order up: each bigram occurrence contributes
+    * `ppm = (1e6 * (C(w1 w2) + 1)) div (C(w1 ·) + V)` (V = distinct
+    * prefix vocabulary) — pure integer arithmetic — and the document
+    * score is `mean_cond_ppm = Σ ppm div n_bigrams` — integer end to end,
+    * so the score is bit-identical across engines, partitionings, and
+    * reruns (an earlier floating mean hit a 6th-decimal round-half tie
+    * between Spark's and DuckDB's `round` on the very first corpus; a
+    * mean-log-prob "real" perplexity would be worse — libm `ln` rounding
+    * plus float summation order. The quantized smoothed-conditional mean
+    * preserves the filtering ranking.) The
+    * smoothing is load-bearing, not cosmetic: UNsmoothed conditionals
+    * score a hapax prefix's single continuation at probability 1, so
+    * unique-word gibberish would rank HIGHEST; Laplace pins a
+    * never-seen-prefix transition near 2/V instead. The `div` product
+    * `(C2+1) * 1e6` stays inside a long up to ~9e12 occurrences of a
+    * single bigram.
+    *
+    * Scale shape: words split ONCE below the Spread shuffle and the
+    * narrow (doc, w1, w2) gram frame persisted (two consumers); ONE
+    * map-side-combined bigram count; prefix totals are a second agg over
+    * the GRAM TABLE (vocab-bounded, not corpus-bounded); the score join
+    * shuffles gram pairs on the gram key — at web scale the model table
+    * outgrows any broadcast, so the shuffle join IS the plan. Wordless /
+    * single-word documents keep a row via the left join (0 bigrams, NULL
+    * score).
+    */
+  def bigramLmScores(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = when(size(col("_ws")) >= 2,
+      transform(sequence(lit(0), size(col("_ws")) - 2),
+        i => struct(element_at(col("_ws"), i + 1).as("w1"),
+          element_at(col("_ws"), i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val g = Spread(docs.select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), "\\s+").as("_ws")))
+      .select(col("doc_id"), explode(pairs).as("_p"))
+      .select(col("doc_id"), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c2 = g.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    val model = c2.join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        expr("(c2 + 1) * 1000000 div (c1 + v)").as("ppm"))
+    val agg = g.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("_nb"), sum(col("ppm")).as("_sp"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("_sp"), lit(0L)).as("sum_cond_ppm"),
+        expr("_sp div _nb").as("mean_cond_ppm"))
+  }
+
   /** Document fingerprint: lexicographic minimum of the md5 of each 5-word
     * window — a winnowing-style rolling selection that is stable under small
     * edits away from the minimum window. md5 keeps it reproducible in any

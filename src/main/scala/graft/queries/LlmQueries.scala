@@ -147,6 +147,13 @@ object LlmQueries {
       TextAnalysis.corpusFamiliarity(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // Bigram-LM quality score (integer-quantized conditional probability):
+    // the corpus is its own language model; low scores flag improbable
+    // word transitions. Exact integer sums => bit-stable hash.
+    "text_lm" -> { (s, d) =>
+      TextAnalysis.bigramLmScores(Tables.documents(s, d), "doc_id", "text")
+    },
+
     // Reproducible global corpus shuffle: every document gets a
     // pseudo-random shard and a dense in-shard position (the index a
     // training loader reads); id-only input by design.
@@ -444,6 +451,27 @@ object LlmQueries {
         |SELECT doc_id, coalesce(n_words, 0)::BIGINT AS n_words,
         |       coalesce(hapax, 0)::BIGINT AS hapax,
         |       round(fs::DOUBLE / (n_words * (SELECT n FROM t)), 6) AS commonness
+        |FROM documents LEFT JOIN d USING (doc_id)""".stripMargin,
+
+    "text_lm" ->
+      """WITH ws AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |            FROM documents),
+        |g AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM
+        |        (SELECT doc_id,
+        |           unnest(list_transform(generate_series(1, len(w) - 1),
+        |             i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+        |         FROM ws WHERE len(w) >= 2)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM g GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |ppm AS (SELECT w1, w2,
+        |          ((c2 + 1) * 1000000) // (c1 + (SELECT v FROM v)) AS ppm
+        |        FROM c2 JOIN c1 USING (w1)),
+        |d AS (SELECT doc_id, count(*) AS nb, sum(ppm) AS sp
+        |      FROM g JOIN ppm USING (w1, w2) GROUP BY doc_id)
+        |SELECT doc_id, coalesce(nb, 0)::BIGINT AS n_bigrams,
+        |       coalesce(sp, 0)::BIGINT AS sum_cond_ppm,
+        |       CAST(sp // nb AS BIGINT) AS mean_cond_ppm
         |FROM documents LEFT JOIN d USING (doc_id)""".stripMargin,
 
     // brute-force 5-gram intersection between the corpus and eval slices

@@ -153,6 +153,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(clamped.nonEmpty)
   }
 
+  test("bigramLmScores matches a JVM bigram model and ranks gibberish lowest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat again"),
+      (3L, "zq xv qj zz pk wq"),     // transitions unseen elsewhere
+      (4L, "the"),                   // single word: 0 bigrams, NULL score
+      (5L, "the cat sat"))
+    val got = TextAnalysis.bigramLmScores(docs.toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // JVM replay of the integer-quantized Laplace model
+    val bigrams = docs.flatMap { case (id, t) =>
+      t.split("\\s+").toSeq.sliding(2).filter(_.size == 2)
+        .map(p => (id, (p(0), p(1)))).toSeq
+    }
+    val c2 = bigrams.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val v = c1.size.toLong
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val ppms = bs.map { case (_, b) => (c2(b) + 1) * 1000000L / (c1(b._1) + v) }
+      id -> (bs.size.toLong, ppms.sum, ppms.sum / bs.size)
+    }
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: expected $e, got ${got(id)}")
+    }
+    assert(got(4L)._1 == 0L && got(4L)._3 == -1L,
+      "single-word doc keeps a row with NULL score")
+    // the whole point of the smoothing: unique-word gibberish (whose raw
+    // conditionals would all be 1) must rank LOWEST, common text highest
+    assert(got(3L)._3 < got(1L)._3 && got(3L)._3 < got(2L)._3 &&
+      got(3L)._3 < got(5L)._3,
+      s"gibberish must rank lowest: $got")
+  }
+
   test("gopher quality rules fire on planted rule-violating documents") {
     import spark.implicits._
     val clean = (1 to 60).map(i => s"word$i").mkString(" ")          // passes all
