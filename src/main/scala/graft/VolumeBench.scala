@@ -183,9 +183,14 @@ object VolumeBench {
     // dedup_incremental measures index build + probe together (the catalog
     // query rebuilds the index each run); in production the index
     // amortizes, so the rung is an upper bound on the probe cost.
+    // r9 rungs: text_lm is the two-agg + gram-join shape (its model table
+    // is vocab-bounded, so the join side shrinks relative to the corpus as
+    // K grows — word prefixes make each replica's vocab distinct, the
+    // worst case); text_gopher is a narrow-map control like text_pii.
     val queries = Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
       "dedup_ngram", "text_boilerplate", "dedup_substring",
-      "affinity_weights", "text_pii", "dedup_incremental")
+      "affinity_weights", "text_pii", "dedup_incremental",
+      "text_lm", "text_gopher")
     factors.foreach { f =>
       val dir = s"/tmp/graft-volume/docs-x$f"
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {
