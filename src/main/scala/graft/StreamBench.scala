@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-path throughput bench (dev tool, like [[FlapBench]]): feeds a
+  * keyed event stream through `TspEngine.incidentsStream` via MemoryStream
+  * in micro-batch chunks and prints end-to-end events/s per pattern shape —
+  * the number to hold against the reference's Kafka ingest default of
+  * 100k events per 1 s micro-window
+  * (reference: streaming/.../PatternsSearchJob.scala:136-143) and its
+  * 2.4k-10k rows/s per-pattern batch budgets (BASELINE.md).
+  *
+  * Four shapes cover the four streaming evaluator paths: a window-free
+  * condition + timer (fast column path), a trailing aggregate (fMGWS
+  * incremental evaluator), an andThen chain (incremental queue-merge
+  * cascade), and a wait tree (recursive tree evaluator).
+  *
+  *   sbt "runMain graft.StreamBench [nEvents] [nKeys]"
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val nEvents = args.headOption.map(_.toInt).getOrElse(500000)
+    val nKeys = args.drop(1).headOption.map(_.toInt).getOrElse(200)
+    val chunks = 10
+
+    val cfg = dsl.PatternConfig(Seq("k"), "ts",
+      eventsMaxGapMs = 600000L, sessionGapMs = 5000L)
+    val patterns = Seq(
+      "timer_fastpath" -> "v > 100 for 30 sec",
+      "window_eval"    -> "avg(v, 60 sec) > 120",
+      "andthen_chain"  -> "v > 120 andThen v < 40 andThen v > 150",
+      "wait_tree"      -> "wait(30 sec, v > 150)")
+
+    // deterministic interleaved stream: key k_i fires every nKeys-th
+    // event, 1 s apart per key, values cycling 0..199
+    val events: IndexedSeq[(String, Long, Double)] =
+      (0 until nEvents).map { i =>
+        (s"k${i % nKeys}", 1000000L + (i / nKeys).toLong,
+          ((i * 7919) % 200).toDouble)
+      }
+
+    patterns.foreach { case (name, pattern) =>
+      (1 to 2).foreach { round =>
+        val ms = MemoryStream[(String, Long, Double)]
+        val df = ms.toDF().toDF("k", "sec", "v")
+          .withColumn("ts", timestamp_seconds(col("sec")))
+          .withWatermark("ts", "5 seconds")
+        val inc = dsl.TspEngine.incidentsStream(df, pattern, cfg)
+        val q = inc.writeStream.format("noop").outputMode("append").start()
+        try {
+          val t0 = System.nanoTime()
+          events.grouped(nEvents / chunks + 1).foreach { chunk =>
+            ms.addData(chunk: _*)
+            q.processAllAvailable()
+          }
+          // two far-future batches flush pending state + fire timeouts
+          ms.addData(("zz", 99000000L, 0.0)); q.processAllAvailable()
+          ms.addData(("zz", 99900000L, 0.0)); q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          require(q.exception.isEmpty, s"$name failed: ${q.exception}")
+          println(f"[stream] $name%-15s events=$nEvents%-8d keys=$nKeys%-5d " +
+            f"round=$round sec=$sec%7.2f rate=${nEvents / sec / 1e3}%8.1fk events/s")
+        } finally q.stop()
+      }
+    }
+    spark.stop()
+  }
+}
