@@ -36,9 +36,15 @@ object LlmQueries {
     },
 
     // Embedding near-dup pairs above cosine 0.45 via LSH buckets.
+    // bucketCap is lifted out of range here so the oracle can replay the
+    // light banding path EXACTLY at any scale (at sf0.1 the default cap of
+    // 200 started firing on the densest buckets — caught by the r9 sf0.1
+    // oracle run as a 1-pair divergence vs the old brute-force oracle).
+    // The census-cap fallback semantics are oracle-checked separately by
+    // the forced-low-cap dedup_minhash_hot / dedup_semantic_hot variants.
     "dedup_embed" -> { (s, d) =>
       VectorOps.embeddingDuplicates(Tables.embeddings(s, d), "vec_id",
-        "embedding", threshold = 0.45)
+        "embedding", threshold = 0.45, bucketCap = 1 << 20)
     },
 
     // Exact cosine top-5 for a fixed query set (every 50th vector).
@@ -322,15 +328,7 @@ object LlmQueries {
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
 
-    "dedup_embed" ->
-      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |m AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM n)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       round(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
-        |             (a.nrm*b.nrm), 6) AS sim
-        |FROM m a JOIN m b ON a.vec_id < b.vec_id
-        |WHERE round(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
-        |            (a.nrm*b.nrm), 6) >= 0.45""".stripMargin,
+    "dedup_embed" -> dedupEmbedOracle,
 
     "ann_topk" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -796,6 +794,46 @@ object LlmQueries {
     * DuckDB list comprehension), so buckets — and therefore the candidate
     * set, the top-5, and the hash — are identical.
     */
+  /** Exact replay of embeddingDuplicates' light banding path (the catalog
+    * query lifts bucketCap out of range, so this IS the whole operator
+    * there): the same deterministic hyperplanes as [[annLshOracle]],
+    * candidates = distinct ordered pairs sharing any (table, bucket),
+    * verification = exact cosine rounded half-up to 6. An earlier
+    * brute-force all-pairs oracle was subtly wrong at scale: LSH is
+    * approximate by contract, and at sf0.1 one sim-0.4626 pair misses all
+    * 32 tables (expected ~0.2% at that angle) — the oracle must replay the
+    * candidate structure, not idealize it.
+    */
+  private lazy val dedupEmbedOracle: String = {
+    val planes = VectorOps.hyperplanes(tables = 32, bits = 4, dim = 64)
+    val pl = (for (t <- planes; b <- t; x <- b) yield x).mkString("[", ",", "]")
+    def bucket(t: Int) = (0 until 4).map { b =>
+      val off = (t * 4 + b) * 64
+      s"(CASE WHEN list_sum([v[i+1] * p[$off+i+1] for i in range(0,64)]) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val ts = (0 until 32).mkString(", ")
+    val buckets = (0 until 32).map(bucket).mkString(",\n      ")
+    s"""WITH pl AS (SELECT $pl::DOUBLE[] AS p),
+       |n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |m AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM n),
+       |bk AS (SELECT vec_id,
+       |    unnest([$ts]) AS t,
+       |    unnest([
+       |      $buckets
+       |    ]) AS bucket
+       |  FROM n CROSS JOIN pl),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bk a JOIN bk b
+       |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT cand.id_a, cand.id_b,
+       |  round(list_sum([x.v[i]*y.v[i] for i in range(1, len(x.v)+1)]) /
+       |        (x.nrm*y.nrm), 6) AS sim
+       |FROM cand JOIN m x ON x.vec_id = cand.id_a
+       |          JOIN m y ON y.vec_id = cand.id_b
+       |WHERE round(list_sum([x.v[i]*y.v[i] for i in range(1, len(x.v)+1)]) /
+       |            (x.nrm*y.nrm), 6) >= 0.45""".stripMargin
+  }
+
   private lazy val annLshOracle: String = {
     val planes = VectorOps.hyperplanes(tables = 32, bits = 4, dim = 64)
     val pl = (for (t <- planes; b <- t; x <- b) yield x).mkString("[", ",", "]")
