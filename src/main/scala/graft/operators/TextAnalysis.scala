@@ -167,16 +167,8 @@ object TextAnalysis {
   def bigramLmScores(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val pairs = when(size(col("_ws")) >= 2,
-      transform(sequence(lit(0), size(col("_ws")) - 2),
-        i => struct(element_at(col("_ws"), i + 1).as("w1"),
-          element_at(col("_ws"), i + 2).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val g = Spread(docs.select(col(idCol).as("doc_id"),
-        split(lower(col(textCol)), "\\s+").as("_ws")))
-      .select(col("doc_id"), explode(pairs).as("_p"))
-      .select(col("doc_id"), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val g = bigramGrams(docs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK) // consumed by model AND score
     val c2 = g.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("v"))
@@ -184,15 +176,98 @@ object TextAnalysis {
       .crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),
         expr("(c2 + 1) * 1000000 div (c1 + v)").as("ppm"))
+    // self-scoring: every doc bigram exists in the model, so an inner
+    // join is exact (the general OOV path lives in bigramLmScoresWith)
     val agg = g.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("_nb"), sum(col("ppm")).as("_sp"))
+    scoreOutput(docs, idCol, agg)
+  }
+
+  /** The (doc_id, w1, w2) bigram-occurrence frame shared by the LM
+    * builders: words split once below the Spread shuffle, pair structs
+    * built positionally (a <2-word doc yields no rows).
+    */
+  private def bigramGrams(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String): org.apache.spark.sql.DataFrame = {
+    val pairs = when(size(col("_ws")) >= 2,
+      transform(sequence(lit(0), size(col("_ws")) - 2),
+        i => struct(element_at(col("_ws"), i + 1).as("w1"),
+          element_at(col("_ws"), i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    Spread(docs.select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), "\\s+").as("_ws")))
+      .select(col("doc_id"), explode(pairs).as("_p"))
+      .select(col("doc_id"), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+  }
+
+  private def scoreOutput(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                          agg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.select(col(idCol).as("doc_id"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("_nb"), lit(0L)).as("n_bigrams"),
         coalesce(col("_sp"), lit(0L)).as("sum_cond_ppm"),
         expr("_sp div _nb").as("mean_cond_ppm"))
+
+  /** A trained bigram LM as a first-class artifact (the [[TextDedup]]
+    * MinhashIndex stance): `c2` pair counts are the ONLY persistent state —
+    * prefix totals and the vocabulary size re-derive from them — so
+    * [[BigramModel.save]] writes one narrow parquet table and
+    * [[loadBigramModel]] reconstructs the rest with two aggregations.
+    * This is the real CCNet shape: the model trains on a REFERENCE corpus
+    * (Wikipedia in the paper; a curated slice here) and scores the crawl,
+    * so "improbable" means improbable *in the target domain*, not merely
+    * rare in the crawl itself.
+    */
+  final case class BigramModel(c2: org.apache.spark.sql.DataFrame,
+                               c1: org.apache.spark.sql.DataFrame,
+                               vocab: Long) {
+    def save(path: String): Unit =
+      c2.write.mode("overwrite").parquet(path)
+  }
+
+  /** Train a [[BigramModel]] on a reference corpus. */
+  def bigramModel(ref: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): BigramModel =
+    modelFromCounts(bigramGrams(ref, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2")))
+
+  /** Reload a [[BigramModel]] saved by [[BigramModel.save]]. */
+  def loadBigramModel(spark: org.apache.spark.sql.SparkSession,
+                      path: String): BigramModel =
+    modelFromCounts(spark.read.parquet(path))
+
+  private def modelFromCounts(c2: org.apache.spark.sql.DataFrame): BigramModel = {
+    import org.apache.spark.storage.StorageLevel
+    val c2p = c2.persist(StorageLevel.MEMORY_AND_DISK)
+    val c1 = c2p.groupBy("w1").agg(sum(col("c2")).as("c1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    BigramModel(c2p, c1, c1.count())
+  }
+
+  /** [[bigramLmScores]] against an EXTERNAL [[BigramModel]] — full Laplace
+    * with out-of-vocabulary handling, still integer end to end: a bigram
+    * scores `(C2+1)*1e6 div (C1+V)` with `C2 = 0` for an unseen pair and
+    * `C1 = 0` for an unseen prefix, so OOV text degrades smoothly to
+    * ~`1e6 div V` per transition instead of erroring or NULLing out.
+    * Left joins keep every document's bigrams; the model side is
+    * vocab-bounded, so at web scale both joins shuffle gram keys against
+    * a table that does NOT grow with the scored corpus.
+    */
+  def bigramLmScoresWith(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String,
+                         model: BigramModel): org.apache.spark.sql.DataFrame = {
+    val g = bigramGrams(docs, idCol, textCol)
+    val agg = g
+      .join(model.c2, Seq("w1", "w2"), "left")
+      .join(model.c1, Seq("w1"), "left")
+      .select(col("doc_id"),
+        expr(s"(coalesce(c2, 0) + 1) * 1000000 div (coalesce(c1, 0) + ${model.vocab})")
+          .as("ppm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("_nb"), sum(col("ppm")).as("_sp"))
+    scoreOutput(docs, idCol, agg)
   }
 
   /** Document fingerprint: lexicographic minimum of the md5 of each 5-word

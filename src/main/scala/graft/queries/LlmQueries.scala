@@ -160,6 +160,16 @@ object LlmQueries {
       TextAnalysis.bigramLmScores(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // The CCNet shape proper: the model trains on a reference slice
+    // (source = src0, ~5% of the corpus) and scores EVERYONE — full
+    // Laplace with out-of-vocabulary transitions, still integer-exact.
+    "text_lm_cross" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val model = TextAnalysis.bigramModel(
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+      TextAnalysis.bigramLmScoresWith(docs, "doc_id", "text", model)
+    },
+
     // Reproducible global corpus shuffle: every document gets a
     // pseudo-random shard and a dense in-shard position (the index a
     // training loader reads); id-only input by design.
@@ -467,6 +477,31 @@ object LlmQueries {
         |        FROM c2 JOIN c1 USING (w1)),
         |d AS (SELECT doc_id, count(*) AS nb, sum(ppm) AS sp
         |      FROM g JOIN ppm USING (w1, w2) GROUP BY doc_id)
+        |SELECT doc_id, coalesce(nb, 0)::BIGINT AS n_bigrams,
+        |       coalesce(sp, 0)::BIGINT AS sum_cond_ppm,
+        |       CAST(sp // nb AS BIGINT) AS mean_cond_ppm
+        |FROM documents LEFT JOIN d USING (doc_id)""".stripMargin,
+
+    "text_lm_cross" ->
+      """WITH ws AS (SELECT doc_id, source,
+        |              string_split_regex(lower(text), '\s+') AS w
+        |            FROM documents),
+        |g AS (SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2 FROM
+        |        (SELECT doc_id, source,
+        |           unnest(list_transform(generate_series(1, len(w) - 1),
+        |             i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+        |         FROM ws WHERE len(w) >= 2)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM g
+        |       WHERE source = 'src0' GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |scored AS (SELECT g.doc_id,
+        |    ((coalesce(c2.c2, 0) + 1) * 1000000)
+        |      // (coalesce(c1.c1, 0) + (SELECT v FROM v)) AS ppm
+        |  FROM g LEFT JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+        |         LEFT JOIN c1 ON g.w1 = c1.w1),
+        |d AS (SELECT doc_id, count(*) AS nb, sum(ppm) AS sp
+        |      FROM scored GROUP BY doc_id)
         |SELECT doc_id, coalesce(nb, 0)::BIGINT AS n_bigrams,
         |       coalesce(sp, 0)::BIGINT AS sum_cond_ppm,
         |       CAST(sp // nb AS BIGINT) AS mean_cond_ppm

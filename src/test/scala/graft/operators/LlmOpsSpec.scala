@@ -189,6 +189,49 @@ class LlmOpsSpec extends SparkSpec {
       s"gibberish must rank lowest: $got")
   }
 
+  test("external bigram model: OOV Laplace, self-equivalence, save/load round-trip") {
+    import spark.implicits._
+    val ref = Seq(
+      (101L, "the cat sat on the mat"),
+      (102L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat"),            // fully in-vocabulary
+      (2L, "the cat flew"),           // unseen pair, known prefix
+      (3L, "purple elephants sing")   // unknown everything
+    ).toDF("doc_id", "text")
+    val model = TextAnalysis.bigramModel(ref, "doc_id", "text")
+    val got = TextAnalysis.bigramLmScoresWith(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // JVM Laplace replay: V = distinct prefixes of the REF corpus
+    val refBi = ref.as[(Long, String)].collect().flatMap(_._2.split(" ").sliding(2))
+      .map(p => (p(0), p(1)))
+    val c2 = refBi.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val v = c1.size.toLong
+    def ppm(a: String, b: String): Long =
+      (c2.getOrElse((a, b), 0L) + 1) * 1000000L / (c1.getOrElse(a, 0L) + v)
+    assert(got(1L) == ((2L, ppm("the", "cat") + ppm("cat", "sat"))))
+    assert(got(2L) == ((2L, ppm("the", "cat") + ppm("cat", "flew"))))
+    assert(got(3L) == ((2L, 2L * (1000000L / v))), s"OOV doc: ${got(3L)}")
+    // gibberish unknown to the model ranks below in-vocabulary text
+    assert(got(3L)._2 < got(1L)._2)
+    // scoring a corpus against its own trained model == the self-scorer
+    val self = TextAnalysis.bigramLmScores(ref, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val viaModel = TextAnalysis.bigramLmScoresWith(ref, "doc_id", "text", model)
+      .collect().map(_.toSeq).toSet
+    assert(self == viaModel)
+    // the artifact round-trips through parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    model.save(dir)
+    val reloaded = TextAnalysis.loadBigramModel(spark, dir)
+    assert(reloaded.vocab == model.vocab)
+    val viaReload = TextAnalysis.bigramLmScoresWith(docs, "doc_id", "text", reloaded)
+      .collect().map(_.toSeq).toSet
+    assert(viaReload == TextAnalysis.bigramLmScoresWith(docs, "doc_id", "text", model)
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("gopher quality rules fire on planted rule-violating documents") {
     import spark.implicits._
     val clean = (1 to 60).map(i => s"word$i").mkString(" ")          // passes all
