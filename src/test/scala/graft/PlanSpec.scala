@@ -165,6 +165,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"dsl_timer shuffles $exchanges times:\n${p.take(3000)}")
   }
 
+  test("dsl pattern scans prune unreferenced event columns") {
+    // the pattern pipeline carries the frame through two exchanges; unused
+    // wide columns (props is a JSON string) must be pruned at the scan or
+    // every shuffle pays for them at 100 TB
+    val p = plan("dsl_simple")
+    assert(!p.contains("props"),
+      s"dsl_simple must not read/carry props:\n${p.take(2000)}")
+  }
+
   test("dsl window stages exchange on (key, gap_run) — hot keys sub-partition at gaps") {
     // hashpartitioning(keys) SATISFIES ClusteredDistribution(keys, gap_run),
     // so without the compiler's explicit repartition Spark never plans the
