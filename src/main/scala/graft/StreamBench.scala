@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   * incremental evaluator), an andThen chain (incremental queue-merge
   * cascade), and a wait tree (recursive tree evaluator).
   *
-  *   sbt "runMain graft.StreamBench [nEvents] [nKeys]"
+  *   sbt "runMain graft.StreamBench [nEvents] [nKeys] [nChunks]"
+  *
+  * `nChunks` controls micro-batch size (nEvents/nChunks per trigger): the
+  * per-batch fixed cost (state store load/commit per partition) amortizes
+  * with batch size, so throughput rises with larger batches — the
+  * Kafka-deployment tuning knob (maxOffsetsPerTrigger).
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -34,7 +39,7 @@ object StreamBench {
 
     val nEvents = args.headOption.map(_.toInt).getOrElse(500000)
     val nKeys = args.drop(1).headOption.map(_.toInt).getOrElse(200)
-    val chunks = 10
+    val chunks = args.drop(2).headOption.map(_.toInt).getOrElse(10)
 
     val cfg = dsl.PatternConfig(Seq("k"), "ts",
       eventsMaxGapMs = 600000L, sessionGapMs = 5000L)
@@ -72,7 +77,8 @@ object StreamBench {
           val sec = (System.nanoTime() - t0) / 1e9
           require(q.exception.isEmpty, s"$name failed: ${q.exception}")
           println(f"[stream] $name%-15s events=$nEvents%-8d keys=$nKeys%-5d " +
-            f"round=$round sec=$sec%7.2f rate=${nEvents / sec / 1e3}%8.1fk events/s")
+            f"chunks=$chunks%-3d round=$round sec=$sec%7.2f " +
+            f"rate=${nEvents / sec / 1e3}%8.1fk events/s")
         } finally q.stop()
       }
     }

@@ -30,9 +30,15 @@ object LlmQueries {
 
     // SimHash 64-bit near-dup (chunk-bucketed candidates, exact hamming).
     // Word-hash bits derive from md5 hex digits, so the oracle re-derives
-    // the identical signatures in DuckDB.
+    // the identical signatures in DuckDB. bucketCap lifted out of range
+    // like dedup_embed's: at sf0.1 a dense 16-bit chunk value crossed the
+    // default cap of 200 and routed 9 pairs to the exact-signature
+    // fallback the plain-equality oracle doesn't model (caught by the r9
+    // sf0.1 oracle run); the cap semantics stay verified by the
+    // forced-low-cap hot variants and LlmOpsSpec's planted hot bucket.
     "dedup_simhash" -> { (s, d) =>
-      TextDedup.simhashDuplicates(Tables.documents(s, d), "doc_id", "text")
+      TextDedup.simhashDuplicates(Tables.documents(s, d), "doc_id", "text",
+        bucketCap = 1 << 20)
     },
 
     // Embedding near-dup pairs above cosine 0.45 via LSH buckets.
@@ -904,9 +910,12 @@ object LlmQueries {
   /** SimHash re-derived in DuckDB: same md5-hex bit basis as
     * TextDedup.md5Bit (digit j/4 of the first 16 hex chars, bit j%4), same
     * +-1 votes over the word multiset, same 4x16-bit chunk candidates, and
-    * hamming summed over chunk XORs (== the 64-bit hamming). The engine's
-    * over-cap bucket fallback never fires at oracle scale (max chunk bucket
-    * ~17 vs cap 200), so plain chunk equality reproduces its candidates.
+    * hamming summed over chunk XORs (== the 64-bit hamming). The catalog
+    * query lifts bucketCap out of range, so plain chunk equality IS the
+    * operator's candidate structure at any scale (at sf0.1 a dense chunk
+    * value crossed the old default cap — the r9 oracle run caught the
+    * 9-pair divergence); the cap fallback stays verified by the hot
+    * variants.
     */
   private lazy val simhashOracle: String = {
     def digitVal(pos: Int) =
