@@ -528,6 +528,108 @@ object VectorOps {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** The persistent-corpus form of [[embeddingDuplicates]] — the embedding
+    * counterpart of [[TextDedup.MinhashIndex]]: `buckets` holds one
+    * (id, bk) row per (vector, table), `vectors` the unit ingredients
+    * (id, v, nrm) plus the full-signature key `k` (xxhash64 of the sorted
+    * (table, bucket) list — the SAME key [[embeddingDuplicates]]'s over-cap
+    * fallback groups by, so incremental ≡ batch at the cap boundary).
+    */
+  final case class EmbeddingIndex(buckets: DataFrame, vectors: DataFrame) {
+    def release(): Unit = {
+      buckets.unpersist(blocking = false)
+      vectors.unpersist(blocking = false)
+    }
+  }
+
+  /** Build the [[EmbeddingIndex]] — ONE bucketing pass over the corpus.
+    * Same hyperplanes/bit math as [[embeddingDuplicates]] (seeded,
+    * deterministic), so probes find exactly the candidates a full
+    * recomputation would.
+    */
+  def embeddingIndex(corpus: DataFrame, id: String, vec: String,
+                     tables: Int = 32, bits: Int = 4,
+                     dim: Int = 64): EmbeddingIndex = {
+    val base = Spread(corpus).select(col(id).cast("long").as("id"),
+        asDouble(col(vec)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val buckets = bucketRows(base, "id", "v", hyperplanes(tables, bits, dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigk = buckets.groupBy("id")
+      .agg(xxhash64(sort_array(collect_list(
+        struct(col("bk.table"), col("bk.bucket"))))).as("k"))
+    EmbeddingIndex(buckets,
+      base.join(sigk, "id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Write an [[EmbeddingIndex]] to `<path>/buckets` + `<path>/vectors` —
+    * plain parquet, build once / reload per arriving batch (the
+    * [[TextDedup.saveIndex]] contract).
+    */
+  def saveEmbeddingIndex(index: EmbeddingIndex, path: String): Unit = {
+    index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    index.vectors.write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Reload an [[EmbeddingIndex]] written by [[saveEmbeddingIndex]]; probes
+    * are value-identical to the in-memory index (asserted in LlmOpsSpec).
+    */
+  def loadEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): EmbeddingIndex =
+    EmbeddingIndex(
+      spark.read.parquet(s"$path/buckets"),
+      spark.read.parquet(s"$path/vectors"))
+
+  /** Near-duplicates of an ARRIVING batch against an indexed corpus — the
+    * daily-crawl shape ([[TextDedup.minhashDuplicatesAgainst]] for
+    * embeddings): the batch pays its own bucketing plus a bucket-equality
+    * join against the index, and verification reads the STORED corpus
+    * vectors — the corpus embedding column is never re-read. Hot buckets
+    * are capped with the combined index+batch census (cap-margin parity
+    * with the batch pipeline); the exact full-signature probe runs
+    * unconditionally and `distinct` merges the candidate sources.
+    *
+    * Output: (new_id, old_id, sim >= threshold), exact cosine rounded
+    * half-up to 6 like every vector operator here.
+    */
+  def embeddingDuplicatesAgainst(batch: DataFrame, id: String, vec: String,
+                                 index: EmbeddingIndex, threshold: Double,
+                                 tables: Int = 32, bits: Int = 4,
+                                 dim: Int = 64,
+                                 bucketCap: Int = 200): DataFrame = {
+    val nb = Spread(batch).select(col(id).cast("long").as("id"),
+        asDouble(col(vec)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nbk = bucketRows(nb, "id", "v", hyperplanes(tables, bits, dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nsig = nbk.groupBy("id")
+      .agg(xxhash64(sort_array(collect_list(
+        struct(col("bk.table"), col("bk.bucket"))))).as("k"))
+    val census = index.buckets.select("bk").union(nbk.select("bk"))
+      .groupBy(col("bk")).agg(count(lit(1)).as("_n"))
+    val light = index.buckets.join(census.filter(col("_n") <= bucketCap), "bk")
+    val candLight = nbk
+      .select(col("id").as("new_id"), col("bk"))
+      .join(light.select(col("id").as("old_id"), col("bk")), "bk")
+      .select("new_id", "old_id")
+    val candExact = nsig.select(col("id").as("new_id"), col("k"))
+      .join(index.vectors.select(col("id").as("old_id"), col("k")), "k")
+      .select("new_id", "old_id")
+    val pairs = candLight.union(candExact).distinct()
+      .join(nb.select(col("id").as("new_id"), col("v").as("va"),
+        col("nrm").as("na")), "new_id")
+      .join(index.vectors.select(col("id").as("old_id"), col("v").as("vb"),
+        col("nrm").as("nb")), "old_id")
+      .select(col("new_id"), col("old_id"), col("va"), col("vb"),
+        col("na"), col("nb"))
+    scorePairs(pairs)
+      .withColumn("sim", round(col("sim"), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("new_id"), col("old_id"), col("sim"))
+  }
+
   /** [[bucketRows]] carrying the vector and norm through the banding pass:
     * (bk, id, v, nrm) per table — used when verification happens in-bucket
     * so vectors never join onto candidate pairs.

@@ -53,6 +53,20 @@ object LlmQueries {
         "embedding", threshold = 0.45, bucketCap = 1 << 20)
     },
 
+    // Incremental embedding dedup (the daily-crawl shape for vectors):
+    // the corpus (vec_id % 10 != 0) is indexed ONCE, the arriving batch
+    // (every 10th vector) probes it; verification reads the STORED corpus
+    // vectors. Cap lifted like dedup_embed's so the oracle replays the
+    // light path exactly.
+    "dedup_embed_incremental" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val idx = VectorOps.embeddingIndex(
+        e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding")
+      VectorOps.embeddingDuplicatesAgainst(
+        e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", idx,
+        threshold = 0.45, bucketCap = 1 << 20)
+    },
+
     // Exact cosine top-5 for a fixed query set (every 50th vector).
     "ann_topk" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -345,6 +359,8 @@ object LlmQueries {
         |WHERE rank <= 5""".stripMargin,
 
     "dedup_embed" -> dedupEmbedOracle,
+
+    "dedup_embed_incremental" -> dedupEmbedIncrementalOracle,
 
     "ann_topk" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -845,7 +861,11 @@ object LlmQueries {
     * 32 tables (expected ~0.2% at that angle) — the oracle must replay the
     * candidate structure, not idealize it.
     */
-  private lazy val dedupEmbedOracle: String = {
+  /** Shared CTE prefix for the bucket-replay embedding oracles: the
+    * literal hyperplane matrix, normed vectors, and one (vec_id, t, bucket)
+    * row per (vector, table) — exactly the operator's candidate basis.
+    */
+  private lazy val embedBucketCtes: String = {
     val planes = VectorOps.hyperplanes(tables = 32, bits = 4, dim = 64)
     val pl = (for (t <- planes; b <- t; x <- b) yield x).mkString("[", ",", "]")
     def bucket(t: Int) = (0 until 4).map { b =>
@@ -862,7 +882,11 @@ object LlmQueries {
        |    unnest([
        |      $buckets
        |    ]) AS bucket
-       |  FROM n CROSS JOIN pl),
+       |  FROM n CROSS JOIN pl)""".stripMargin
+  }
+
+  private lazy val dedupEmbedOracle: String =
+    s"""$embedBucketCtes,
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |         FROM bk a JOIN bk b
        |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
@@ -873,7 +897,26 @@ object LlmQueries {
        |          JOIN m y ON y.vec_id = cand.id_b
        |WHERE round(list_sum([x.v[i]*y.v[i] for i in range(1, len(x.v)+1)]) /
        |            (x.nrm*y.nrm), 6) >= 0.45""".stripMargin
-  }
+
+  /** Incremental probe replay: candidates are cross pairs (batch = every
+    * 10th vector, corpus = the rest) sharing any (table, bucket); with the
+    * catalog cap lifted, the operator's exact-signature probe is a strict
+    * subset of the bucket join (identical signatures share every bucket),
+    * so this replays the whole candidate set.
+    */
+  private lazy val dedupEmbedIncrementalOracle: String =
+    s"""$embedBucketCtes,
+       |cand AS (SELECT DISTINCT a.vec_id AS new_id, b.vec_id AS old_id
+       |         FROM bk a JOIN bk b
+       |           ON a.t = b.t AND a.bucket = b.bucket
+       |         WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0)
+       |SELECT cand.new_id, cand.old_id,
+       |  round(list_sum([x.v[i]*y.v[i] for i in range(1, len(x.v)+1)]) /
+       |        (x.nrm*y.nrm), 6) AS sim
+       |FROM cand JOIN m x ON x.vec_id = cand.new_id
+       |          JOIN m y ON y.vec_id = cand.old_id
+       |WHERE round(list_sum([x.v[i]*y.v[i] for i in range(1, len(x.v)+1)]) /
+       |            (x.nrm*y.nrm), 6) >= 0.45""".stripMargin
 
   private lazy val annLshOracle: String = {
     val planes = VectorOps.hyperplanes(tables = 32, bits = 4, dim = 64)

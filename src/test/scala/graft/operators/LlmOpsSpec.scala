@@ -536,6 +536,50 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.forall { case (a, b) => a < b })
   }
 
+  test("embedding index probe: batch parity, reload identity, over-cap fallback") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf).cache()
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    val idx = VectorOps.embeddingIndex(corpus, "vec_id", "embedding")
+    val got = VectorOps.embeddingDuplicatesAgainst(batch, "vec_id", "embedding",
+        idx, threshold = 0.45, bucketCap = 1 << 20)
+      .as[(Long, Long, Double)].collect().toSet
+    // parity: the full batch pipeline on the union, filtered to cross pairs
+    val full = VectorOps.embeddingDuplicates(e, "vec_id", "embedding",
+        threshold = 0.45, bucketCap = 1 << 20)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b, s) => if (a % 10 == 0) (a, b, s) else (b, a, s) }
+      .toSet
+    assert(got.nonEmpty, "fixture should contain cross near-dups")
+    assert(got == full,
+      s"missing=${(full -- got).take(4)}, extra=${(got -- full).take(4)}")
+    // a saved+reloaded index probes identically
+    val dir = java.nio.file.Files.createTempDirectory("graft-eidx").toString
+    VectorOps.saveEmbeddingIndex(idx, dir)
+    val reloaded = VectorOps.loadEmbeddingIndex(spark, dir)
+    val viaReload = VectorOps.embeddingDuplicatesAgainst(batch, "vec_id",
+        "embedding", reloaded, threshold = 0.45, bucketCap = 1 << 20)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaReload == got)
+    // over-cap fallback: 300 identical corpus vectors + 5 identical batch
+    // copies blow every shared bucket past the cap; the exact
+    // full-signature probe must still find all 300 per batch copy
+    val r = new scala.util.Random(11)
+    val hot = Array.fill(64)(r.nextGaussian().toFloat)
+    val hotCorpus = (0L until 300L).map(i => (i * 10 + 1, hot.clone())).toDF("vec_id", "embedding")
+    val hotBatch = (0L until 5L).map(i => (i * 10, hot.clone())).toDF("vec_id", "embedding")
+    val hotIdx = VectorOps.embeddingIndex(hotCorpus, "vec_id", "embedding")
+    val hotGot = VectorOps.embeddingDuplicatesAgainst(hotBatch, "vec_id",
+        "embedding", hotIdx, threshold = 0.45, bucketCap = 20)
+      .as[(Long, Long, Double)].collect()
+    assert(hotGot.length == 5 * 300,
+      s"expected every (batch, corpus) identical pair, got ${hotGot.length}")
+    assert(hotGot.forall(_._3 == 1.0))
+    idx.release(); hotIdx.release()
+  }
+
   test("shuffleShards is a deterministic permutation with dense shard positions") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id")
