@@ -239,17 +239,33 @@ object VolumeBench {
     // per-deployment knob, not a fixed-config ladder subject. The capped
     // dedups and the stride-scaled IVF (centroids ~sqrt(N), probe fraction
     // nprobe/#cells shrinking with N) are the honest fixed-config rungs.
-    // dedup_embed appears twice: the fixed catalog config (whose census cap
-    // collapses recall to exact-signature groups once every bucket is
-    // over-cap — the ladder SHOWS the cliff) and the autoBits variant that
-    // widens bits with log2(N) to keep buckets near the cap target.
+    // dedup_embed appears twice: the PRODUCTION config (default bucketCap
+    // 200, whose census cap collapses recall to exact-signature groups
+    // once every bucket is over-cap — the ladder SHOWS the cliff) and the
+    // autoBits variant that widens bits with log2(N) to keep buckets near
+    // the cap target. NOT the catalog queries: those lift the cap so the
+    // DuckDB oracle can replay the light path exactly, which is the right
+    // correctness contract and the WRONG volume config (uncapped dense
+    // buckets go quadratic by design — 40 s at x10, hours at x100).
     val queries = Seq[(String, String => org.apache.spark.sql.DataFrame)](
-      "dedup_embed" -> (dir => SparkEntry.queries("dedup_embed")(spark, dir)),
+      "dedup_embed" -> (dir => graft.operators.VectorOps.embeddingDuplicates(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        threshold = 0.45)),
       "dedup_embed_auto" -> (dir => graft.operators.VectorOps.embeddingDuplicates(
         Tables.embeddings(spark, dir), "vec_id", "embedding",
         threshold = 0.45, autoBits = true)),
       "dedup_semantic" -> (dir => SparkEntry.queries("dedup_semantic")(spark, dir)),
-      "ann_ivf" -> (dir => SparkEntry.queries("ann_ivf")(spark, dir)))
+      "ann_ivf" -> (dir => SparkEntry.queries("ann_ivf")(spark, dir)),
+      // production config, index rebuilt each run (upper bound on the
+      // amortized probe, same caveat as the text ladder's incremental rung)
+      "dedup_embed_incr" -> { dir =>
+        val e = Tables.embeddings(spark, dir)
+        val idx = graft.operators.VectorOps.embeddingIndex(
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding")
+        graft.operators.VectorOps.embeddingDuplicatesAgainst(
+          e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", idx,
+          threshold = 0.45)
+      })
     factors.foreach { f =>
       val dir = s"/tmp/graft-volume/vecs-x$f"
       if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {

