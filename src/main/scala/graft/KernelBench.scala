@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Microbench for the native vector kernels (dev tool, like FlapBench):
+  * isolates per-pair cosine cost from the bucket-join machinery the catalog
+  * queries are bound by at sf0.1. Three formulations of the same
+  * (dot / na·nb) over synthetic pairs:
+  *
+  *   hof    — aggregate(zip_with(...)): CodegenFallback, interpreted lambda
+  *            per element + a materialized intermediate array per pair
+  *   loop   — the r8 mapPartitions row loop: encoder boundary, Seq[Double]
+  *            boxing per element
+  *   native — graft.functions.DotProduct: fused whole-stage codegen
+  *
+  * Usage: sbt "runMain graft.KernelBench [nPairs] [dim]"; prints one line
+  * per formulation per round (round 2 = steady state), plus a checksum so
+  * none of the work can be pruned — all three must agree bitwise.
+  */
+object KernelBench {
+  def main(args: Array[String]): Unit = {
+    val nPairs = args.headOption.map(_.toInt).getOrElse(2000000)
+    val dim = args.drop(1).headOption.map(_.toInt).getOrElse(64)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // deterministic synthetic pairs, materialized once so every
+    // formulation reads identical cached input
+    val pairs = spark.range(0, nPairs, 1, cpus.toInt * 2)
+      .select(col("id").as("ka"), (col("id") + 1).as("kb"),
+        transform(sequence(lit(1), lit(dim)),
+          i => sin(i * (col("id") + 1)).cast("double")).as("va"),
+        transform(sequence(lit(1), lit(dim)),
+          i => cos(i * (col("id") + 2)).cast("double")).as("vb"),
+        lit(1.0).as("na"), lit(1.0).as("nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+
+    def checksum(df: DataFrame): Long =
+      df.agg(bit_xor(xxhash64(round(col("sim"), 9)))).head().getLong(0)
+
+    val forms: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "hof" -> { p =>
+        p.select(col("ka"), col("kb"),
+          (VectorOps.dotHof(col("va"), col("vb")) /
+            (col("na") * col("nb"))).as("sim"))
+      },
+      "loop" -> { p => VectorOps.scorePairsLoop(p) },
+      "native" -> { p => VectorOps.scorePairs(p) })
+
+    val sums = scala.collection.mutable.Map.empty[String, Long]
+    (1 to 2).foreach { round =>
+      forms.foreach { case (name, f) =>
+        val t0 = System.nanoTime()
+        val s = checksum(f(pairs))
+        val secs = (System.nanoTime() - t0) / 1e9
+        sums(name) = s
+        println(f"[kernel] $name%6s round=$round pairs=$nPairs dim=$dim " +
+          f"sec=$secs%.2f mpairs_per_s=${nPairs / secs / 1e6}%.1f checksum=$s")
+      }
+    }
+    require(sums.values.toSet.size == 1, s"formulations disagree: $sums")
+    spark.stop()
+  }
+}

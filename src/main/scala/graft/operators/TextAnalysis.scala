@@ -529,4 +529,82 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("gram").asc)
       .limit(k)
   }
+
+  /** Integer-quantized TF-IDF keyword extraction: the top-`k` most
+    * distinctive words per document — the curation-side relevance /
+    * topic-tagging primitive. Same bit-stability stance as
+    * [[bigramLmScores]]: `score = tf * ((1e6 * N) div df)` is integer end
+    * to end (a floating `ln(N/df)` idf would hang the oracle hash on libm
+    * rounding), and quantized idf preserves the per-document ranking.
+    * `1e6 * N` stays inside a long to N = 9e12 documents.
+    *
+    * Scale shape: ONE map-side-combined (doc, word) count shuffle; the
+    * document frequency is a second map-side agg over the tf frame (one
+    * row per (doc, word) — counting rows IS counting distinct docs, no
+    * count_distinct expansion); N is a 1-row broadcast; the tf-df join
+    * shuffles on the word key (vocab outgrows broadcast at web scale, the
+    * shuffle join IS the plan); top-k ranks inside each document's
+    * partition. Ties break by word, so ranks are deterministic.
+    *
+    * Output: (doc_id, word, tf, score, rank 1..k); wordless documents
+    * yield no rows.
+    */
+  def tfidfKeywords(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Spread(docs.select(col(idCol).as("doc_id"), col(textCol).as("_t")))
+      .select(col("doc_id"), explode(words(col("_t"))).as("word"))
+    val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val wnd = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(dfq, "word")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"), col("tf"),
+        (col("tf") * expr("(1000000 * n) div df")).as("score"))
+      .withColumn("rank", row_number().over(wnd).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Cross-document duplicated-LINE removal — the RefinedWeb/CCNet
+    * paragraph-dedup stage ([[boilerplateNgrams]] turned into a rewrite):
+    * every line whose distinct-document frequency reaches `minDocs` (cookie
+    * banners, nav menus, subscribe prompts) is cut from EVERY document;
+    * the document row survives with its cleaned text (digested — the full
+    * rewrite is corpus-sized).
+    *
+    * Scale shape: document text never shuffles. The exploded frame carries
+    * only (xxhash64(line), doc_id, pos) — the DF census is one
+    * map-side-combined `count_distinct`, the hot-line table it yields is
+    * boilerplate-sized (broadcast-able; AQE decides), and the removal
+    * positions come back as one small (doc_id, positions) frame joined onto
+    * the UNEXPLODED corpus, where an index-filter lambda cuts the lines in
+    * a narrow map. Cutting by position ≡ cutting by content: the hash join
+    * matches every occurrence of a hot line.
+    *
+    * Output: (doc_id, n_lines, n_removed, clean_digest = md5 of the kept
+    * lines re-joined with `\n`).
+    */
+  def lineDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, minDocs: Int): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val lines = Spread(base)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("h"))
+    val hot = lines.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("_df"))
+      .filter(col("_df") >= minDocs).select("h")
+    val removed = lines.join(hot, "h")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("_rm"))
+    base.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        coalesce(size(col("_rm")), lit(0)).cast("long").as("n_removed"),
+        md5(array_join(
+          filter(split(col("text"), "\n"),
+            (l, i) => not(coalesce(array_contains(col("_rm"), i), lit(false)))),
+          "\n")).as("clean_digest"))
+  }
 }

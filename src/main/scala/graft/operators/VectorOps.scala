@@ -38,11 +38,31 @@ object VectorOps {
   def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
-  def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  /** Native codegen'd kernels ([[graft.functions.DotProduct]] /
+    * [[graft.functions.NormL2]]): a primitive loop over the unsafe array,
+    * fused into the surrounding WholeStageCodegen span. Bit-identical to
+    * the HOF forms below (left-to-right double accumulation — locked by
+    * VectorExpressionsSpec), which stay as their differential oracles:
+    * `aggregate`/`zip_with` are CodegenFallback, costing an interpreted
+    * lambda call per element plus a materialized intermediate array per
+    * pair.
+    */
+  def dot(x: Column, y: Column): Column = graft.functions.VectorExpressions.vecDot(x, y)
 
-  def norm(x: Column): Column =
-    sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
+  def norm(x: Column): Column = graft.functions.VectorExpressions.vecNorm(x)
+
+  /** HOF reference formulations — test oracles for the native kernels.
+    * The accumulator add is written `v + acc` ON PURPOSE: IEEE-754 addition
+    * is commutative, so values stay bit-identical to the canonical
+    * `acc + v` form, but [[graft.functions.RewriteVectorHofs]] (which
+    * rewrites the canonical shape to the kernels) leaves these untouched —
+    * otherwise every differential test would compare the kernel to itself.
+    */
+  private[graft] def dotHof(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => v + acc)
+
+  private[graft] def normHof(x: Column): Column =
+    sqrt(aggregate(x, lit(0.0), (acc, v) => v * v + acc))
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -161,18 +181,29 @@ object VectorOps {
     }(enc)
   }
 
-  /** Candidate-pair cosine in one per-partition loop.
+  /** Candidate-pair cosine, fully inside whole-stage codegen.
     *
     * Input: (keyA, keyB, va, vb, na, nb) with `array<double>` vectors and
     * precomputed norms; output (keyA, keyB, sim) with sim = dot/(na·nb),
     * UNROUNDED — callers round at the Column layer so rounding semantics
     * (HALF_UP, like the SQL oracles) stay identical to the HOF form. The
-    * dot accumulates left-to-right like `aggregate(zip_with(...))`, so
-    * values are bit-identical to [[cosinePrenormed]]; the loop exists
-    * because interpreted higher-order lambdas cost ~100 boxed calls per
-    * pair, which dominates candidate verification.
+    * native [[graft.functions.DotProduct]] accumulates left-to-right like
+    * `aggregate(zip_with(...))`, so sims are bit-identical to
+    * [[cosinePrenormed]] — and unlike the r8 `mapPartitions` loop this
+    * shape keeps scan -> join -> score -> filter one fused codegen stage
+    * (no InternalRow -> Row encoder boundary boxing every element through
+    * `Seq[Double]`). The loop form survives as [[scorePairsLoop]], the
+    * differential oracle.
     */
   def scorePairs(pairs: DataFrame): DataFrame = {
+    val fs = pairs.schema.fields
+    pairs.select(col(fs(0).name), col(fs(1).name),
+      (dot(col(fs(2).name), col(fs(3).name)) /
+        (col(fs(4).name) * col(fs(5).name))).as("sim"))
+  }
+
+  /** r8 per-partition loop formulation — test oracle for [[scorePairs]]. */
+  private[graft] def scorePairsLoop(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val fs = pairs.schema.fields

@@ -82,6 +82,33 @@ object TextQueries {
         Tables.documents(s, d).select(id, lined.as("text")), "doc_id", "text")
     },
 
+    // Integer-quantized TF-IDF keywords: top-3 most distinctive words per
+    // document (quantized idf keeps the score integer-exact — bit-stable
+    // across engines, like text_lm). Ties break by word.
+    "text_tfidf" -> { (s, d) =>
+      graft.operators.TextAnalysis.tfidfKeywords(
+        Tables.documents(s, d), "doc_id", "text", k = 3)
+    },
+
+    // Cross-document duplicated-line removal (RefinedWeb paragraph dedup).
+    // The synthetic corpus has no line structure or shared boilerplate, so
+    // the query SYNTHESIZES both deterministically (the same expression the
+    // oracle SQL builds): reflow onto 7-word lines, append a subscribe
+    // prompt to every 3rd document and prepend a cookie banner to every
+    // 4th — the two planted lines reach df >= minDocs and must be cut from
+    // every carrier, while the reflowed content lines stay.
+    "text_line_dedup" -> { (s, d) =>
+      val id = col("doc_id")
+      val l0 = regexp_replace(col("text"), "((?:\\S+ ){6}\\S+) ", "$1\n")
+      val l1 = when(id % 3 === 0,
+        concat(l0, lit("\nSubscribe to our newsletter today"))).otherwise(l0)
+      val lined = when(id % 4 === 0,
+        concat(lit("Cookie notice: this site uses cookies\n"), l1)).otherwise(l1)
+      graft.operators.TextAnalysis.lineDedup(
+        Tables.documents(s, d).select(id, lined.as("text")),
+        "doc_id", "text", minDocs = 3)
+    },
+
     "text_pii" -> { (s, d) =>
       import graft.operators.TextAnalysis.{piiCounts, redactPii}
       val planted = concat(
@@ -170,6 +197,43 @@ object TextQueries {
         |   bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3 AND
         |   top_bigram_frac <= 0.2) AS gopher_pass
         |FROM m""".stripMargin,
+    "text_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |           FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.word, tf.tf,
+        |        tf.tf * ((1000000 * n.n) // df.df) AS score
+        |      FROM tf JOIN df USING (word) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rank
+        |      FROM s)
+        |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf,
+        |  CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin,
+    "text_line_dedup" ->
+      """WITH l0 AS (SELECT doc_id,
+        |    regexp_replace(text, '((?:\S+ ){6}\S+) ', '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0
+        |          THEN 'Cookie notice: this site uses cookies' || chr(10) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |          THEN t || chr(10) || 'Subscribe to our newsletter today' ELSE t END) AS t
+        |  FROM l0),
+        |f AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM p),
+        |ln AS (SELECT doc_id, unnest(ls) AS line FROM f),
+        |dup AS (SELECT line FROM ln GROUP BY line
+        |        HAVING count(DISTINCT doc_id) >= 3),
+        |dl AS (SELECT coalesce(list(line), []) AS dl FROM dup),
+        |k AS (SELECT doc_id, ls,
+        |        list_filter(ls, x -> NOT list_contains(dl, x)) AS kept
+        |      FROM f CROSS JOIN dl)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_digest
+        |FROM k""".stripMargin,
     "text_pii" ->
       """WITH p AS (SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com or 10.0.' ||

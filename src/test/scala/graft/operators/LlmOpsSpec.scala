@@ -294,10 +294,12 @@ class LlmOpsSpec extends SparkSpec {
 
   test("scorePairs equals the higher-order cosine form") {
     import spark.implicits._
+    // HOF norm on purpose: with the native kernels on both sides this test
+    // would compare a kernel to itself — the oracle stays r8-portable
     val base = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", VectorOps.norm(col("v")))
+      .withColumn("nrm", VectorOps.normHof(col("v")))
       .limit(60).cache()
     val pairs = base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -306,7 +308,7 @@ class LlmOpsSpec extends SparkSpec {
     val fast = VectorOps.scorePairs(pairs)
       .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
     val oracle = pairs.select(col("id_a"), col("id_b"),
-        VectorOps.cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+        (VectorOps.dotHof(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
     assert(fast.size == oracle.size && fast.nonEmpty)
     // bit-identical: both accumulate the dot left-to-right in doubles
@@ -973,5 +975,58 @@ class LlmOpsSpec extends SparkSpec {
     // the target-like raw doc scores like the target; alien vocab scores lower
     assert(out(3L)._2 > 1.0 && out(3L)._2 > out(4L)._2,
       s"affinity ordering wrong: ${out(3L)} vs ${out(4L)}")
+  }
+
+  test("tfidfKeywords ranks by quantized idf with deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple dog dog dog"),
+      (4L, "zebra yak")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    // N=4; df: apple 2, banana 2, cherry 1, dog 1, yak 1, zebra 1
+    // idf_ppm = (4e6 div df); score = tf * idf_ppm
+    val expect = Set(
+      (1L, "apple", 2L, 4000000L, 1L), (1L, "banana", 1L, 2000000L, 2L),
+      (2L, "cherry", 1L, 4000000L, 1L), (2L, "banana", 1L, 2000000L, 2L),
+      (3L, "dog", 3L, 12000000L, 1L), (3L, "apple", 1L, 2000000L, 2L),
+      // equal scores: rank by word asc — deterministic
+      (4L, "yak", 1L, 4000000L, 1L), (4L, "zebra", 1L, 4000000L, 2L))
+    assert(out == expect)
+  }
+
+  test("lineDedup cuts every occurrence of a corpus-frequent line, keeps rare ones") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // COMMON reaches 4 distinct docs (>= minDocs 3; twice inside doc 6 —
+    // distinct-doc df counts it once, the cut removes both occurrences);
+    // RARE reaches only 2 and must survive
+    val docs = Seq(
+      (1L, "alpha beta\nCOMMON\ngamma"),
+      (2L, "COMMON\ndelta"),
+      (3L, "epsilon\nCOMMON"),
+      (4L, "zeta\nRARE"),
+      (5L, "RARE\neta"),
+      (6L, "COMMON\nCOMMON\ntheta"),
+      (7L, "COMMON")).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(docs, "doc_id", "text", minDocs = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val expect = Map(
+      1L -> (3L, 1L, "alpha beta\ngamma"),
+      2L -> (2L, 1L, "delta"),
+      3L -> (2L, 1L, "epsilon"),
+      4L -> (2L, 0L, "zeta\nRARE"),
+      5L -> (2L, 0L, "RARE\neta"),
+      6L -> (3L, 2L, "theta"),
+      7L -> (1L, 1L, "")) // fully boilerplate: survives as empty, not dropped
+    assert(out.keySet == expect.keySet)
+    expect.foreach { case (id, (nl, nr, clean)) =>
+      assert(out(id) == ((nl, nr, md5hex(clean))), s"doc $id: got ${out(id)}")
+    }
   }
 }
