@@ -257,6 +257,18 @@ object VolumeBench {
         threshold = 0.45, autoBits = true)),
       "dedup_semantic" -> (dir => SparkEntry.queries("dedup_semantic")(spark, dir)),
       "ann_ivf" -> (dir => SparkEntry.queries("ann_ivf")(spark, dir)),
+      // PQ scan at a production config (256-codeword byte codes, fixed
+      // 40-query set from the base replica so the axis is corpus growth):
+      // index rebuilt per run — encode is the narrow O(N*m*ksub*dsub)
+      // pass, the scan reads ONLY the code table
+      "ann_pq" -> { dir =>
+        val e = Tables.embeddings(spark, dir)
+        val q = e.filter(col("vec_id") < 10000000L && col("vec_id") % 50 === 0)
+        val idx = graft.operators.ProductQuantization.pqIndex(
+          e, "vec_id", "embedding", m = 8, ksub = 256, dim = 64)
+        graft.operators.ProductQuantization.pqTopK(
+          q, "vec_id", "embedding", idx, k = 5, refine = 8)
+      },
       // production config, index rebuilt each run (upper bound on the
       // amortized probe, same caveat as the text ladder's incremental rung)
       "dedup_embed_incr" -> { dir =>

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Clusters, MediaOps, Sampling, TextAnalysis, TextDedup, VectorOps}
+import graft.operators.{Clusters, MediaOps, ProductQuantization, Sampling, TextAnalysis, TextDedup, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -95,6 +95,19 @@ object LlmQueries {
       val q = e.filter(col("vec_id") % 50 === 0)
       VectorOps.ivfTopK(q, "vec_id", "embedding", e, "vec_id", "embedding",
         k = 5, minStride = 25, nprobe = 4)
+    },
+
+    // Product-quantization approximate top-5: the memory-compression path
+    // (m=8 one-byte codes + a norm per vector instead of 64 floats).
+    // Deterministic stride-sampled codebook, ADC candidate scan rounded to
+    // 6 before the cut (so the candidate set is engine-stable), exact
+    // rerank of the k*refine survivors — fully replayed by the oracle.
+    "ann_pq" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val idx = ProductQuantization.pqIndex(e, "vec_id", "embedding",
+        m = 8, ksub = 64, dim = 64)
+      ProductQuantization.pqTopK(q, "vec_id", "embedding", idx, k = 5, refine = 8)
     },
 
     // Language id + quality features per document.
@@ -353,6 +366,45 @@ object LlmQueries {
         |    round(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
         |          (a.nrm*b.nrm), 6) AS sim
         |    FROM cand JOIN m a ON a.vec_id = cand.qid JOIN m b ON b.vec_id = cand.nid)
+        |SELECT qid, nid, sim, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    "ann_pq" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mm AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM n),
+        |st AS (SELECT greatest(1, CAST(ceil(count(*)::DOUBLE / 64) AS BIGINT)) AS stride
+        |       FROM mm),
+        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+        |       FROM mm WHERE vec_id % (SELECT stride FROM st) = 0),
+        |codes AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT mm.vec_id, js.j, cb.code,
+        |      row_number() OVER (PARTITION BY mm.vec_id, js.j
+        |        ORDER BY list_sum([ (mm.v[js.j*8+i] - cb.v[js.j*8+i])
+        |                          * (mm.v[js.j*8+i] - cb.v[js.j*8+i])
+        |                            for i in range(1,9)]) ASC,
+        |                 cb.code ASC) AS rn
+        |    FROM mm CROSS JOIN (SELECT unnest(range(0,8)) AS j) js CROSS JOIN cb)
+        |  WHERE rn = 1),
+        |cls AS (SELECT vec_id, list(code ORDER BY j) AS cl FROM codes GROUP BY vec_id),
+        |cbl AS (SELECT list(v ORDER BY code) AS cbv FROM cb),
+        |q AS (SELECT * FROM mm WHERE vec_id % 50 = 0),
+        |adc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    round(list_sum([
+        |        list_sum([ q.v[j*8+i] * cbl.cbv[c.cl[j+1] + 1][j*8+i]
+        |                   for i in range(1,9)])
+        |      for j in range(0,8)]) / (q.nrm * m2.nrm), 6) AS adc
+        |  FROM q CROSS JOIN cls c JOIN mm m2 ON m2.vec_id = c.vec_id CROSS JOIN cbl
+        |  WHERE q.vec_id <> c.vec_id),
+        |cand AS (SELECT qid, nid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid ASC) AS rn
+        |    FROM adc) WHERE rn <= 40),
+        |scored AS (SELECT cand.qid, cand.nid,
+        |    round(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
+        |          (a.nrm*b.nrm), 6) AS sim
+        |    FROM cand JOIN mm a ON a.vec_id = cand.qid JOIN mm b ON b.vec_id = cand.nid)
         |SELECT qid, nid, sim, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
         |  FROM scored)

@@ -977,6 +977,29 @@ class LlmOpsSpec extends SparkSpec {
       s"affinity ordering wrong: ${out(3L)} vs ${out(4L)}")
   }
 
+  test("ann_pq recall against brute-force top-5, and the index round-trips") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val exact = VectorOps.bruteForceTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = ProductQuantization.pqIndex(e, "vec_id", "embedding", m = 8, ksub = 64, dim = 64)
+    val approx = ProductQuantization.pqTopK(q, "vec_id", "embedding", idx, k = 5, refine = 8)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6,
+      s"PQ recall $recall < 0.6 (|exact|=${exact.size}, hit=${(exact intersect approx).size})")
+    // persisted artifact probes identically to the in-memory one
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    ProductQuantization.savePqIndex(idx, dir)
+    val reloaded = ProductQuantization.loadPqIndex(spark, dir, m = 8)
+    assert(reloaded.codebook.length == idx.codebook.length &&
+      reloaded.codebook.zip(idx.codebook).forall { case (a, b) => a.sameElements(b) })
+    val again = ProductQuantization.pqTopK(q, "vec_id", "embedding", reloaded, k = 5, refine = 8)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == approx)
+    idx.release(); reloaded.release()
+  }
+
   test("tfidfKeywords ranks by quantized idf with deterministic tie-break") {
     import spark.implicits._
     val docs = Seq(
