@@ -231,6 +231,145 @@ object TspEngine {
     }
   }
 
+  /** [[incidentsStream]] over a NARROW (key-value) source — the
+    * reference's Kafka narrow corpus shape (SimpleCasesTest narrow confs:
+    * NarrowDataUnfolding inside the stream). The unfold accumulator rides
+    * inside the evaluator's own state
+    * ([[graft.streaming.StreamingUnfold]]); dispatch mirrors
+    * [[incidentsStream]] minus the scalar Column fast path (a Column
+    * cannot evaluate against a narrow schema — the eval program covers
+    * scalar conditions too).
+    *
+    * @param sensors the configured sensor list (the batch `sensors`
+    *   param): every row of a listed sensor is a wide evaluation point,
+    *   referenced by the pattern or not.
+    */
+  def incidentsStreamNarrow(df: DataFrame, pattern: String, cfg: PatternConfig,
+      narrow: graft.streaming.StreamingUnfold.NarrowStreamConfig,
+      sensors: Seq[String],
+      maxUndecidedEvents: Int = 1 << 20):
+      org.apache.spark.sql.Dataset[graft.streaming.StreamingPatterns.StreamIncident] = {
+    import graft.streaming.{StreamingPatterns => SP, StreamingUnfold => SU}
+    val ast = Parser.parse(pattern, cfg.toleranceFraction) match {
+      case Right(a)  => a
+      case Left(err) => throw err
+    }
+    val sCfg = SP.StreamConfig(
+      eventsMaxGapMs = cfg.eventsMaxGapMs,
+      sessionGapMs = cfg.sessionGapMs,
+      minDurationMs = 0L,
+      maxUndecidedEvents = maxUndecidedEvents)
+    val (numF, strF) = SU.fieldSplit(df, fields(ast), narrow)
+    def hasForward(a: Ast): Boolean = a match {
+      case _: AndThenAst | _: WaitAst => true
+      case other => other.productIterator.exists {
+        case c: Ast    => hasForward(c)
+        case s: Seq[_] => s.exists { case c: Ast => hasForward(c); case _ => false }
+        case _         => false
+      }
+    }
+    def toTree(a: Ast): SP.StreamTree = a match {
+      case AndThenAst(l, r)  => SP.SAndThen(toTree(l), toTree(r))
+      case WaitAst(w, inner) => SP.SWait(w, toTree(inner))
+      case leaf => SP.SLeaf(StreamingEval.compile(leaf, numF, strF, stripTimer = false))
+    }
+    ast match {
+      case at: AndThenAst =>
+        def spine(x: Ast): List[Ast] = x match {
+          case AndThenAst(l, r) => spine(l) :+ r
+          case other            => List(other)
+        }
+        val operands = spine(at)
+        if (operands.exists(hasForward))
+          SU.incidentsTreeNarrow(df, cfg.keys, cfg.tsCol, narrow, sensors,
+            toTree(at), sCfg)
+        else
+          SU.incidentsChainNarrow(df, cfg.keys, cfg.tsCol, narrow, sensors,
+            operands.map(o => StreamingEval.compile(o, numF, strF, stripTimer = false)),
+            sCfg)
+      case WaitAst(windowMs, inner) =>
+        if (hasForward(inner))
+          SU.incidentsTreeNarrow(df, cfg.keys, cfg.tsCol, narrow, sensors,
+            SP.SWait(windowMs, toTree(inner)), sCfg)
+        else
+          SU.incidentsWaitNarrow(df, cfg.keys, cfg.tsCol, narrow, sensors,
+            windowMs, StreamingEval.compile(inner, numF, strF, stripTimer = false),
+            sCfg)
+      case _ =>
+        val program = StreamingEval.compile(ast, numF, strF)
+        SU.incidentsEvalNarrow(df, cfg.keys, cfg.tsCol, narrow, sensors,
+          program, sCfg.copy(minDurationMs = program.timerMs))
+    }
+  }
+
+  /** [[incidentsStream]] over a WIDE SPARSE source with in-stream timed
+    * forward fill — streaming `WideDataFilling`
+    * ([[graft.operators.PatternOps.forwardFill]] run as evaluator state,
+    * same wrapper architecture as [[incidentsStreamNarrow]]). `fillCols`
+    * are the filled columns (the reference fills the configured sensor
+    * set; unfilled referenced columns read their row value or missing).
+    */
+  def incidentsStreamFilled(df: DataFrame, pattern: String, cfg: PatternConfig,
+      fillCols: Set[String], timeoutMs: Option[Long],
+      maxUndecidedEvents: Int = 1 << 20):
+      org.apache.spark.sql.Dataset[graft.streaming.StreamingPatterns.StreamIncident] = {
+    import graft.streaming.{StreamingPatterns => SP, StreamingUnfold => SU}
+    val ast = Parser.parse(pattern, cfg.toleranceFraction) match {
+      case Right(a)  => a
+      case Left(err) => throw err
+    }
+    val sCfg = SP.StreamConfig(
+      eventsMaxGapMs = cfg.eventsMaxGapMs,
+      sessionGapMs = cfg.sessionGapMs,
+      minDurationMs = 0L,
+      maxUndecidedEvents = maxUndecidedEvents)
+    val fs = fields(ast)
+    val strF = fs.filter(f => df.schema.fields.exists(sf =>
+      sf.name == f && sf.dataType == org.apache.spark.sql.types.StringType))
+      .toVector.sorted
+    val numF = (fs -- strF).toVector.sorted
+    def hasForward(a: Ast): Boolean = a match {
+      case _: AndThenAst | _: WaitAst => true
+      case other => other.productIterator.exists {
+        case c: Ast    => hasForward(c)
+        case s: Seq[_] => s.exists { case c: Ast => hasForward(c); case _ => false }
+        case _         => false
+      }
+    }
+    def toTree(a: Ast): SP.StreamTree = a match {
+      case AndThenAst(l, r)  => SP.SAndThen(toTree(l), toTree(r))
+      case WaitAst(w, inner) => SP.SWait(w, toTree(inner))
+      case leaf => SP.SLeaf(StreamingEval.compile(leaf, numF, strF, stripTimer = false))
+    }
+    ast match {
+      case at: AndThenAst =>
+        def spine(x: Ast): List[Ast] = x match {
+          case AndThenAst(l, r) => spine(l) :+ r
+          case other            => List(other)
+        }
+        val operands = spine(at)
+        if (operands.exists(hasForward))
+          SU.incidentsTreeFilled(df, cfg.keys, cfg.tsCol, fillCols, timeoutMs,
+            toTree(at), sCfg)
+        else
+          SU.incidentsChainFilled(df, cfg.keys, cfg.tsCol, fillCols, timeoutMs,
+            operands.map(o => StreamingEval.compile(o, numF, strF, stripTimer = false)),
+            sCfg)
+      case WaitAst(windowMs, inner) =>
+        if (hasForward(inner))
+          SU.incidentsTreeFilled(df, cfg.keys, cfg.tsCol, fillCols, timeoutMs,
+            SP.SWait(windowMs, toTree(inner)), sCfg)
+        else
+          SU.incidentsWaitFilled(df, cfg.keys, cfg.tsCol, fillCols, timeoutMs,
+            windowMs, StreamingEval.compile(inner, numF, strF, stripTimer = false),
+            sCfg)
+      case _ =>
+        val program = StreamingEval.compile(ast, numF, strF)
+        SU.incidentsEvalFilled(df, cfg.keys, cfg.tsCol, fillCols, timeoutMs,
+          program, sCfg.copy(minDurationMs = program.timerMs))
+    }
+  }
+
   /** Parse-only validation — the `/patterns/validate` endpoint analogue
     * (reference: dsl/.../PatternsValidator.scala:9-37): for each pattern,
     * either the AST's referenced fields or a parse error.

@@ -328,7 +328,7 @@ object StreamingPatterns {
     q.runs.headOption.map(_._1).getOrElse(
       if (q.hasOpen) math.max(q.openS, q.floorCut) else bound)
 
-  private def processTree(tree: StreamTree, cfg: StreamConfig)(
+  private[streaming] def processTree(tree: StreamTree, cfg: StreamConfig)(
     key: String,
     events: Iterator[KeyedRaw],
     state: GroupState[TreeState]
@@ -564,7 +564,7 @@ object StreamingPatterns {
     out.iterator
   }
 
-  private def processChain(progs: Seq[StreamingEval.Program], cfg: StreamConfig)(
+  private[streaming] def processChain(progs: Seq[StreamingEval.Program], cfg: StreamConfig)(
     key: String,
     events: Iterator[KeyedRaw],
     state: GroupState[ChainState]
@@ -776,7 +776,7 @@ object StreamingPatterns {
         processWait(windowMs, prog, cfg))
   }
 
-  private def processWait(windowMs: Long, prog: StreamingEval.Program,
+  private[streaming] def processWait(windowMs: Long, prog: StreamingEval.Program,
                           cfg: StreamConfig)(
     key: String,
     events: Iterator[KeyedRaw],
@@ -990,7 +990,7 @@ object StreamingPatterns {
     out.iterator
   }
 
-  private def processEval(program: StreamingEval.Program, cfg: StreamConfig)(
+  private[streaming] def processEval(program: StreamingEval.Program, cfg: StreamConfig)(
     key: String,
     events: Iterator[KeyedRaw],
     state: GroupState[EvalState]

@@ -18,11 +18,11 @@ import org.apache.spark.sql.functions._
   * CorpusWideSpec / CorpusIvolgaWideSpec, so transitively the stream
   * replays the golden expectations.
   *
-  * The narrow-table corpus groups are covered by construction: their delta
-  * is the NarrowDataUnfolding / WideDataFilling source transformer (a
-  * batch-side pivot+fill locked by CorpusNarrowSpec / CorpusIvolgaNarrowSpec),
-  * after which the evaluator sees the same wide shape replayed here — the
-  * ivolga-wide frame below already streams a forwardFill output.
+  * The narrow-table corpus groups stream through their own replay suite
+  * ([[CorpusNarrowStreamSpec]]): the unfold accumulator runs INSIDE the
+  * evaluator's state (`TspEngine.incidentsStreamNarrow`), so the narrow
+  * cases exercise the streaming pivot+fill, not just the batch
+  * transformer.
   *
   * Rows travel as JSON (`toJSON` -> MemoryStream[String] -> `from_json`
   * with the frame's schema), so one helper replays any corpus shape
