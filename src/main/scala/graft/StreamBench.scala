@@ -83,6 +83,42 @@ object StreamBench {
         } finally q.stop()
       }
     }
+
+    // fifth shape: NARROW source — the in-state pivot+fill accumulator
+    // (incidentsStreamNarrow) on top of the window_eval path; three
+    // sensors rotate per key tick, the pattern reads one and fills from
+    // state across the other two's ticks
+    val narrowEvents: IndexedSeq[(String, Long, String, Double)] =
+      (0 until nEvents).map { i =>
+        val tick = (i / nKeys).toLong
+        (s"k${i % nKeys}", 1000000L + tick, Seq("a", "b", "c")((tick % 3).toInt),
+          ((i * 7919) % 200).toDouble)
+      }
+    (1 to 2).foreach { round =>
+      val ms = MemoryStream[(String, Long, String, Double)]
+      val df = ms.toDF().toDF("k", "sec", "sensor", "v")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .withWatermark("ts", "5 seconds")
+      val inc = dsl.TspEngine.incidentsStreamNarrow(df, "avg(a, 60 sec) > 120",
+        cfg, graft.streaming.StreamingUnfold.NarrowStreamConfig(
+          "sensor", "v", timeoutMs = Some(30000L)),
+        sensors = Seq("a", "b", "c"))
+      val q = inc.writeStream.format("noop").outputMode("append").start()
+      try {
+        val t0 = System.nanoTime()
+        narrowEvents.grouped(nEvents / chunks + 1).foreach { chunk =>
+          ms.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+        ms.addData(("zz", 99000000L, "zzs", 0.0)); q.processAllAvailable()
+        ms.addData(("zz", 99900000L, "zzs", 0.0)); q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(q.exception.isEmpty, s"narrow_unfold failed: ${q.exception}")
+        println(f"[stream] narrow_unfold   events=$nEvents%-8d keys=$nKeys%-5d " +
+          f"chunks=$chunks%-3d round=$round sec=$sec%7.2f " +
+          f"rate=${nEvents / sec / 1e3}%8.1fk events/s")
+      } finally q.stop()
+    }
     spark.stop()
   }
 }
