@@ -82,6 +82,18 @@ object TextQueries {
         Tables.documents(s, d).select(id, lined.as("text")), "doc_id", "text")
     },
 
+    // Trained-BPE token statistics: a real byte-pair tokenizer (trained on
+    // the corpus's own word-frequency table, 50 merges) replaces the
+    // text_tokens regex heuristic. The merge-loop argmax is inherently
+    // iterative, so this is the ONE catalog entry without a DuckDB oracle
+    // (driver records the weaker rows-only check); the algorithm is locked
+    // by BpeSpec's independent reference implementation instead.
+    "text_bpe" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val model = graft.operators.Bpe.train(docs, "text", numMerges = 50)
+      graft.operators.Bpe.tokenStats(docs, "doc_id", "text", model)
+    },
+
     // Integer-quantized TF-IDF keywords: top-3 most distinctive words per
     // document (quantized idf keeps the score integer-exact — bit-stable
     // across engines, like text_lm). Ties break by word.

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** BPE tokenizer: merges and encodings are locked against an INDEPENDENT
+  * reference implementation (sequential merge application in training
+  * order — the Sennrich formulation; the operator's greedy
+  * lowest-rank-first encode must coincide), plus hand-derived merges on a
+  * constructed corpus with known tie-breaks.
+  */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Reference encode: apply each merge over the word in TRAINING ORDER
+    * (left-to-right scan per merge) — independent of the operator's
+    * greedy lowest-rank loop.
+    */
+  private def refEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = word.map(_.toString).toVector
+    merges.foreach { case (a, b) =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  /** Reference train: quadratic recount each round, independent code. */
+  private def refTrain(wc: Seq[(String, Long)], n: Int): Seq[(String, String)] = {
+    val merges = collection.mutable.ArrayBuffer.empty[(String, String)]
+    (0 until n).foreach { _ =>
+      val counts = collection.mutable.HashMap.empty[(String, String), Long]
+      wc.foreach { case (w, c) =>
+        val syms = refEncode(w, merges.toSeq)
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      if (counts.nonEmpty)
+        merges += counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+    }
+    merges.toSeq
+  }
+
+  test("merges match the hand-derived sequence incl. the lexicographic tie-break") {
+    // words: aaab x3, aab x2 -> (a,a)=8 first; then (a,b)=3 ties (aa,a)=3
+    // and wins lexicographically; then (aa,ab)=3
+    val docs = Seq.fill(3)("aaab") ++ Seq.fill(2)("aab")
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val model = Bpe.train(df, "text", numMerges = 3)
+    assert(model.merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    val rank = model.merges.zipWithIndex.toMap
+    assert(Bpe.encodeWord("aaab", rank).toSeq == Seq("aaab"))
+    assert(Bpe.encodeWord("aab", rank).toSeq == Seq("aa", "b"))
+  }
+
+  test("train and greedy encode agree with the independent reference on random corpora") {
+    val rnd = new Random(17)
+    (1 to 5).foreach { trial =>
+      val alphabet = "abcd"
+      val words = (0 until 30).map(_ =>
+        (0 until (1 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val counts = words.groupBy(identity).map { case (w, g) => (w, g.size.toLong * (1 + rnd.nextInt(5))) }.toSeq
+      val expectMerges = refTrain(counts, 8)
+      val got = Bpe.trainOnCounts(counts, 8)
+      assert(got.merges == expectMerges, s"trial $trial: ${got.merges} vs $expectMerges")
+      val rank = got.merges.zipWithIndex.toMap
+      counts.foreach { case (w, _) =>
+        assert(Bpe.encodeWord(w, rank).toSeq == refEncode(w, got.merges),
+          s"trial $trial word $w")
+      }
+    }
+  }
+
+  test("tokenStats: distributed counts match per-word encoding; empty doc keeps a row") {
+    val df = Seq((1L, "aaab aab aaab"), (2L, "b aab"), (3L, "   ")).toDF("doc_id", "text")
+    val model = Bpe.train(df.filter(col("doc_id") =!= 3L), "text", numMerges = 3)
+    val out = Bpe.tokenStats(df, "doc_id", "text", model)
+      .select("doc_id", "n_words", "n_tokens")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // aaab -> 1 token, aab -> 2 tokens, b -> 1 token
+    assert(out(1L) == ((3L, 4L)))
+    assert(out(2L) == ((2L, 3L)))
+    assert(out(3L) == ((0L, 0L)))
+  }
+
+  test("model save/load round-trip preserves merges and stats") {
+    val df = Seq((1L, "abab abab baba"), (2L, "aabb bbaa")).toDF("doc_id", "text")
+    val model = Bpe.train(df, "text", numMerges = 5)
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString + "/model"
+    model.save(dir)
+    val reloaded = Bpe.loadModel(spark, dir)
+    assert(reloaded.merges == model.merges)
+    val a = Bpe.tokenStats(df, "doc_id", "text", model).collect().map(_.toSeq).toSet
+    val b = Bpe.tokenStats(df, "doc_id", "text", reloaded).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
