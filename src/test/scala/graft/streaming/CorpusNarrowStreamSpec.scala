@@ -52,10 +52,13 @@ class CorpusNarrowStreamSpec extends SparkSpec
   private def replayNarrow(group: String, raw: DataFrame, keys: Seq[String],
                            cfg: PatternConfig, narrow: NarrowStreamConfig,
                            sensors: Seq[String], batchWide: DataFrame,
-                           id: Int, pattern: String): Unit = {
+                           id: Int, pattern: String,
+                           splitAt: Long => Boolean = _ => false): Unit = {
     implicit val sqlCtx = spark.sqlContext
     val schema = raw.schema
-    // chunk on ts boundaries: ~3 batches, never splitting a ts group
+    // chunk on ts boundaries: ~3 batches by default (or wherever `splitAt`
+    // says — the fuzz test derives random boundaries), never splitting a
+    // ts group
     val collected = raw.orderBy("ts")
       .select(to_json(struct(raw.columns.map(col): _*)).as("j"),
         col("ts").cast("long").as("t"))
@@ -64,7 +67,8 @@ class CorpusNarrowStreamSpec extends SparkSpec
     val chunks = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.ArrayBuffer.empty[String])
     collected.zipWithIndex.foreach { case ((j, t), i) =>
-      if (chunks.last.length >= target && i > 0 && collected(i - 1)._2 != t)
+      val tsBoundary = i > 0 && collected(i - 1)._2 != t
+      if (tsBoundary && (chunks.last.length >= target || splitAt(t)))
         chunks += scala.collection.mutable.ArrayBuffer.empty[String]
       chunks.last += j
     }
@@ -177,6 +181,31 @@ class CorpusNarrowStreamSpec extends SparkSpec
     test(s"narrow stream replay, ivolga case ${c.id}: ${c.sourceCode.take(60)}") {
       replayNarrow("ivolga", ivolgaRaw, ivolgaCfg.keys, ivolgaCfg, ivolgaNarrow,
         ivolgaNumeric ++ ivolgaString, ivolgaWide, c.id, c.sourceCode)
+    }
+  }
+
+  if (caseFilter("fuzz", 0)) {
+    test("narrow replay is chunk-boundary invariant (random ts-aligned micro-batches)") {
+      // micro-batch boundaries must not change results as long as they
+      // align with event-time ticks; fuzz random boundary sets over
+      // representative shapes (timer, lag/string, andThen)
+      val rnd = new scala.util.Random(23)
+      val cases = Seq(
+        ("core", 8, CorpusFixtures.patterns("core").find(_.id == 8).get.sourceCode),
+        ("core", 50, CorpusFixtures.patterns("core").find(_.id == 50).get.sourceCode),
+        ("ivolga", 40, CorpusFixtures.patterns("ivolga").find(_.id == 40).get.sourceCode))
+      (1 to 3).foreach { trial =>
+        cases.foreach { case (group, id, pattern) =>
+          val split: Long => Boolean = _ => rnd.nextDouble() < 0.3
+          if (group == "core")
+            replayNarrow("core", coreRaw, coreCfg.keys, coreCfg, coreNarrow,
+              coreSensors, coreWide, id + trial * 1000, pattern, split)
+          else
+            replayNarrow("ivolga", ivolgaRaw, ivolgaCfg.keys, ivolgaCfg,
+              ivolgaNarrow, ivolgaNumeric ++ ivolgaString, ivolgaWide,
+              id + trial * 1000, pattern, split)
+        }
+      }
     }
   }
 }
