@@ -161,14 +161,22 @@ object Bpe {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     in.mapPartitions { rows =>
       val rank: Map[(String, String), Int] = bc.value.toMap
-      // per-word memo: corpus words repeat heavily, encode each once
+      // per-word memo: corpus words repeat heavily, encode each once.
+      // Hard-capped: a web-scale partition's distinct-word tail would
+      // otherwise grow the map without bound — past the cap, rare words
+      // just re-encode (they were amortizing nothing anyway)
+      val memoCap = 1 << 20
       val memo = mutable.HashMap.empty[String, Array[String]]
       rows.map { r =>
         val ws = r.getSeq[String](1).filter(_.nonEmpty)
         var nTok = 0L
         var digest = 42L
         ws.foreach { w =>
-          val toks = memo.getOrElseUpdate(w, encodeWord(w, rank))
+          val toks = memo.getOrElse(w, {
+            val t = encodeWord(w, rank)
+            if (memo.size < memoCap) memo(w) = t
+            t
+          })
           nTok += toks.length
           toks.foreach { t =>
             val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
