@@ -131,6 +131,119 @@ object ProductQuantization {
       spark.read.parquet(s"$path/vectors"), cb, m)
   }
 
+  /** IVF + PQ — the production ANN composition: the coarse quantizer
+    * ([[VectorOps.ivfTopK]]'s deterministic stride centroids) prunes the
+    * corpus to `nprobe` inverted lists per query, and the PQ CODE table
+    * is all that is read inside the probed lists (ADC scoring, rounded
+    * half-up to 6 before the cut); the `k*refine` global survivors get
+    * the exact rerank. At 100 TB the two prunings compose: the list
+    * probe bounds the scanned FRACTION (`nprobe / #centroids`), the
+    * codes bound the BYTES per scanned row — raw vectors are touched
+    * only for the rerank joins. Fully deterministic, so the `ann_ivf_pq`
+    * oracle replays centroid assignment, probes, codebook, encode, ADC,
+    * and rerank exactly.
+    */
+  def ivfPqTopK(queries: DataFrame, qid: String, qvec: String,
+                index: PqIndex, k: Int, minStride: Int = 25, nprobe: Int = 4,
+                refine: Int = 8, maxCentroids: Int = 1 << 16,
+                maxCentroidBytes: Long = 64L << 20): DataFrame = {
+    val m = index.m
+    val book = index.codebook
+    val dim = book.headOption.map(_.length).getOrElse(0)
+    val dsub = if (m == 0) 0 else dim / m
+    val cBase = index.vectors // (nid, nv, nn, [k]) — persisted by pqIndex
+    val qBase = queries.select(col(qid).cast("long").as("qid"),
+        transform(col(qvec), x => x.cast("double")).as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stride = VectorOps.ivfStride(cBase.count(), minStride,
+      VectorOps.centroidBudget(dim, maxCentroids, maxCentroidBytes))
+    val cents: Array[(Long, Array[Double], Double)] =
+      cBase.filter(col("nid") % stride === 0).orderBy("nid")
+        .select("nid", "nv", "nn")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val assignN = VectorOps.assignCentroids(
+      cBase.select("nid", "nv", "nn"), "nid", "nv", "nn", cents, 1)
+    val probesQ = VectorOps.assignCentroids(
+      qBase, "qid", "qv", "qn", cents, nprobe)
+    // candidates: CODES of the probed lists only — id/code rows, never
+    // raw vectors (each corpus vector lives in exactly one list, so a
+    // (qid, nid) pair appears at most once)
+    val cand = index.codes.join(assignN, "nid")
+      .join(broadcast(probesQ), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid", "nn", "codes")
+    val qRows: Array[(Long, Array[Double], Double)] = qBase
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val sc = qBase.sparkSession.sparkContext
+    val bcQ = sc.broadcast(qRows)
+    val bcB = sc.broadcast(book)
+    val rTop = k * refine
+    val outSchema = StructType(Seq(
+      StructField("qid", LongType),
+      StructField("nid", LongType),
+      StructField("adc", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val partTop = cand.mapPartitions { rows =>
+      val qs = bcQ.value
+      val cb = bcB.value
+      val qIdx = qs.iterator.zipWithIndex.map { case (q, i) => q._1 -> i }.toMap
+      // lazily-built per-query ADC tables; per-partition top-R buffers
+      val tables = new Array[Array[Double]](qs.length)
+      implicit val ord: Ordering[(Double, Long)] =
+        Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+      val bufs = Array.fill(qs.length)(
+        scala.collection.mutable.SortedSet.empty[(Double, Long)])
+      rows.foreach { r =>
+        val q = qIdx(r.getLong(0))
+        if (tables(q) == null) {
+          val qv = qs(q)._2
+          val t = new Array[Double](m * cb.length)
+          var j = 0
+          while (j < m) {
+            val off = j * dsub
+            var c = 0
+            while (c < cb.length) {
+              val cw = cb(c)
+              var s = 0.0
+              var d = 0
+              while (d < dsub) { s += qv(off + d) * cw(off + d); d += 1 }
+              t(j * cb.length + c) = s
+              c += 1
+            }
+            j += 1
+          }
+          tables(q) = t
+        }
+        val t = tables(q)
+        val nid = r.getLong(1)
+        val nn = r.getDouble(2)
+        val codes = r.getSeq[Int](3)
+        var s = 0.0
+        var j = 0
+        while (j < m) { s += t(j * cb.length + codes(j)); j += 1 }
+        val adc = BigDecimal(s / (qs(q)._3 * nn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val b = bufs(q)
+        if (b.size < rTop) b += ((adc, nid))
+        else if (ord.lt((adc, nid), b.last)) { b -= b.last; b += ((adc, nid)) }
+      }
+      bufs.iterator.zipWithIndex.flatMap { case (b, q) =>
+        b.iterator.map { case (adc, nid) => Row(qs(q)._1, nid, adc) }
+      }
+    }(enc)
+    val wR = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid").asc)
+    val top = partTop.withColumn("_r", row_number().over(wR))
+      .filter(col("_r") <= rTop).select("qid", "nid")
+    val pairs = top
+      .join(broadcast(qBase), "qid")
+      .join(index.vectors.select("nid", "nv", "nn"), "nid")
+      .select(col("qid"), col("nid"), col("qv"), col("nv"), col("qn"), col("nn"))
+    val scored = VectorOps.scorePairs(pairs)
+      .withColumn("sim", round(col("sim"), 6))
+    VectorOps.topKPerKey(scored, "qid", k)
+  }
+
   /** Approximate top-k by ADC over the code table, exact rerank of the
     * `k*refine` global survivors. Output (qid, nid, sim, rank 1..k) —
     * exact cosine rounded to 6, like every ANN operator here.

@@ -287,7 +287,7 @@ object VectorOps {
   }
 
   /** Dimension of the vector column (from one row; 0 on an empty frame). */
-  private def probeDim(df: DataFrame, vecCol: String): Int =
+  private[operators] def probeDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Lloyd k-means over unit-direction vectors — the optional trainer for
@@ -446,7 +446,7 @@ object VectorOps {
     * the broadcast centroid matrix. Cosines accumulate left-to-right like
     * the Column form, so ranking ties resolve identically to a SQL oracle.
     */
-  private def assignCentroids(df: DataFrame, idName: String, vecName: String,
+  private[operators] def assignCentroids(df: DataFrame, idName: String, vecName: String,
                               normName: String,
                               cents: Array[(Long, Array[Double], Double)],
                               take: Int): DataFrame = {

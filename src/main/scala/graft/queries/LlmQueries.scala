@@ -110,6 +110,19 @@ object LlmQueries {
       ProductQuantization.pqTopK(q, "vec_id", "embedding", idx, k = 5, refine = 8)
     },
 
+    // IVF + PQ composed — the production ANN shape: nprobe inverted
+    // lists bound the scanned fraction, PQ codes bound the bytes per
+    // scanned row; exact rerank of the k*refine survivors. Oracle replays
+    // both prunings end to end.
+    "ann_ivf_pq" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val idx = ProductQuantization.pqIndex(e, "vec_id", "embedding",
+        m = 8, ksub = 64, dim = 64)
+      ProductQuantization.ivfPqTopK(q, "vec_id", "embedding", idx,
+        k = 5, minStride = 25, nprobe = 4, refine = 8)
+    },
+
     // Language id + quality features per document.
     "text_quality" -> { (s, d) =>
       val feats = TextAnalysis.qualityFeatures(col("text"))
@@ -398,6 +411,65 @@ object LlmQueries {
         |      for j in range(0,8)]) / (q.nrm * m2.nrm), 6) AS adc
         |  FROM q CROSS JOIN cls c JOIN mm m2 ON m2.vec_id = c.vec_id CROSS JOIN cbl
         |  WHERE q.vec_id <> c.vec_id),
+        |cand AS (SELECT qid, nid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid ASC) AS rn
+        |    FROM adc) WHERE rn <= 40),
+        |scored AS (SELECT cand.qid, cand.nid,
+        |    round(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
+        |          (a.nrm*b.nrm), 6) AS sim
+        |    FROM cand JOIN mm a ON a.vec_id = cand.qid JOIN mm b ON b.vec_id = cand.nid)
+        |SELECT qid, nid, sim, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    "ann_ivf_pq" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mm AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM n),
+        |sti AS (SELECT greatest(25,
+        |                CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT),
+        |                CAST(ceil(count(*)::DOUBLE / 65536.0) AS BIGINT)) AS stride
+        |        FROM mm),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM mm
+        |         WHERE vec_id % (SELECT stride FROM sti) = 0),
+        |sims AS (SELECT mm.vec_id, cent.cid,
+        |         list_sum([mm.v[i]*cent.cv[i] for i in range(1, len(mm.v)+1)]) /
+        |           (mm.nrm*cent.cn) AS cs
+        |         FROM mm CROSS JOIN cent),
+        |assign AS (SELECT vec_id, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM sims WHERE vec_id % 50 = 0) WHERE rn <= 4),
+        |stp AS (SELECT greatest(1, CAST(ceil(count(*)::DOUBLE / 64) AS BIGINT)) AS stride
+        |        FROM mm),
+        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+        |       FROM mm WHERE vec_id % (SELECT stride FROM stp) = 0),
+        |codes AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT mm.vec_id, js.j, cb.code,
+        |      row_number() OVER (PARTITION BY mm.vec_id, js.j
+        |        ORDER BY list_sum([ (mm.v[js.j*8+i] - cb.v[js.j*8+i])
+        |                          * (mm.v[js.j*8+i] - cb.v[js.j*8+i])
+        |                            for i in range(1,9)]) ASC,
+        |                 cb.code ASC) AS rn
+        |    FROM mm CROSS JOIN (SELECT unnest(range(0,8)) AS j) js CROSS JOIN cb)
+        |  WHERE rn = 1),
+        |cls AS (SELECT vec_id, list(code ORDER BY j) AS cl FROM codes GROUP BY vec_id),
+        |cbl AS (SELECT list(v ORDER BY code) AS cbv FROM cb),
+        |cand0 AS (SELECT p.qid, a.vec_id AS nid
+        |          FROM probes p JOIN assign a ON p.cid = a.cid AND p.qid <> a.vec_id),
+        |adc AS (SELECT c0.qid, c0.nid,
+        |    round(list_sum([
+        |        list_sum([ q.v[j*8+i] * cbl.cbv[c.cl[j+1] + 1][j*8+i]
+        |                   for i in range(1,9)])
+        |      for j in range(0,8)]) / (q.nrm * m2.nrm), 6) AS adc
+        |  FROM cand0 c0
+        |  JOIN mm q ON q.vec_id = c0.qid
+        |  JOIN cls c ON c.vec_id = c0.nid
+        |  JOIN mm m2 ON m2.vec_id = c0.nid
+        |  CROSS JOIN cbl),
         |cand AS (SELECT qid, nid FROM (
         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid ASC) AS rn
         |    FROM adc) WHERE rn <= 40),

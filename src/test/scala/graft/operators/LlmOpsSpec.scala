@@ -1000,6 +1000,23 @@ class LlmOpsSpec extends SparkSpec {
     idx.release(); reloaded.release()
   }
 
+  test("ann_ivf_pq recall: composed pruning still finds most exact neighbors") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val exact = VectorOps.bruteForceTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = ProductQuantization.pqIndex(e, "vec_id", "embedding", m = 8, ksub = 64, dim = 64)
+    val approx = ProductQuantization.ivfPqTopK(q, "vec_id", "embedding", idx,
+        k = 5, minStride = 25, nprobe = 4, refine = 8)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // two prunings compose: floor sits below both ann_ivf's (0.85) and
+    // ann_pq's (0.6) individual floors by design
+    assert(recall >= 0.4,
+      s"IVF+PQ recall $recall < 0.4 (hit=${(exact intersect approx).size}/${exact.size})")
+    idx.release()
+  }
+
   test("tfidfKeywords ranks by quantized idf with deterministic tie-break") {
     import spark.implicits._
     val docs = Seq(
