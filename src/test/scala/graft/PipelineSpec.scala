@@ -38,6 +38,14 @@ class PipelineSpec extends SparkSpec {
     val n1 = kept.count()
     assert(n1 > 0 && n1 <= n0, s"quality gate: $n0 -> $n1")
 
+    // ---- 1b. cross-document line boilerplate: the RefinedWeb stage
+    // reports per-doc removals over the kept slice (the rewrite itself is
+    // digested — corpus-sized); invariants: every doc keeps a row, and no
+    // doc loses more lines than it has
+    val lineStats = TextAnalysis.lineDedup(kept, "doc_id", "text", minDocs = 3)
+    assert(lineStats.count() == n1, "line dedup keeps every document row")
+    assert(lineStats.filter(col("n_removed") > col("n_lines")).count() == 0)
+
     // ---- 2. document-level dedup: pairs -> components -> canonical
     val pairs = TextDedup.minhashDuplicates(kept, "doc_id", "text",
       threshold = 0.5)
@@ -95,9 +103,19 @@ class PipelineSpec extends SparkSpec {
       shards = 8, seed = "ep0")
     assert(order.count() == nS, "the shuffle is a permutation (no loss)")
     assert(order.select("doc_id").distinct().count() == nS)
-    val packed = Sampling.packSequences(sampled, "doc_id",
-      TextAnalysis.wsTokens(col("clean_text")), budgetTokens = 256)
+    // pack by REAL tokenizer counts: BPE trains on the train slice and
+    // its token counts (not the whitespace heuristic) drive the bins
+    val bpe = Bpe.train(train, "clean_text", numMerges = 40)
+    val bpeStats = Bpe.tokenStats(sampled, "doc_id", "clean_text", bpe)
+    assert(bpeStats.count() == nS, "every sampled doc gets a BPE count")
+    val packed = Sampling.packSequences(
+      sampled.join(bpeStats.select(col("doc_id"), col("n_tokens").as("_bt")), "doc_id"),
+      "doc_id", col("_bt"), budgetTokens = 256)
     assert(packed.count() == nS, "packing bins every sampled doc")
+    // topic tags ride along: every surviving doc gets <= 3 ranked keywords
+    val kw = TextAnalysis.tfidfKeywords(corpus, "doc_id", "clean_text", k = 3)
+    assert(kw.groupBy("doc_id").count().filter(col("count") > 3).count() == 0)
+    assert(kw.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
     // bin contract: a bin overflows only by its boundary document (the
     // loader splits it); the tokens BEFORE each doc fit the budget
     val overflow = packed
