@@ -152,10 +152,19 @@ object ProductQuantization {
     val dim = book.headOption.map(_.length).getOrElse(0)
     val dsub = if (m == 0) 0 else dim / m
     val cBase = index.vectors // (nid, nv, nn, [k]) — persisted by pqIndex
-    val qBase = queries.select(col(qid).cast("long").as("qid"),
+    // queries are broadcast-sized by contract: collect ONCE, then rebuild
+    // the tiny frame from the collected rows — no persist to leak across
+    // repeated query batches in a long-lived session (an earlier version
+    // cached each batch's qBase and never unpersisted it)
+    val spark = queries.sparkSession
+    val qRows: Array[(Long, Array[Double], Double)] = queries
+      .select(col(qid).cast("long").as("qid"),
         transform(col(qvec), x => x.cast("double")).as("qv"))
       .withColumn("qn", VectorOps.norm(col("qv")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    import spark.implicits._
+    val qBase = qRows.toSeq.map { case (i, v, n) => (i, v.toSeq, n) }
+      .toDF("qid", "qv", "qn")
     val stride = VectorOps.ivfStride(cBase.count(), minStride,
       VectorOps.centroidBudget(dim, maxCentroids, maxCentroidBytes))
     val cents: Array[(Long, Array[Double], Double)] =
@@ -173,9 +182,7 @@ object ProductQuantization {
       .join(broadcast(probesQ), Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .select("qid", "nid", "nn", "codes")
-    val qRows: Array[(Long, Array[Double], Double)] = qBase
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-    val sc = qBase.sparkSession.sparkContext
+    val sc = spark.sparkContext
     val bcQ = sc.broadcast(qRows)
     val bcB = sc.broadcast(book)
     val rTop = k * refine
@@ -260,13 +267,18 @@ object ProductQuantization {
     val book = index.codebook
     val dim = book.headOption.map(_.length).getOrElse(0)
     val dsub = if (m == 0) 0 else dim / m
-    val qBase = queries.select(col(qid).cast("long").as("qid"),
+    // same no-persist stance as [[ivfPqTopK]]: collect the broadcast-sized
+    // queries once and rebuild the tiny frame for the rerank join
+    val spark = queries.sparkSession
+    val qRows: Array[(Long, Array[Double], Double)] = queries
+      .select(col(qid).cast("long").as("qid"),
         transform(col(qvec), x => x.cast("double")).as("qv"))
       .withColumn("qn", VectorOps.norm(col("qv")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val qRows: Array[(Long, Array[Double], Double)] = qBase
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-    val sc = qBase.sparkSession.sparkContext
+    import spark.implicits._
+    val qBase = qRows.toSeq.map { case (i, v, n) => (i, v.toSeq, n) }
+      .toDF("qid", "qv", "qn")
+    val sc = spark.sparkContext
     val bcQ = sc.broadcast(qRows)
     val bcB = sc.broadcast(book)
     val rTop = k * refine

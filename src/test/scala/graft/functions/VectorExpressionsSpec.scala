@@ -120,6 +120,18 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
   }
 
+  test("wrong arity raises a proper AnalysisException naming the function") {
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(array(1.0d))").collect()
+    }
+    assert(e1.getMessage.contains("vec_dot") && e1.getMessage.contains("2"),
+      e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_norm(array(1.0d), array(2.0d))").collect()
+    }
+    assert(e2.getMessage.contains("vec_norm"), e2.getMessage)
+  }
+
   test("optimizer rewrites canonical HOF dot/norm shapes to the native kernels") {
     val df = randFrame(5, 8, seed = 9)
     // the CANONICAL portable shapes ((p,q) -> p*q, (acc,v) -> acc+v) — what

@@ -997,6 +997,13 @@ class LlmOpsSpec extends SparkSpec {
     val again = ProductQuantization.pqTopK(q, "vec_id", "embedding", reloaded, k = 5, refine = 8)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == approx)
+    // repeated query batches must not accumulate cached frames (an earlier
+    // version persisted each batch's query projection and never released it)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    ProductQuantization.pqTopK(q, "vec_id", "embedding", idx, k = 5, refine = 8).collect()
+    ProductQuantization.ivfPqTopK(q, "vec_id", "embedding", idx, k = 5).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      s"query batches leaked cached frames: $cachedBefore -> ${spark.sparkContext.getPersistentRDDs.size}")
     idx.release(); reloaded.release()
   }
 
