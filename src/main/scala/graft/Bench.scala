@@ -76,6 +76,7 @@ object Bench {
     * order pass 1 cheap-first; wrong tiers cost nothing but ordering.
     */
   private def tier(name: String): Int = name match {
+    case "dedup_url"                                          => 0 // cheap agg despite the dedup_ prefix
     case n if n.startsWith("dedup_") || n.startsWith("ann_")  => 3
     case n if n.startsWith("dsl_") || n.startsWith("pat_and") => 2
     case n if n.startsWith("pat_") || n.startsWith("q")       => 1

@@ -188,10 +188,15 @@ object VolumeBench {
     // is vocab-bounded, so the join side shrinks relative to the corpus as
     // K grows — word prefixes make each replica's vocab distinct, the
     // worst case); text_gopher is a narrow-map control like text_pii.
+    // r10 rungs: text_bpe_encode is the worst-case encode shape (word
+    // prefixes make every replica's vocabulary OOV for the frozen merges,
+    // so the per-partition memo amortizes nothing across replicas);
+    // span_corrupt and dedup_url are narrow-map/cheap-agg controls.
     val queries = Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
       "dedup_ngram", "text_boilerplate", "dedup_substring",
       "affinity_weights", "text_pii", "dedup_incremental",
-      "text_lm", "text_gopher")
+      "text_lm", "text_gopher",
+      "text_bpe_encode", "span_corrupt", "dedup_url")
     factors.foreach { f =>
       val dir = s"/tmp/graft-volume/docs-x$f"
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {
@@ -269,6 +274,9 @@ object VolumeBench {
         graft.operators.ProductQuantization.pqTopK(
           q, "vec_id", "embedding", idx, k = 5, refine = 8)
       },
+      // r10: the per-cell corpus map — stride grows with sqrt(N), so the
+      // broadcast matrix and the assignment cost per row stay bounded
+      "cluster_assign" -> (dir => SparkEntry.queries("cluster_assign")(spark, dir)),
       // production config, index rebuilt each run (upper bound on the
       // amortized probe, same caveat as the text ladder's incremental rung)
       "dedup_embed_incr" -> { dir =>

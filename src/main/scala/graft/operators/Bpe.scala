@@ -51,6 +51,26 @@ object Bpe {
       .select("left", "right").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq)
 
+  /** A frozen pretrained merge table (50 merges, trained once via
+    * [[train]] on the sf0.01 synthetic corpus and embedded as a literal —
+    * the LSH-hyperplane stance). This is the production tokenizer shape
+    * (load a fixed artifact, encode any corpus with it), and because the
+    * merges are a literal rather than retrained per run, an external SQL
+    * oracle can replay the greedy encode exactly (`text_bpe_encode`).
+    */
+  val pretrained: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"), ("s", "mall"),
+    ("g", "e"), ("l", "ow"), ("mer", "ge"), ("s", "low"), ("c", "t"),
+    ("ct", "or"), ("d", "er"), ("e", "ctor"), ("or", "der"),
+    ("v", "ector"), ("in", "e"), ("l", "ine"))
+
   /** The (word, count) frequency table — one map-side-combined shuffle. */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     Spread(docs.select(split(lower(col(textCol)), "\\s+").as("_ws")))
@@ -168,7 +188,10 @@ object Bpe {
       val memoCap = 1 << 20
       val memo = mutable.HashMap.empty[String, Array[String]]
       rows.map { r =>
-        val ws = r.getSeq[String](1).filter(_.nonEmpty)
+        // null text ⇒ split(lower(null)) is a null array; such docs get
+        // the same 0-token row as wordless ones (train tolerates them
+        // too — explode drops null arrays), not an NPE at encode time
+        val ws = Option(r.getSeq[String](1)).getOrElse(Nil).filter(_.nonEmpty)
         var nTok = 0L
         var digest = 42L
         ws.foreach { w =>
@@ -187,5 +210,49 @@ object Bpe {
         Row(r.get(0), ws.length.toLong, nTok, digest)
       }
     }(enc)
+  }
+
+  /** Portable-digest variant of [[tokenStats]] for cross-engine
+    * verification: `token_digest` is the md5 hex of the space-joined token
+    * stream (DuckDB has `md5`; the [[tokenStats]] XXH64 chain is
+    * Spark-internal). Same narrow broadcast-rank encode pass; the joined
+    * string is O(doc length) — the same order as the text column itself —
+    * and never shuffles (md5 collapses it in the same stage).
+    */
+  def tokenStatsPortable(docs: DataFrame, idCol: String, textCol: String,
+                         model: BpeModel): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(model.merges.zipWithIndex)
+    val in = docs.select(col(idCol).as("doc_id"),
+      split(lower(col(textCol)), "\\s+").as("_ws"))
+    val outSchema = StructType(Seq(
+      in.schema.fields.head.copy(name = "doc_id"),
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("_toks", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      val rank: Map[(String, String), Int] = bc.value.toMap
+      val memoCap = 1 << 20
+      val memo = mutable.HashMap.empty[String, Array[String]]
+      rows.map { r =>
+        val ws = Option(r.getSeq[String](1)).getOrElse(Nil).filter(_.nonEmpty)
+        var nTok = 0L
+        val sb = new StringBuilder
+        ws.foreach { w =>
+          val toks = memo.getOrElse(w, {
+            val t = encodeWord(w, rank)
+            if (memo.size < memoCap) memo(w) = t
+            t
+          })
+          nTok += toks.length
+          toks.foreach { t =>
+            if (sb.nonEmpty) sb.append(' ')
+            sb.append(t)
+          }
+        }
+        Row(r.get(0), ws.length.toLong, nTok, sb.toString)
+      }
+    }(enc).select(col("doc_id"), col("n_words"), col("n_tokens"),
+      md5(col("_toks")).as("token_digest"))
   }
 }

@@ -243,4 +243,83 @@ object Sampling {
         round(col("_st").cast("double") * col("_nr") /
           (col("_sr").cast("double") * col("_nt")), 6).as("affinity"))
   }
+
+  /** T5/UL2-style span corruption (Raffel et al. 2020, §3.1.4 "BERT-style
+    * denoising"): mask ~`maskPct`% of whitespace tokens, coalesce adjacent
+    * masked tokens into spans, replace each span in the INPUT with one
+    * `<extra_id_k>` sentinel and emit `<extra_id_k> tok…` runs as the
+    * TARGET — the (inputs, targets) pre-tokenization shape a denoising
+    * objective trains on.
+    *
+    * Determinism: the per-token mask decision is [[hashBucket]] of
+    * `"id:pos"` — a pure function of (document id, token position), so
+    * re-runs, retries, and any partitioning reproduce the same corruption
+    * (`rand()` would not), and an external SQL engine replays it exactly.
+    *
+    * Scale shape: one narrow codegen'd map — split, per-position hash
+    * flags, and a single left-to-right `aggregate` fold that builds both
+    * strings and all counters in one pass. No shuffle, no state. The fold
+    * re-allocates the accumulator string per step (fine at web-document
+    * lengths); a book-length corpus would swap the fold for a custom
+    * Expression with a StringBuilder — same plan shape otherwise.
+    *
+    * Output: (doc_id, n_tokens, n_masked, n_spans, input_digest,
+    * target_digest) — digests are md5 of the space-joined streams (the
+    * full strings are corpus-sized; callers wanting the text itself use
+    * [[spanCorruptText]]).
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                  maskPct: Int = 15): DataFrame =
+    spanCorruptText(docs, idCol, textCol, maskPct)
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_spans"),
+        md5(col("input_text")).as("input_digest"),
+        md5(col("target_text")).as("target_digest"))
+
+  /** [[spanCorrupt]] with the corrupted input/target TEXT columns kept. */
+  def spanCorruptText(docs: DataFrame, idCol: String, textCol: String,
+                      maskPct: Int = 15): DataFrame = {
+    val zipped = zip_with(
+      col("_ws"),
+      transform(col("_ws"), (_, i) =>
+        hashBucket(concat(col("doc_id").cast("string"), lit(":"),
+          i.cast("string"))) < maskPct),
+      (w, m) => struct(w.as("w"), m.as("m")))
+    val init = struct(lit("").as("inp"), lit("").as("tgt"),
+      lit(0).as("k"), lit(false).as("prev"), lit(0).as("nm"))
+    def stStruct(inp: Column, tgt: Column, k: Column, prev: Column,
+                 nm: Column) =
+      struct(inp.as("inp"), tgt.as("tgt"), k.as("k"), prev.as("prev"),
+        nm.as("nm"))
+    val folded = aggregate(zipped, init, (st, x) => {
+      val w = x.getField("w")
+      val m = x.getField("m")
+      val inp = st.getField("inp")
+      val tgt = st.getField("tgt")
+      val k = st.getField("k")
+      val prev = st.getField("prev")
+      val nm = st.getField("nm")
+      val sent = concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+      when(m && prev, // span continues: token goes to the target only
+        stStruct(inp, concat(tgt, lit(" "), w), k, lit(true), nm + 1))
+        .when(m, // span starts: sentinel k to both sides, then the token
+          stStruct(concat(inp, lit(" "), sent),
+            concat(tgt, lit(" "), sent, lit(" "), w),
+            k + 1, lit(true), nm + 1))
+        .otherwise( // kept token
+          stStruct(concat(inp, lit(" "), w), tgt, k, lit(false), nm))
+    })
+    docs
+      .select(col(idCol).as("doc_id"),
+        // null text ⇒ empty token list (split(null) is a null ARRAY, which
+        // would null the whole fold and size() would read -1)
+        filter(split(coalesce(col(textCol), lit("")), "\\s+"), w => w =!= "")
+          .as("_ws"))
+      .withColumn("_st", folded)
+      .select(col("doc_id"),
+        size(col("_ws")).cast("long").as("n_tokens"),
+        col("_st").getField("nm").cast("long").as("n_masked"),
+        col("_st").getField("k").cast("long").as("n_spans"),
+        ltrim(col("_st").getField("inp")).as("input_text"),
+        ltrim(col("_st").getField("tgt")).as("target_text"))
+  }
 }

@@ -575,13 +575,20 @@ object TextAnalysis {
     * rewrite is corpus-sized).
     *
     * Scale shape: document text never shuffles. The exploded frame carries
-    * only (xxhash64(line), doc_id, pos) — the DF census is one
-    * map-side-combined `count_distinct`, the hot-line table it yields is
-    * boilerplate-sized (broadcast-able; AQE decides), and the removal
-    * positions come back as one small (doc_id, positions) frame joined onto
-    * the UNEXPLODED corpus, where an index-filter lambda cuts the lines in
-    * a narrow map. Cutting by position ≡ cutting by content: the hash join
-    * matches every occurrence of a hot line.
+    * only (hash(line), doc_id, pos) — the DF census is one map-side-combined
+    * `count_distinct`, the hot-line table it yields is boilerplate-sized
+    * (broadcast-able; AQE decides), and the removal positions come back as
+    * a small per-doc (doc_id, positions) frame joined onto the UNEXPLODED
+    * corpus, where an index-filter lambda cuts the lines in a narrow map.
+    * Cutting by position ≡ cutting by content: the hash join matches every
+    * occurrence of a hot line.
+    *
+    * Line identity is TWO independent 64-bit hashes (xxhash64 of the line,
+    * and of the line salted) — at the corpus scales this targets (billions
+    * of distinct lines) a single 64-bit key makes birthday collisions
+    * likely (~50% at 5·10⁹ lines), and a collision here silently cuts an
+    * innocent line from every carrier; the 128-bit pair pushes the same
+    * bound past 10¹⁸ lines.
     *
     * Output: (doc_id, n_lines, n_removed, clean_digest = md5 of the kept
     * lines re-joined with `\n`).
@@ -592,11 +599,13 @@ object TextAnalysis {
     val lines = Spread(base)
       .select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-      .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("h"))
-    val hot = lines.groupBy("h")
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("line")).as("h"),
+        xxhash64(col("line"), lit(0x9e3779b9L)).as("h2"))
+    val hot = lines.groupBy("h", "h2")
       .agg(count_distinct(col("doc_id")).as("_df"))
-      .filter(col("_df") >= minDocs).select("h")
-    val removed = lines.join(hot, "h")
+      .filter(col("_df") >= minDocs).select("h", "h2")
+    val removed = lines.join(hot, Seq("h", "h2"))
       .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("_rm"))
     base.join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -606,5 +615,43 @@ object TextAnalysis {
           filter(split(col("text"), "\n"),
             (l, i) => not(coalesce(array_contains(col("_rm"), i), lit(false)))),
           "\n")).as("clean_digest"))
+  }
+
+  /** URL canonicalization for URL-level dedup — the crawl-frontier /
+    * C4-style "same page, different link" collapse that runs BEFORE any
+    * content dedup (it needs no text at all). Normalizations (the common
+    * public conventions, each visible in the expression):
+    *   - scheme and host lowercased; leading `www.` stripped
+    *   - default ports stripped (`:443` for https, `:80` for http);
+    *     non-default ports kept
+    *   - fragment (`#…`) stripped
+    *   - tracking params (`utm_*`) dropped; remaining query params sorted
+    *     (`k=v` string sort); the `?` disappears with the last param
+    *   - path kept byte-exact (paths are case-sensitive by spec)
+    *
+    * Pure codegen'd column expression (regexp splits + array HOFs): a
+    * narrow map, embarrassingly parallel, with the dedup itself one
+    * map-side-combinable groupBy on the canonical string.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val hostPort = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1)
+    val host = regexp_replace(
+      lower(regexp_extract(hostPort, "^([^:]*)", 1)), "^www\\.", "")
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort = when(
+      port === "" ||
+        (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"),
+      p => not(startswith(p, lit("utm_"))) && p =!= "")
+    val qsorted = array_join(array_sort(params), "&")
+    val qpart = when(qsorted === "", lit(""))
+      .otherwise(concat(lit("?"), qsorted))
+    concat(scheme, lit("://"), host, keepPort, path, qpart)
   }
 }

@@ -449,13 +449,17 @@ object VectorOps {
   private[operators] def assignCentroids(df: DataFrame, idName: String, vecName: String,
                               normName: String,
                               cents: Array[(Long, Array[Double], Double)],
-                              take: Int): DataFrame = {
+                              take: Int,
+                              carryNorm: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val bc = df.sparkSession.sparkContext.broadcast(cents)
     val in = df.select(col(idName), col(vecName), col(normName))
     val idField = in.schema.fields.head
-    val outSchema = StructType(Seq(idField, StructField("cid", LongType, nullable = false)))
+    val outSchema = StructType(
+      Seq(idField, StructField("cid", LongType, nullable = false)) ++
+        (if (carryNorm) Seq(StructField(normName, DoubleType, nullable = false))
+         else Nil))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     in.mapPartitions { rows =>
       val cs = bc.value
@@ -469,9 +473,54 @@ object VectorOps {
           (cid, s / (nv * cn))
         }
         sims.sortBy { case (cid, s) => (-s, cid) }.take(take)
-          .map { case (cid, _) => Row(r.get(0), cid) }
+          .map { case (cid, _) =>
+            if (carryNorm) Row(r.get(0), cid, nv) else Row(r.get(0), cid)
+          }
       }
     }(enc)
+  }
+
+  /** Corpus cartography: assign every vector to its nearest coarse-quantizer
+    * cell and roll the corpus up per cell — the map an embedding-curation
+    * pass reads before deciding where to prune, rebalance, or sample
+    * (SemDedup / DsDm-style cluster-level curation; the cells are exactly
+    * [[semanticDuplicates]]'s Voronoi cells and [[ivfTopK]]'s inverted
+    * lists, so the map describes what those operators will see).
+    *
+    * Centroids are the deterministic systematic sample ([[ivfStride]] —
+    * replayable by an external SQL oracle); assignment is the same
+    * broadcast-matrix narrow pass the IVF search uses (max cosine, ties to
+    * the smaller centroid id), and the rollup is ONE map-side-combinable
+    * aggregate on the cell id — the corpus never shuffles a vector.
+    *
+    * Per-row norms enter the rollup as `floor(norm * 1e6)` integers so the
+    * per-cell sum is bit-exact across engines and row orders (the text_lm
+    * stance: no floating-point accumulation in a hash-checked output).
+    *
+    * Output: (cid, n_members, min_id, sum_norm_q6).
+    */
+  def clusterAssign(corpus: DataFrame, id: String, vec: String,
+                    minStride: Int = 25, maxCentroids: Int = 1 << 16,
+                    maxCentroidBytes: Long = 64L << 20): DataFrame = {
+    val cBase = Spread(corpus).select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
+      .withColumn("nn", norm(col("nv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stride = ivfStride(cBase.count(), minStride,
+      centroidBudget(probeDim(cBase, "nv"), maxCentroids, maxCentroidBytes))
+    val cents: Array[(Long, Array[Double], Double)] =
+      cBase.filter(col("nid") % stride === 0)
+        .orderBy("nid")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    require(cents.nonEmpty,
+      s"clusterAssign: empty systematic sample (stride $stride) — " +
+        "ids must be long-castable with some multiple of the stride present")
+    val out = assignCentroids(cBase, "nid", "nv", "nn", cents, 1, carryNorm = true)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("nid")).as("min_id"),
+        sum(floor(col("nn") * 1e6).cast("long")).as("sum_norm_q6"))
+    out
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates via

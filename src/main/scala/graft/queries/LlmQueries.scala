@@ -123,6 +123,16 @@ object LlmQueries {
         k = 5, minStride = 25, nprobe = 4, refine = 8)
     },
 
+    // Corpus cartography: per-cell rollup of the IVF/SemDedup Voronoi
+    // cells — the map a cluster-level curation pass (SemDedup, DsDm)
+    // reads before pruning or rebalancing. One broadcast-matrix narrow
+    // assignment + one map-side-combinable aggregate; per-row norms enter
+    // as floor(x*1e6) integers so the cell sums are bit-exact.
+    "cluster_assign" -> { (s, d) =>
+      VectorOps.clusterAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+        minStride = 25)
+    },
+
     // Language id + quality features per document.
     "text_quality" -> { (s, d) =>
       val feats = TextAnalysis.qualityFeatures(col("text"))
@@ -171,6 +181,14 @@ object LlmQueries {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
       Sampling.stratifiedSample(docs, "doc_id", col("lang_id"),
         rates = Map("en" -> 10, "es" -> 40, "de" -> 40, "fr" -> 40, "zh" -> 40))
+    },
+
+    // T5-style span corruption: deterministic hash-masked spans,
+    // <extra_id_k> sentinels, (input, target) digests — the denoising
+    // objective's data prep as one narrow fold. 15% token mask rate.
+    "span_corrupt" -> { (s, d) =>
+      Sampling.spanCorrupt(Tables.documents(s, d), "doc_id", "text",
+        maskPct = 15)
     },
 
     // Greedy shard-parallel sequence packing into 2048-token bins.
@@ -384,6 +402,29 @@ object LlmQueries {
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
 
+    // Same stride/assignment prefix as ann_ivf (mirrors VectorOps.ivfStride
+    // and the max-cosine/tie-to-smaller-cid assignment); the rollup sums
+    // floor(norm*1e6) integers — bit-exact in any engine.
+    "cluster_assign" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM n),
+        |st AS (SELECT greatest(25,
+        |                CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT),
+        |                CAST(ceil(count(*)::DOUBLE / 65536.0) AS BIGINT)) AS stride
+        |       FROM m),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM m
+        |         WHERE vec_id % (SELECT stride FROM st) = 0),
+        |sims AS (SELECT m.vec_id, m.nrm, cent.cid,
+        |         list_sum([m.v[i]*cent.cv[i] for i in range(1, len(m.v)+1)]) /
+        |           (m.nrm*cent.cn) AS cs
+        |         FROM m CROSS JOIN cent),
+        |assign AS (SELECT vec_id, nrm, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM sims) WHERE rn = 1)
+        |SELECT cid, count(*) AS n_members, min(vec_id) AS min_id,
+        |  CAST(sum(CAST(floor(nrm * 1e6) AS BIGINT)) AS BIGINT) AS sum_norm_q6
+        |FROM assign GROUP BY cid""".stripMargin,
+
     "ann_pq" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |mm AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM n),
@@ -581,6 +622,8 @@ object LlmQueries {
     // same md5 bucket (first 4 hex digits mod 100) and the same lang-id
     // scoring text_quality replays; keep pct: en 10, es/de/fr/zh 40
     "sample_stratified" -> sampleStratifiedOracle,
+
+    "span_corrupt" -> spanCorruptOracle,
 
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
@@ -870,6 +913,56 @@ object LlmQueries {
        |       round((st::DOUBLE * nr) / (sr::DOUBLE * nt), 6) AS affinity
        |FROM (SELECT doc_id FROM documents) d
        |LEFT JOIN agg USING (doc_id) CROSS JOIN tot""".stripMargin
+  }
+
+  /** Span-corruption oracle: the mask flag re-derives
+    * [[graft.operators.Sampling.hashBucket]] of "id:pos" from md5 hex
+    * digits; spans come from a lag-window span-start flag + running sum
+    * (relational replay of the operator's single-pass fold); the
+    * input/target streams are `string_agg` over per-position pieces —
+    * `string_agg` skips NULL pieces exactly like the fold appends nothing.
+    */
+  private lazy val spanCorruptOracle: String = {
+    def dv(k: Int) =
+      s"(CASE WHEN ascii(substr(hx, $k, 1)) >= 97 THEN ascii(substr(hx, $k, 1)) - 87" +
+        s" ELSE ascii(substr(hx, $k, 1)) - 48 END)"
+    s"""WITH t AS (SELECT doc_id,
+       |      list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+       |    FROM documents),
+       |pos AS (SELECT doc_id, g AS i, ws[g] AS w FROM
+       |        (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS g
+       |         FROM t)),
+       |h AS (SELECT doc_id, i, w,
+       |        md5(doc_id || ':' || (i - 1)) AS hx FROM pos),
+       |mk AS (SELECT doc_id, i, w,
+       |        ((${dv(1)} * 4096 + ${dv(2)} * 256 + ${dv(3)} * 16 + ${dv(4)}) % 100) < 15 AS m
+       |      FROM h),
+       |sp AS (SELECT *, CASE WHEN m AND NOT
+       |          coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY i), false)
+       |        THEN 1 ELSE 0 END AS spanstart FROM mk),
+       |sid AS (SELECT *, sum(spanstart) OVER
+       |          (PARTITION BY doc_id ORDER BY i) AS k FROM sp),
+       |pieces AS (SELECT doc_id, i, m,
+       |    CASE WHEN NOT m THEN w
+       |         WHEN spanstart = 1 THEN '<extra_id_' || (k - 1) || '>'
+       |         ELSE NULL END AS pi,
+       |    CASE WHEN NOT m THEN NULL
+       |         WHEN spanstart = 1 THEN '<extra_id_' || (k - 1) || '>' || ' ' || w
+       |         ELSE w END AS pt,
+       |    k FROM sid),
+       |agg AS (SELECT doc_id, count(*) AS n_tokens,
+       |    sum(CASE WHEN m THEN 1 ELSE 0 END) AS n_masked,
+       |    max(k) AS n_spans,
+       |    string_agg(pi, ' ' ORDER BY i) AS inp,
+       |    string_agg(pt, ' ' ORDER BY i) AS tgt
+       |  FROM pieces GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked,
+       |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       |  md5(coalesce(a.inp, '')) AS input_digest,
+       |  md5(coalesce(a.tgt, '')) AS target_digest
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
   }
 
   /** Shuffle-shards oracle: md5('seed:id'), shard = first 16 hash bits mod

@@ -94,6 +94,23 @@ object TextQueries {
       graft.operators.Bpe.tokenStats(docs, "doc_id", "text", model)
     },
 
+    // Pretrained-BPE encode: the production tokenizer shape — a FROZEN
+    // merge artifact (Bpe.pretrained, trained once and embedded as a
+    // literal) encodes the corpus in one narrow broadcast-rank pass. Unlike
+    // the self-training text_bpe, the literal merges let the DuckDB oracle
+    // replay the greedy lowest-rank encode EXACTLY (a recursive CTE applies
+    // one leftmost merge occurrence per step — provably equal to the
+    // operator's greedy loop: applying a merge never creates a pair of
+    // lower rank, so rank-ascending one-at-a-time = globally-greedy; a
+    // replace-all formulation is NOT equivalent on self-overlapping pairs
+    // like (d,d) in 'ddddd' and was rejected by fuzzing). The digest is a
+    // portable md5 of the space-joined token stream.
+    "text_bpe_encode" -> { (s, d) =>
+      graft.operators.Bpe.tokenStatsPortable(
+        Tables.documents(s, d), "doc_id", "text",
+        graft.operators.Bpe.BpeModel(graft.operators.Bpe.pretrained))
+    },
+
     // Integer-quantized TF-IDF keywords: top-3 most distinctive words per
     // document (quantized idf keeps the score integer-exact — bit-stable
     // across engines, like text_lm). Ties break by word.
@@ -119,6 +136,33 @@ object TextQueries {
       graft.operators.TextAnalysis.lineDedup(
         Tables.documents(s, d).select(id, lined.as("text")),
         "doc_id", "text", minDocs = 3)
+    },
+
+    // URL-level dedup (C4 / crawl-frontier shape): canonicalize, then one
+    // map-side-combinable groupBy on the canonical string. The corpus has
+    // no URL column, so the query SYNTHESIZES one per document (same
+    // expression as the oracle) with every normalization hazard planted:
+    // case noise in scheme/host, a www. prefix + default :443 port on even
+    // ids, a unique utm_content tracking param (so all RAW urls are
+    // distinct and the collapse is real work), unsorted params, and a
+    // fragment on every 5th id. Canonical groups = source x 7 x 3.
+    "dedup_url" -> { (s, d) =>
+      val id = col("doc_id")
+      val raw = concat(
+        when(id % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+        col("source"), lit(".Example.COM"),
+        when(id % 2 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Docs/p"), (id % 7).cast("string"), lit("/"),
+        lit("?utm_content=u"), id.cast("string"),
+        lit("&id="), (id % 3).cast("string"), lit("&b=2&a=1"),
+        when(id % 5 === 0, lit("#frag")).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(id, raw.as("url"))
+        .groupBy(graft.operators.TextAnalysis.canonicalizeUrl(col("url"))
+          .as("canon_url"))
+        .agg(count(lit(1)).as("n_dups"),
+          min(col("doc_id")).as("keep_id"),
+          count_distinct(col("url")).as("n_variants"))
     },
 
     "text_pii" -> { (s, d) =>
@@ -246,6 +290,45 @@ object TextQueries {
         |  CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
         |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_digest
         |FROM k""".stripMargin,
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END) ||
+        |    source || '.Example.COM' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END) ||
+        |    '/Docs/p' || (doc_id % 7) || '/' ||
+        |    '?utm_content=u' || doc_id ||
+        |    '&id=' || (doc_id % 3) || '&b=2&a=1' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM u),
+        |p AS (SELECT doc_id, url,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS hostport,
+        |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(u, '\?([^#]*)', 1) AS q
+        |  FROM nf),
+        |c AS (SELECT doc_id, url,
+        |    scheme || '://' ||
+        |    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+        |                   '^www\.', '') ||
+        |    (CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) = '' OR
+        |               (scheme = 'https' AND
+        |                regexp_extract(hostport, ':([0-9]+)$', 1) = '443') OR
+        |               (scheme = 'http' AND
+        |                regexp_extract(hostport, ':([0-9]+)$', 1) = '80')
+        |          THEN '' ELSE ':' || regexp_extract(hostport, ':([0-9]+)$', 1) END) ||
+        |    path ||
+        |    (CASE WHEN array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |                 x -> NOT starts_with(x, 'utm_') AND x <> '')), '&') = ''
+        |          THEN ''
+        |          ELSE '?' || array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |                 x -> NOT starts_with(x, 'utm_') AND x <> '')), '&') END)
+        |      AS canon_url
+        |  FROM p)
+        |SELECT canon_url, count(*) AS n_dups, min(doc_id) AS keep_id,
+        |       count(DISTINCT url) AS n_variants
+        |FROM c GROUP BY canon_url""".stripMargin,
+
     "text_pii" ->
       """WITH p AS (SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com or 10.0.' ||
@@ -276,5 +359,57 @@ object TextQueries {
         |SELECT gram, count(*) AS n_occurrences,
         |  count(DISTINCT doc_id) AS n_docs
         |FROM g GROUP BY gram
-        |ORDER BY n_occurrences DESC, gram ASC LIMIT 20""".stripMargin)
+        |ORDER BY n_occurrences DESC, gram ASC LIMIT 20""".stripMargin,
+
+    "text_bpe_encode" -> bpeEncodeOracle)
+
+  /** Exact SQL replay of the pretrained-BPE greedy encode. The recursive
+    * CTE walks each distinct word through the merge ranks in order,
+    * applying ONE leftmost occurrence per step (`position` + `substr`
+    * splice on the space-delimited symbol string) — one-at-a-time is
+    * required: replace-all diverges from the greedy loop on
+    * self-overlapping pairs. Merges come from the same
+    * [[graft.operators.Bpe.pretrained]] literal the query uses.
+    */
+  private def bpeEncodeOracle: String = {
+    val merges = graft.operators.Bpe.pretrained
+    val vals = merges.zipWithIndex
+      .map { case ((a, b), r) => s"($r,'$a','$b')" }.mkString(", ")
+    val n = merges.length
+    s"""WITH RECURSIVE merges(r, l, rt) AS (SELECT * FROM (VALUES $vals)),
+       |words AS (SELECT DISTINCT word FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |    FROM documents) WHERE length(word) > 0),
+       |enc(word, spaced, r) AS (
+       |  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g'), 0
+       |  FROM words
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN pos > 0 THEN substr(spaced, 1, pos - 1) || rep ||
+       |         substr(spaced, pos + length(pat)) ELSE spaced END,
+       |    CASE WHEN pos > 0 THEN r ELSE r + 1 END
+       |  FROM (SELECT e.word, e.spaced, e.r,
+       |          ' ' || m.l || ' ' || m.rt || ' ' AS pat,
+       |          ' ' || m.l || m.rt || ' ' AS rep,
+       |          position(' ' || m.l || ' ' || m.rt || ' ' IN e.spaced) AS pos
+       |        FROM enc e JOIN merges m ON m.r = e.r)),
+       |tok AS (SELECT word, trim(spaced) AS toks,
+       |          len(string_split(trim(spaced), ' ')) AS n
+       |        FROM enc WHERE r = $n),
+       |dws AS (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |                      w -> length(w) > 0) AS ws
+       |        FROM documents),
+       |dw AS (SELECT doc_id, g AS ord, ws[g] AS word
+       |       FROM (SELECT doc_id, ws,
+       |               unnest(generate_series(1, len(ws))) AS g FROM dws)),
+       |agg AS (SELECT doc_id, count(*) AS n_words, sum(n) AS n_tokens,
+       |          string_agg(toks, ' ' ORDER BY ord) AS toks
+       |        FROM dw JOIN tok USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  md5(coalesce(a.toks, '')) AS token_digest
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+  }
 }

@@ -267,4 +267,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(cid"),
       s"expected the candidate self-join keyed on the cell id:\n${p.take(3000)}")
   }
+
+  test("span_corrupt is a pure narrow map — zero exchanges") {
+    val p = plan("span_corrupt")
+    assert(!p.contains("Exchange"),
+      s"span_corrupt must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("text_bpe_encode shuffles nothing but the final digest rows") {
+    val p = plan("text_bpe_encode")
+    // the encode itself is a narrow broadcast-rank pass; no exchange may
+    // appear below it (the only permissible shuffle would come from a
+    // caller's downstream agg — the catalog query has none)
+    assert(!p.contains("Exchange"),
+      s"text_bpe_encode must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("dedup_url aggregates on the canonical string with map-side partials") {
+    val p = plan("dedup_url")
+    assert(!p.contains("CartesianProduct"))
+    // exchanges keyed on the canonical-url grouping expression (Spark
+    // aliases a computed group key `_groupingexpression`); partial
+    // aggregation must run before the exchange
+    assert("hashpartitioning\\((canon_url|_groupingexpression)".r
+      .findFirstIn(p).nonEmpty,
+      s"expected the group-by keyed on the canonical url:\n${p.take(3000)}")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "expected map-side partial aggregation")
+  }
+
+  test("cluster_assign rolls up with one exchange on the cell id") {
+    val p = plan("cluster_assign")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("hashpartitioning(cid"),
+      s"expected the rollup keyed on cid:\n${p.take(3000)}")
+    // the embedding array must not ride through the rollup exchange
+    assert(!p.contains("hashpartitioning(nv") && !p.contains("hashpartitioning(embedding"),
+      "vectors must not be shuffle keys")
+  }
 }

@@ -93,6 +93,62 @@ class BpeSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L)))
   }
 
+  test("null-text docs train silently AND encode as 0-token rows (no NPE)") {
+    val df = Seq((1L, "aaab aab"), (2L, null.asInstanceOf[String]), (3L, "b"))
+      .toDF("doc_id", "text")
+    val model = Bpe.train(df, "text", numMerges = 3) // explode drops null arrays
+    val out = Bpe.tokenStats(df, "doc_id", "text", model)
+      .select("doc_id", "n_words", "n_tokens")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(2L) == ((0L, 0L))) // used to NPE: null split array reached .filter
+    assert(out(1L)._1 == 2L && out(3L)._1 == 1L)
+    // a null-text doc digests like an empty one
+    val dg = Bpe.tokenStats(df, "doc_id", "text", model)
+      .select("doc_id", "token_digest").as[(Long, Long)].collect().toMap
+    val empty = Bpe.tokenStats(Seq((9L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", model).select("token_digest").as[Long].head()
+    assert(dg(2L) == empty)
+  }
+
+  test("tokenStatsPortable: md5 digest matches the reference token stream") {
+    val docs = Seq((1L, "aaab aab b"), (2L, "aab aaab"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 3)
+    val out = Bpe.tokenStatsPortable(docs, "doc_id", "text", model)
+      .select("doc_id", "n_words", "n_tokens", "token_digest")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def expect(text: String) = {
+      val ws = Option(text).map(_.toLowerCase.split("\\s+").toSeq)
+        .getOrElse(Nil).filter(_.nonEmpty)
+      val toks = ws.flatMap(w => refEncode(w, model.merges))
+      (ws.size.toLong, toks.size.toLong, md5hex(toks.mkString(" ")))
+    }
+    assert(out(1L) == expect("aaab aab b"))
+    assert(out(2L) == expect("aab aaab"))
+    assert(out(3L) == expect("")) // md5 of the empty stream, not null
+    assert(out(4L) == expect(null)) // null text = empty stream
+  }
+
+  test("the frozen pretrained merge table encodes its training vocabulary compactly") {
+    val rank = Bpe.pretrained.zipWithIndex.toMap
+    // words the 50 merges were trained on collapse to one or two tokens
+    assert(Bpe.encodeWord("customer", rank).toSeq == Seq("customer"))
+    assert(Bpe.encodeWord("vector", rank).toSeq == Seq("vector"))
+    assert(Bpe.encodeWord("filter", rank).toSeq == Seq("filter"))
+    assert(Bpe.encodeWord("order", rank).toSeq == Seq("order"))
+    // out-of-vocabulary text still encodes (character fallback)
+    assert(Bpe.encodeWord("zzz", rank).toSeq == Seq("z", "z", "z"))
+    // greedy encode with the frozen ranks equals training-order application
+    Seq("customer", "vector", "merge", "scan", "partition", "windowing")
+      .foreach { w =>
+        assert(Bpe.encodeWord(w, rank).toSeq == refEncode(w, Bpe.pretrained), w)
+      }
+  }
+
   test("model save/load round-trip preserves merges and stats") {
     val df = Seq((1L, "abab abab baba"), (2L, "aabb bbaa")).toDF("doc_id", "text")
     val model = Bpe.train(df, "text", numMerges = 5)

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Round-10 curation operators: URL canonicalization dedup, T5-style span
+  * corruption, and the IVF-cell corpus map. Each is locked by an
+  * independent in-test replica (plus the DuckDB oracles at catalog level).
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- urls
+
+  private def canon(u: String): String =
+    Seq((1L, u)).toDF("id", "url")
+      .select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .as[String].head()
+
+  test("canonicalizeUrl: scheme/host case, www, default ports, fragments") {
+    assert(canon("HTTPS://WWW.Ex.COM:443/A/b?x=1#frag") ===
+      "https://ex.com/A/b?x=1")
+    assert(canon("http://ex.com:80/p") === "http://ex.com/p")
+    // non-default port is KEPT
+    assert(canon("http://ex.com:8080/p") === "http://ex.com:8080/p")
+    assert(canon("https://ex.com:80/p") === "https://ex.com:80/p")
+    // path case survives (paths are case-sensitive by spec)
+    assert(canon("https://Ex.com/CaseSensitive") ===
+      "https://ex.com/CaseSensitive")
+  }
+
+  test("canonicalizeUrl: utm params dropped, the rest sorted, lone ? dropped") {
+    assert(canon("https://ex.com/p?b=2&a=1&utm_source=x&utm_c=y") ===
+      "https://ex.com/p?a=1&b=2")
+    assert(canon("https://ex.com/p?utm_source=x") === "https://ex.com/p")
+    assert(canon("https://ex.com/p?") === "https://ex.com/p")
+    assert(canon("https://ex.com/p") === "https://ex.com/p")
+  }
+
+  test("URL dedup collapses link variants of the same page") {
+    val variants = Seq(
+      "https://ex.com/page?a=1&b=2",
+      "HTTPS://WWW.ex.com:443/page?b=2&a=1#top",
+      "https://ex.com/page?utm_campaign=c&a=1&b=2",
+      "https://other.com/page?a=1&b=2")
+    val df = variants.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val groups = df
+      .groupBy(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, keep) => k -> ((n, keep)) }.toMap
+    assert(groups("https://ex.com/page?a=1&b=2") == ((3L, 0L)))
+    assert(groups("https://other.com/page?a=1&b=2") == ((1L, 3L)))
+  }
+
+  // -------------------------------------------------------- span corrupt
+
+  /** Parse '<extra_id_k> tok…' runs out of a target stream. */
+  private def parseTargets(tgt: String): Map[Int, Seq[String]] = {
+    if (tgt.isEmpty) return Map.empty
+    val sentinel = "<extra_id_(\\d+)>".r
+    val parts = tgt.split(" ").toSeq
+    val out = collection.mutable.Map.empty[Int, Vector[String]]
+    var cur = -1
+    parts.foreach {
+      case sentinel(k) => cur = k.toInt; out(cur) = Vector.empty
+      case w           => out(cur) = out(cur) :+ w
+    }
+    out.toMap
+  }
+
+  test("spanCorrupt: inputs+targets reconstruct the original token stream") {
+    val rnd = new Random(3)
+    val docs = (0L until 40L).map { i =>
+      (i, (0 until 1 + rnd.nextInt(30))
+        .map(_ => s"w${rnd.nextInt(9)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Sampling.spanCorruptText(docs, "doc_id", "text", maskPct = 30)
+      .select("doc_id", "n_tokens", "n_masked", "n_spans",
+        "input_text", "target_text")
+      .as[(Long, Long, Long, Long, String, String)].collect()
+    assert(out.length == 40)
+    val texts = docs.as[(Long, String)].collect().toMap
+    val sentinel = "<extra_id_(\\d+)>".r
+    out.foreach { case (id, nTok, nMask, nSpan, inp, tgt) =>
+      val orig = texts(id).split("\\s+").filter(_.nonEmpty).toSeq
+      assert(nTok == orig.size, s"doc $id")
+      val spans = parseTargets(tgt)
+      assert(spans.keySet == (0 until nSpan.toInt).toSet, s"doc $id")
+      assert(spans.values.map(_.size).sum == nMask, s"doc $id")
+      // sentinels in the input appear once each, in order
+      val inputParts = if (inp.isEmpty) Seq.empty[String] else inp.split(" ").toSeq
+      val sentinelsSeen = inputParts.collect { case sentinel(k) => k.toInt }
+      assert(sentinelsSeen == (0 until nSpan.toInt), s"doc $id")
+      // splice the spans back in -> the original stream
+      val rebuilt = inputParts.flatMap {
+        case sentinel(k) => spans(k.toInt)
+        case w           => Seq(w)
+      }
+      assert(rebuilt == orig, s"doc $id")
+    }
+    // determinism: a re-run produces identical rows
+    val again = Sampling.spanCorruptText(docs, "doc_id", "text", maskPct = 30)
+      .select("doc_id", "n_tokens", "n_masked", "n_spans",
+        "input_text", "target_text")
+      .as[(Long, Long, Long, Long, String, String)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("spanCorrupt: 0% masks nothing, 100% masks one whole-document span") {
+    val docs = Seq((7L, "a b c d e")).toDF("doc_id", "text")
+    val none = Sampling.spanCorruptText(docs, "doc_id", "text", maskPct = 0)
+      .select("n_masked", "n_spans", "input_text", "target_text")
+      .as[(Long, Long, String, String)].head()
+    assert(none == ((0L, 0L, "a b c d e", "")))
+    val all = Sampling.spanCorruptText(docs, "doc_id", "text", maskPct = 100)
+      .select("n_masked", "n_spans", "input_text", "target_text")
+      .as[(Long, Long, String, String)].head()
+    assert(all == ((5L, 1L, "<extra_id_0>", "<extra_id_0> a b c d e")))
+  }
+
+  test("spanCorrupt: empty and null text keep a zero row") {
+    val docs = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "  "))
+      .toDF("doc_id", "text")
+    val out = Sampling.spanCorrupt(docs, "doc_id", "text", maskPct = 50)
+      .select("doc_id", "n_tokens", "n_masked", "n_spans")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L, 0L, 0L), (2L, 0L, 0L, 0L), (3L, 0L, 0L, 0L)))
+  }
+
+  // ------------------------------------------------------- cluster map
+
+  test("clusterAssign matches an independent max-cosine replica") {
+    val rnd = new Random(11)
+    val vecs = (0L until 100L).map { i =>
+      (i, Array.fill(4)(rnd.nextDouble() - 0.3))
+    }
+    val df = vecs.map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.clusterAssign(df, "vec_id", "embedding", minStride = 25)
+      .select("cid", "n_members", "min_id", "sum_norm_q6")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    // replica: centroids = ids 0,25,50,75 (stride 25); max cosine, tie to
+    // the smaller centroid id; norm sums as floor(x*1e6) integers
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val cents = Seq(0L, 25L, 50L, 75L).map(i => (i, vecs(i.toInt)._2))
+    val assigned = vecs.map { case (i, v) =>
+      val best = cents.map { case (cid, cv) =>
+        val dot = v.zip(cv).map { case (a, b) => a * b }.sum
+        (cid, dot / (nrm(v) * nrm(cv)))
+      }.minBy { case (cid, s) => (-s, cid) }._1
+      (best, i, math.floor(nrm(v) * 1e6).toLong)
+    }
+    val expect = assigned.groupBy(_._1).map { case (cid, g) =>
+      (cid, g.size.toLong, g.map(_._2).min, g.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+    assert(got.map(_._2).sum == 100L)
+  }
+}
