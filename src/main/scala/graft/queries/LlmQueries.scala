@@ -224,6 +224,16 @@ object LlmQueries {
       TextAnalysis.bigramLmScores(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // The discriminative quality filter (fastText-recipe shape): NB-style
+    // per-word likelihood-ratio weights trained "reference slice vs rest"
+    // (source = src0 plays the reference), integer-exact ppm arithmetic,
+    // tf-weighted document scores. Complements text_lm_cross (the LM
+    // flavour of the same CCNet filtering step).
+    "quality_nb" -> { (s, d) =>
+      graft.operators.QualityFilter.nbScores(
+        Tables.documents(s, d), "doc_id", "text", col("source") === "src0")
+    },
+
     // The CCNet shape proper: the model trains on a reference slice
     // (source = src0, ~5% of the corpus) and scores EVERYONE — full
     // Laplace with out-of-vocabulary transitions, still integer-exact.
@@ -624,6 +634,32 @@ object LlmQueries {
     "sample_stratified" -> sampleStratifiedOracle,
 
     "span_corrupt" -> spanCorruptOracle,
+
+    // Integer replay of QualityFilter: t = class-prior ppm, per-word
+    // Laplace ratio, tf-weighted sums; mean is NULL for wordless docs
+    // (matches the Spark `_s div _n` on a left-join miss).
+    "quality_nb" ->
+      """WITH w AS (SELECT doc_id, source = 'src0' AS pos,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents),
+        |wf AS (SELECT * FROM w WHERE length(word) > 0),
+        |cnt AS (SELECT word,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+        |  FROM wf GROUP BY word),
+        |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM cnt),
+        |tt AS (SELECT (1000000 * (tn + v)) // (tp + v) AS t FROM tot),
+        |wt AS (SELECT word, ((cp + 1) * (SELECT t FROM tt)) // (cn + 1) AS wgt
+        |       FROM cnt),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM wf
+        |       GROUP BY doc_id, word),
+        |sc AS (SELECT doc_id, sum(tf) AS n, sum(tf * wgt) AS s
+        |       FROM tf JOIN wt USING (word) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sc.n, 0) AS BIGINT) AS n_scored,
+        |  CAST(coalesce(sc.s, 0) AS BIGINT) AS quality_score,
+        |  CAST(sc.s // sc.n AS BIGINT) AS quality_mean
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
 
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,

@@ -132,6 +132,62 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Set((1L, 0L, 0L, 0L), (2L, 0L, 0L, 0L), (3L, 0L, 0L, 0L)))
   }
 
+  // --------------------------------------------------- quality filter
+
+  test("quality_nb weights and scores match a hand replica incl. OOV") {
+    val docs = Seq(
+      (1L, "good good data", true), // reference class
+      (2L, "good data", true),
+      (3L, "spam spam spam data", false),
+      (4L, "spam junk", false)).toDF("doc_id", "text", "ref")
+    val model = QualityFilter.nbModel(docs, "text", col("ref"))
+    // counts: good cp=3 cn=0; data cp=2 cn=1; spam cp=0 cn=4; junk cp=0 cn=1
+    // totPos=5 totNeg=6 V=4 -> t = 1e6*10/9 = 1111111
+    assert((model.totPos, model.totNeg, model.vocab) == ((5L, 6L, 4L)))
+    val t = 1111111L
+    assert(model.defaultWeight == t)
+    val w = model.weights.as[(String, Long)].collect().toMap
+    assert(w("good") == 4 * t / 1)
+    assert(w("data") == 3 * t / 2)
+    assert(w("spam") == 1 * t / 5)
+    assert(w("junk") == 1 * t / 2)
+    val got = QualityFilter.nbScoresWith(docs, "doc_id", "text", model)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val d1 = 2 * w("good") + w("data")
+    assert(got(1L) == ((1L, 3L, d1, d1 / 3)))
+    val d3 = 3 * w("spam") + w("data")
+    assert(got(3L) == ((3L, 4L, d3, d3 / 4)))
+    // reference docs score above crawl docs
+    assert(got(1L)._4 > got(3L)._4 && got(2L)._4 > got(4L)._4)
+    // OOV scoring: unseen words take the class-neutral default weight;
+    // a wordless doc keeps a row with NULL mean
+    val oov = QualityFilter.nbScoresWith(
+      Seq((9L, "unseen tokens"), (10L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .select("doc_id", "n_scored", "quality_score")
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(oov(9L) == ((2L, 2 * t)))
+    assert(oov(10L) == ((0L, 0L)))
+    model.release()
+  }
+
+  test("quality_nb model save/load round-trip scores identically") {
+    val docs = Seq(
+      (1L, "alpha beta beta", true), (2L, "gamma gamma delta", false))
+      .toDF("doc_id", "text", "ref")
+    val model = QualityFilter.nbModel(docs, "text", col("ref"))
+    val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString
+    model.save(dir)
+    val reloaded = QualityFilter.loadNbModel(spark, dir)
+    val a = QualityFilter.nbScoresWith(docs, "doc_id", "text", model)
+      .collect().map(_.toSeq).toSet
+    val b = QualityFilter.nbScoresWith(docs, "doc_id", "text", reloaded)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    model.release(); reloaded.release()
+  }
+
   // ------------------------------------------------------- cluster map
 
   test("clusterAssign matches an independent max-cosine replica") {
