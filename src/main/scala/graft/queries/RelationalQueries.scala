@@ -111,6 +111,28 @@ object RelationalQueries {
           col("l_discount").between(0.03, 0.07))
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
           .as("revenue"), count(lit(1)).as("cnt"))
+    },
+
+    // As-of (point-in-time) join: every non-click event picks up the
+    // latest click "setpoint" at-or-before its timestamp per user — the
+    // trade-meets-quote join Spark lacks. Union + ordered window (one
+    // exchange per side), never a range join; the right side is
+    // pre-aggregated to one row per (user, ts) as the operator contract
+    // requires. Timestamps leave as epoch micros so the hash compare never
+    // touches timezone rendering.
+    "asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val setp = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("setpoint"))
+      val probes = ev.filter(col("event_type") =!= "click")
+        .select("event_id", "user_id", "ts")
+      graft.operators.AsofJoin.asofJoin(probes, setp,
+          keys = Seq("user_id"), tsCol = "ts", payload = Seq("setpoint"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"),
+          col("asof_setpoint"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+            .as("staleness_us"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -159,5 +181,20 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-01-01'
-        |  AND l_discount BETWEEN 0.03 AND 0.07""".stripMargin)
+        |  AND l_discount BETWEEN 0.03 AND 0.07""".stripMargin,
+
+    // DuckDB has native ASOF JOIN — the oracle is the textbook spelling of
+    // what the union+window operator computes (validated row-for-row
+    // against an independent replica before shipping).
+    "asof_join" ->
+      """WITH sp AS (SELECT user_id, ts, max(value) AS setpoint FROM events
+        |            WHERE event_type = 'click' GROUP BY user_id, ts),
+        |pr AS (SELECT event_id, user_id, ts FROM events
+        |       WHERE event_type <> 'click')
+        |SELECT pr.event_id, pr.user_id,
+        |  epoch_us(pr.ts) AS t_us,
+        |  sp.setpoint AS asof_setpoint,
+        |  CAST(epoch_us(pr.ts) - epoch_us(sp.ts) AS BIGINT) AS staleness_us
+        |FROM pr ASOF LEFT JOIN sp
+        |  ON pr.user_id = sp.user_id AND pr.ts >= sp.ts""".stripMargin)
 }

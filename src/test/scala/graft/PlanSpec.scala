@@ -296,6 +296,26 @@ class PlanSpec extends SparkSpec {
       "expected map-side partial aggregation")
   }
 
+  test("asof_join is union + one keyed window — no range join, no cartesian") {
+    val p = plan("asof_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"asof must not plan as a join:\n${p.take(2000)}")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"expected the window exchange keyed on user_id:\n${p.take(2000)}")
+    assert(p.contains("Window"), "expected the ordered-window carry")
+  }
+
+  test("quality_nb never shuffles text — only word/doc keys") {
+    val p = plan("quality_nb")
+    assert(!p.contains("CartesianProduct"))
+    val keys = "hashpartitioning\\(([a-zA-Z_]+)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet
+    assert(!keys.contains("text"), s"text in shuffle keys $keys")
+    assert(keys.subsetOf(Set("word", "doc_id")),
+      s"unexpected shuffle keys $keys")
+  }
+
   test("cluster_assign rolls up with one exchange on the cell id") {
     val p = plan("cluster_assign")
     assert(!p.contains("CartesianProduct"))
