@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object KernelBench {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("span")) return spanMain(args.drop(1))
     val nPairs = args.headOption.map(_.toInt).getOrElse(2000000)
     val dim = args.drop(1).headOption.map(_.toInt).getOrElse(64)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -67,6 +68,52 @@ object KernelBench {
         sums(name) = s
         println(f"[kernel] $name%6s round=$round pairs=$nPairs dim=$dim " +
           f"sec=$secs%.2f mpairs_per_s=${nPairs / secs / 1e6}%.1f checksum=$s")
+      }
+    }
+    require(sums.values.toSet.size == 1, s"formulations disagree: $sums")
+    spark.stop()
+  }
+
+  /** Span-corruption kernel: the HOF fold (five interpreted steps per
+    * token) vs the native one-call-per-row expression. Usage:
+    * `sbt "runMain graft.KernelBench span [nDocs] [wordsPerDoc]"`.
+    */
+  private def spanMain(args: Seq[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
+    val wpd = args.drop(1).headOption.map(_.toInt).getOrElse(80)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.range(0, nDocs, 1, cpus.toInt * 2)
+      .select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(wpd)),
+          i => concat(lit("tok"), pmod(i * (col("id") + 3), lit(500)))),
+          " ").as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    def checksum(df: DataFrame): Long =
+      df.agg(bit_xor(xxhash64(col("n_masked"), col("n_spans"),
+        col("input_text"), col("target_text")))).head().getLong(0)
+    val forms: Seq[(String, () => DataFrame)] = Seq(
+      "hof" -> (() => graft.operators.Sampling
+        .spanCorruptTextHof(docs, "doc_id", "text", 15)),
+      "native" -> (() => graft.operators.Sampling
+        .spanCorruptText(docs, "doc_id", "text", 15)))
+    val sums = scala.collection.mutable.Map.empty[String, Long]
+    (1 to 2).foreach { round =>
+      forms.foreach { case (name, f) =>
+        val t0 = System.nanoTime()
+        val s = checksum(f())
+        val secs = (System.nanoTime() - t0) / 1e9
+        sums(name) = s
+        println(f"[kernel] span-$name%6s round=$round docs=$nDocs wpd=$wpd " +
+          f"sec=$secs%.2f kdocs_per_s=${nDocs / secs / 1e3}%.1f checksum=$s")
       }
     }
     require(sums.values.toSet.size == 1, s"formulations disagree: $sums")

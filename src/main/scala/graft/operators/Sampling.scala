@@ -275,9 +275,36 @@ object Sampling {
         md5(col("input_text")).as("input_digest"),
         md5(col("target_text")).as("target_digest"))
 
-  /** [[spanCorrupt]] with the corrupted input/target TEXT columns kept. */
+  /** [[spanCorrupt]] with the corrupted input/target TEXT columns kept.
+    * Runs on the native [[graft.functions.SpanCorrupt]] kernel — one JVM
+    * call per row; the HOF fold below ([[spanCorruptTextHof]]) computes
+    * identical output five interpreted steps per token and is retained as
+    * the in-test differential oracle (the minhashBandRows stance).
+    */
   def spanCorruptText(docs: DataFrame, idCol: String, textCol: String,
-                      maskPct: Int = 15): DataFrame = {
+                      maskPct: Int = 15): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        // null text ⇒ empty token list; the split materializes once (it is
+        // non-cheap and referenced twice, so CollapseProject keeps the
+        // projection boundary — the fingerprintFrame mechanism)
+        filter(split(coalesce(col(textCol), lit("")), "\\s+"), w => w =!= "")
+          .as("_ws"))
+      .select(col("doc_id"), size(col("_ws")).cast("long").as("n_tokens"),
+        graft.functions.SpanCorrupt.spanCorrupt(col("_ws"), col("doc_id"),
+          maskPct).as("_st"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("_st").getField("n_masked").as("n_masked"),
+        col("_st").getField("n_spans").as("n_spans"),
+        col("_st").getField("input").as("input_text"),
+        col("_st").getField("target").as("target_text"))
+
+  /** The portable single-fold formulation — the differential oracle for
+    * the native kernel (identical output, interpreted per token).
+    */
+  private[graft] def spanCorruptTextHof(docs: DataFrame, idCol: String,
+                                            textCol: String,
+                                            maskPct: Int = 15): DataFrame = {
     val zipped = zip_with(
       col("_ws"),
       transform(col("_ws"), (_, i) =>

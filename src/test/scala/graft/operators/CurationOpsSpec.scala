@@ -123,6 +123,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(all == ((5L, 1L, "<extra_id_0>", "<extra_id_0> a b c d e")))
   }
 
+  test("native span-corrupt kernel is bit-identical to the HOF fold oracle") {
+    val rnd = new Random(29)
+    val docs = ((0L until 60L).map { i =>
+      (i, (0 until rnd.nextInt(40)).map(_ => s"tok${rnd.nextInt(12)}")
+        .mkString(" "))
+    } :+ (99L, "")).toDF("doc_id", "text")
+    Seq(0, 15, 55, 100).foreach { pct =>
+      val native = Sampling.spanCorruptText(docs, "doc_id", "text", pct)
+        .collect().map(_.toSeq).toSet
+      val hof = Sampling.spanCorruptTextHof(docs, "doc_id", "text", pct)
+        .collect().map(_.toSeq).toSet
+      assert(native == hof, s"maskPct=$pct diverged")
+    }
+  }
+
   test("spanCorrupt: empty and null text keep a zero row") {
     val docs = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "  "))
       .toDF("doc_id", "text")
