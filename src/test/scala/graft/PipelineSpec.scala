@@ -17,8 +17,27 @@ class PipelineSpec extends SparkSpec {
 
   test("the pretraining curation funnel composes end to end") {
     import spark.implicits._
-    val docs = Tables.documents(spark, sf).cache()
+    val crawled = Tables.documents(spark, sf).cache()
+
+    // ---- 0. URL-level dedup BEFORE any content work (needs no text):
+    // synthesize a link per doc (unique raw URLs, canonical groups of
+    // several) and keep one doc per canonical page
+    val withUrl = crawled.withColumn("url", concat(
+      lit("https://www."), col("source"), lit(".example.com/p"),
+      (col("doc_id") % 50).cast("string"),
+      lit("?utm_ref=u"), col("doc_id").cast("string")))
+    val urlKeep = withUrl
+      .groupBy(TextAnalysis.canonicalizeUrl(col("url")).as("_cu"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    // localCheckpoint truncates lineage at the stage boundary — without it
+    // every downstream self-join re-embeds the whole upstream plan tree and
+    // the composed funnel's PLAN STRING alone outgrows the driver heap (a
+    // real production lesson: checkpoint between major funnel stages)
+    val docs = crawled.join(urlKeep.select("doc_id"), "doc_id")
+      .localCheckpoint()
     val n0 = docs.count()
+    assert(n0 == urlKeep.count(), "one survivor per canonical URL")
+    assert(n0 <= crawled.count())
 
     // ---- 1. clean: PII scrub + quality scoring (pure narrow maps)
     val scrubbed = docs
@@ -26,14 +45,19 @@ class PipelineSpec extends SparkSpec {
       .cache()
     val lm = TextAnalysis.bigramLmScores(scrubbed, "doc_id", "text")
     val gopher = TextAnalysis.gopherFrame(scrubbed, "doc_id", "text")
+    // the discriminative gate alongside the LM one: NB likelihood-ratio
+    // weights trained on the reference slice (source = src0)
+    val nb = QualityFilter.nbScores(scrubbed, "doc_id", "text",
+      col("source") === "src0")
     val kept = scrubbed
       .join(lm.select(col("doc_id"), col("mean_cond_ppm")), "doc_id")
       .join(gopher.select(col("doc_id"), col("n_words"),
         col("frac_alpha_words")), "doc_id")
+      .join(nb.select(col("doc_id"), col("quality_mean")), "doc_id")
       // permissive gates sized to the tiny synthetic corpus: real deploys
       // would use gopher_pass + an lm threshold calibrated on held-out data
       .filter(col("n_words") >= 10 && col("frac_alpha_words") >= 0.8 &&
-        col("mean_cond_ppm").isNotNull)
+        col("mean_cond_ppm").isNotNull && col("quality_mean").isNotNull)
       .cache()
     val n1 = kept.count()
     assert(n1 > 0 && n1 <= n0, s"quality gate: $n0 -> $n1")
@@ -123,6 +147,22 @@ class PipelineSpec extends SparkSpec {
       .filter(col("n_tokens") > 256 * 2)       // sanity ceiling only
       .count()
     assert(overflow == 0, "no doc wildly exceeds the window budget")
+
+    // ---- 6. training-objective prep: deterministic span corruption over
+    // the packed slice — every doc yields an (input, target) pair whose
+    // token accounting closes (masked tokens all land in targets)
+    val denoise = Sampling.spanCorruptText(
+      sampled.select(col("doc_id"), col("clean_text")),
+      "doc_id", "clean_text", maskPct = 15).cache()
+    assert(denoise.count() == nS, "every sampled doc gets a denoising pair")
+    assert(denoise.filter(col("n_masked") > col("n_tokens")).count() == 0)
+    assert(denoise.filter(col("n_spans") > col("n_masked")).count() == 0)
+    // sentinel accounting: input sentinels == target sentinels == n_spans
+    val badSentinels = denoise.filter(
+      size(split(col("input_text"), "<extra_id_", -1)) - 1 =!= col("n_spans") ||
+        size(split(col("target_text"), "<extra_id_", -1)) - 1 =!= col("n_spans"))
+      .count()
+    assert(badSentinels == 0, "sentinel counts close on both sides")
 
     // the funnel is monotone and loses nothing silently
     assert(n0 >= n1 && n1 >= n2 && n2 >= n4 && n4 >= nS)

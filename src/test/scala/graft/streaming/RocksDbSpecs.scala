@@ -27,3 +27,11 @@ class StreamingDedupRocksDbSpec extends StreamingDedupSpec {
   override protected def stateStoreProvider: Option[String] =
     Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }
+
+/** [[StreamingAsofSpec]] under RocksDB state storage — see
+  * [[StreamingRocksDbSpec]].
+  */
+class StreamingAsofRocksDbSpec extends StreamingAsofSpec {
+  override protected def stateStoreProvider: Option[String] =
+    Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}

@@ -11,7 +11,22 @@ import scala.util.Random
   * key's feed arrives in event-time order across micro-batches (the
   * documented contract), with O(1) per-key state.
   */
-class StreamingAsofSpec extends SparkSpec {
+class StreamingAsofSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  protected def stateStoreProvider: Option[String] = None
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    stateStoreProvider.foreach(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
+
+  override protected def afterAll(): Unit = {
+    if (stateStoreProvider.isDefined)
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    super.afterAll()
+  }
 
   import spark.implicits._
 
