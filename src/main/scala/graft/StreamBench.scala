@@ -119,6 +119,42 @@ object StreamBench {
           f"rate=${nEvents / sec / 1e3}%8.1fk events/s")
       } finally q.stop()
     }
+
+    // sixth shape: streaming as-of join — every 10th event is a setpoint,
+    // the rest probe it; state is ONE (ts, value) pair per key
+    val asofProbes: IndexedSeq[(Long, Long, Long)] =
+      (0 until nEvents).filter(_ % 10 != 0).map { i =>
+        (i.toLong, (i % nKeys).toLong, 1000000L + (i / nKeys).toLong)
+      }.toIndexedSeq
+    val asofSets: IndexedSeq[(Long, Long, Double)] =
+      (0 until nEvents).filter(_ % 10 == 0).map { i =>
+        ((i % nKeys).toLong, 1000000L + (i / nKeys).toLong,
+          ((i * 7919) % 200).toDouble)
+      }.toIndexedSeq
+    (1 to 2).foreach { round =>
+      val msP = MemoryStream[(Long, Long, Long)]
+      val msS = MemoryStream[(Long, Long, Double)]
+      val joined = graft.streaming.StreamingAsof.asofJoinStream(
+        msP.toDF().toDF("event_id", "key", "t_us"),
+        msS.toDF().toDF("key", "t_us", "value"))
+      val q = joined.writeStream.format("noop").outputMode("append").start()
+      try {
+        val t0 = System.nanoTime()
+        val pChunks = asofProbes.grouped(asofProbes.size / chunks + 1).toSeq
+        val sChunks = asofSets.grouped(asofSets.size / chunks + 1).toSeq
+        pChunks.zipAll(sChunks, IndexedSeq.empty, IndexedSeq.empty)
+          .foreach { case (pc, sc) =>
+            if (pc.nonEmpty) msP.addData(pc: _*)
+            if (sc.nonEmpty) msS.addData(sc: _*)
+            q.processAllAvailable()
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(q.exception.isEmpty, s"asof_stream failed: ${q.exception}")
+        println(f"[stream] asof_stream     events=$nEvents%-8d keys=$nKeys%-5d " +
+          f"chunks=$chunks%-3d round=$round sec=$sec%7.2f " +
+          f"rate=${nEvents / sec / 1e3}%8.1fk events/s")
+      } finally q.stop()
+    }
     spark.stop()
   }
 }
