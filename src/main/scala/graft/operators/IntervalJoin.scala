@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range-containment) join: pair each point row with every
+  * interval row of the same key whose `[start, end)` contains the point's
+  * timestamp — the "which incident window / session / promotion covers this
+  * event" join (Flink's interval join; DuckDB/Postgres spell it a `BETWEEN`
+  * join). Complements [[AsofJoin]]: as-of picks ONE latest row, interval
+  * join keeps EVERY covering window.
+  *
+  * The relational spelling `p JOIN i ON p.key = i.key AND p.ts >= i.start
+  * AND p.ts < i.end` hash-partitions on `key` alone and materializes every
+  * same-key (point, interval) pair before the range filter — O(n·m) per key,
+  * and a hot key funnels its entire history through one task. This operator
+  * instead grids time into `bucketUs`-wide buckets and joins on
+  * `(key, bucket)`:
+  *
+  *  - each POINT belongs to exactly one bucket, so every qualifying pair
+  *    is produced exactly once — no post-join dedup;
+  *  - each INTERVAL is replicated to the `ceil(len/bucketUs) (+1)` buckets
+  *    it overlaps — bounded fan-out when `bucketUs` is chosen near the
+  *    typical interval length (p95 duration is the usual pick; fan-out is
+  *    then ~2 rows per interval);
+  *  - the exchange key `(key, bucket)` carries the time dimension, so one
+  *    hot entity spreads across time-slices instead of serializing.
+  *
+  * Contract: `endCol > startCol` (empty/negative intervals emit nothing),
+  * timestamps in microseconds. Point rows matching no interval are dropped
+  * (inner semantics); wrap with a left anti/outer union at the call site if
+  * unmatched points must survive.
+  */
+object IntervalJoin {
+
+  /** @param points    point side; `tsUsCol` in epoch micros
+    * @param intervals interval side; `[startUsCol, endUsCol)` in epoch micros
+    * @param keys      equality key columns present on both sides
+    * @param bucketUs  time-grid width; choose near the p95 interval length
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                   tsUsCol: String, startUsCol: String, endUsCol: String,
+                   bucketUs: Long): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin needs at least one key column")
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val b = lit(bucketUs)
+    val p = points.withColumn("_ib", floor(col(tsUsCol) / b))
+    val iv = intervals
+      .filter(col(endUsCol) > col(startUsCol))
+      .withColumn("_ib", explode(sequence(
+        floor(col(startUsCol) / b),
+        floor((col(endUsCol) - lit(1L)) / b))))
+    val joinKeys = keys :+ "_ib"
+    p.join(iv, joinKeys)
+      .filter(col(tsUsCol) >= col(startUsCol) && col(tsUsCol) < col(endUsCol))
+      .drop("_ib")
+  }
+}

@@ -133,6 +133,56 @@ object RelationalQueries {
           col("asof_setpoint"),
           (unix_micros(col("ts")) - unix_micros(col("asof_ts")))
             .as("staleness_us"))
+    },
+
+    // Interval-containment join on the time-grid operator: every non-click
+    // event paired with every 6-hour post-click window covering it. The
+    // exchange runs on (user_id, time-bucket) — a hot user spreads across
+    // time-slices — and each window replicates to at most 2 buckets
+    // (bucket width = window length), vs the BETWEEN-join spelling that
+    // pairs each user's full history in one task before filtering.
+    "interval_join" -> { (s, d) =>
+      val hUs = 6L * 3600 * 1000000
+      val ev = Tables.events(s, d)
+      val iv = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("iv_value"))
+        .select(col("user_id"), unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + lit(hUs)).as("end_us"), col("iv_value"))
+      val pts = ev.filter(col("event_type") =!= "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"))
+      graft.operators.IntervalJoin.intervalJoin(pts, iv, Seq("user_id"),
+          "t_us", "start_us", "end_us", bucketUs = hUs)
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          col("start_us"), round(col("iv_value"), 2).as("iv_value"))
+    },
+
+    // KMV distinct-count sketch: distinct active user-days per event type,
+    // estimated from the 64 smallest 48-bit value hashes. The raw value
+    // string never rides an exchange (only 8-byte hashes), and the
+    // k-smallest selection runs on the GroupTopK heap operator — the whole
+    // sketch is two bounded exchanges regardless of corpus size. k=64 so
+    // the estimator branch (not the exact-count fallback) is exercised at
+    // every SF.
+    "sketch_distinct" -> { (s, d) =>
+      val userDay = expr(
+        "concat(cast(user_id as string), ':', " +
+          "cast(unix_micros(ts) div 86400000000 as string))")
+      graft.operators.Sketches.kmvDistinct(
+        Tables.events(s, d), Seq("event_type"), userDay, k = 64)
+    },
+
+    // Per-group top-k on the custom plan node ([[graft.plans.GroupTopK]]):
+    // partial bounded heaps map-side, so the one exchange carries at most
+    // groups x k rows — vs q2_topk's window spelling, which must exchange
+    // and sort EVERY row (and salt by input partition to survive a
+    // low-cardinality group key). (lang, source) has ~40 groups; the heap
+    // plan ships ~200 rows per input partition regardless of corpus size.
+    "topk_group" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+      graft.plans.GroupTopK.topK(docs, Seq("lang", "source"),
+        Seq("n_chars" -> false, "doc_id" -> true), k = 5)
     })
 
   val oracle: Map[String, String] = Map(
@@ -196,5 +246,60 @@ object RelationalQueries {
         |  sp.setpoint AS asof_setpoint,
         |  CAST(epoch_us(pr.ts) - epoch_us(sp.ts) AS BIGINT) AS staleness_us
         |FROM pr ASOF LEFT JOIN sp
-        |  ON pr.user_id = sp.user_id AND pr.ts >= sp.ts""".stripMargin)
+        |  ON pr.user_id = sp.user_id AND pr.ts >= sp.ts""".stripMargin,
+
+    // The BETWEEN-join spelling IS the interval-join contract; the operator
+    // only changes the physical pairing strategy.
+    "interval_join" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS start_us,
+        |        epoch_us(ts) + 21600000000 AS end_us,
+        |        max(value) AS iv_value
+        |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |pts AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
+        |        FROM events WHERE event_type <> 'click')
+        |SELECT p.event_id, p.user_id, p.t_us, i.start_us,
+        |  round(i.iv_value, 2) AS iv_value
+        |FROM pts p JOIN iv i ON p.user_id = i.user_id
+        |  AND p.t_us >= i.start_us AND p.t_us < i.end_us""".stripMargin,
+
+    // KMV replay: same md5-prefix hash (hex digits unpacked arithmetically,
+    // DuckDB has no conv()), same rank-then-count, same INTEGER division
+    // for the estimator — bit-identical to the Spark plan by construction.
+    "sketch_distinct" -> sketchDistinctOracle,
+
+    // The heap operator's contract IS row_number-with-total-order: the
+    // (n_chars DESC, doc_id ASC) tiebreak makes the k survivors unique.
+    "topk_group" ->
+      """SELECT lang, source, doc_id, n_chars
+        |FROM (SELECT lang, source, doc_id, n_chars,
+        |       row_number() OVER (PARTITION BY lang, source
+        |         ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM documents) WHERE rn <= 5""".stripMargin)
+
+  /** KMV oracle: DuckDB lacks `conv(hex, 16, 10)`, so the 12-char md5
+    * prefix is unpacked digit-by-digit with the same CASE arithmetic the
+    * other md5-bucket oracles use, then ranked and estimated with integer
+    * division only.
+    */
+  private lazy val sketchDistinctOracle: String = {
+    def dv(i: Int) =
+      s"(CASE WHEN ascii(substr(hx, $i, 1)) >= 97 THEN ascii(substr(hx, $i, 1)) - 87" +
+        s" ELSE ascii(substr(hx, $i, 1)) - 48 END)"
+    val hv = (1 to 12)
+      .map(i => s"${dv(i)} * CAST(${1L << (4 * (12 - i))} AS BIGINT)")
+      .mkString(" + ")
+    s"""WITH v AS (SELECT event_type,
+       |             user_id::VARCHAR || ':' ||
+       |               CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS val
+       |           FROM events),
+       |h0 AS (SELECT event_type, md5(val) AS hx FROM v),
+       |h AS (SELECT DISTINCT event_type, ($hv) + 1 AS hv FROM h0),
+       |r AS (SELECT event_type, hv,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+       |      FROM h)
+       |SELECT event_type, count(*) AS n_kept, max(hv) AS kth_hv,
+       |  CASE WHEN count(*) < 64 THEN count(*)
+       |       ELSE (63 * 281474976710656) // max(hv) END AS est_distinct
+       |FROM r WHERE rn <= 64 GROUP BY event_type""".stripMargin
+  }
 }

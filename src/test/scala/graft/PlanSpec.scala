@@ -316,6 +316,17 @@ class PlanSpec extends SparkSpec {
       s"unexpected shuffle keys $keys")
   }
 
+  test("topk_group runs on the custom heap operator: partial+final, one exchange, no sort") {
+    val p = plan("topk_group")
+    assert("GroupTopK \\[".r.findAllIn(p).size == 2,
+      s"expected the partial+final GroupTopK pair:\n${p.take(2000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"topk_group shuffles $exchanges times:\n${p.take(2000)}")
+    // the whole point vs the window spelling: no full-group sort, no Window
+    assert(!p.contains("Window"), "heap plan must not fall back to a rank window")
+    assert(!p.contains("Sort "), s"heap plan must not sort the input:\n${p.take(2000)}")
+  }
+
   test("cluster_assign rolls up with one exchange on the cell id") {
     val p = plan("cluster_assign")
     assert(!p.contains("CartesianProduct"))

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** [[IntervalJoin]] differentially against the BETWEEN-join spelling it
+  * replaces, across bucket widths (the grid must never change the result,
+  * only the pairing strategy).
+  */
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches the BETWEEN join on randomized data across bucket widths") {
+    val rng = new Random(11)
+    val pts = Seq.tabulate(3000) { i =>
+      (i.toLong, rng.nextInt(20).toLong, rng.nextInt(100000).toLong)
+    }.toDF("event_id", "key", "t_us").repartition(5)
+    val ivs = Seq.tabulate(400) { i =>
+      val s = rng.nextInt(100000).toLong
+      (rng.nextInt(20).toLong, s, s + 1 + rng.nextInt(8000).toLong, i.toLong)
+    }.toDF("key", "start_us", "end_us", "iv_id").repartition(3)
+
+    val want = pts.join(ivs, Seq("key"))
+      .filter(col("t_us") >= col("start_us") && col("t_us") < col("end_us"))
+      .select("event_id", "iv_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(want.nonEmpty)
+
+    for (bucket <- Seq(100L, 4096L, 65536L, 10000000L)) {
+      val got = IntervalJoin.intervalJoin(pts, ivs, Seq("key"),
+          "t_us", "start_us", "end_us", bucket)
+        .select("event_id", "iv_id").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == want, s"bucket=$bucket")
+    }
+  }
+
+  test("end is exclusive, start inclusive, empty intervals drop") {
+    val pts = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 15L))
+      .toDF("event_id", "key", "t_us")
+    val ivs = Seq(
+      (1L, 10L, 20L, 100L), // covers t=10,15 not 20
+      (1L, 30L, 30L, 101L), // empty -> nothing
+      (1L, 25L, 24L, 102L)  // negative -> nothing
+    ).toDF("key", "start_us", "end_us", "iv_id")
+    val got = IntervalJoin.intervalJoin(pts, ivs, Seq("key"),
+        "t_us", "start_us", "end_us", 7L)
+      .select("event_id", "iv_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 100L), (3L, 100L)))
+  }
+
+  test("overlapping windows multiply points; disjoint keys never pair") {
+    val pts = Seq((1L, 1L, 50L), (2L, 2L, 50L)).toDF("event_id", "key", "t_us")
+    val ivs = Seq((1L, 0L, 100L, 10L), (1L, 40L, 60L, 11L), (3L, 0L, 100L, 12L))
+      .toDF("key", "start_us", "end_us", "iv_id")
+    val got = IntervalJoin.intervalJoin(pts, ivs, Seq("key"),
+        "t_us", "start_us", "end_us", 32L)
+      .select("event_id", "iv_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 10L), (1L, 11L)))
+  }
+
+  test("plan: exchange carries (key, time-bucket), not key alone") {
+    val pts = Seq((1L, 1L, 50L)).toDF("event_id", "key", "t_us").repartition(2)
+    val ivs = Seq((1L, 0L, 100L, 10L)).toDF("key", "start_us", "end_us", "iv_id")
+      .repartition(2)
+    val p = IntervalJoin.intervalJoin(pts, ivs, Seq("key"),
+        "t_us", "start_us", "end_us", 32L)
+      .queryExecution.executedPlan.toString()
+    assert("hashpartitioning\\(key#\\d+L, _ib".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastHashJoin"), s"join key must include the bucket:\n$p")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KMV estimate lands within 4/sqrt(k) of the exact distinct count") {
+    val rng = new Random(3)
+    // three groups with very different true cardinalities, values repeated
+    val rows = Seq.tabulate(30000) { _ =>
+      val g = rng.nextInt(3)
+      val card = Seq(500, 3000, 12000)(g)
+      (s"g$g", rng.nextInt(card).toLong)
+    }
+    val df = rows.toDF("g", "v").repartition(6)
+    val k = 256
+    val got = Sketches.kmvDistinct(df, Seq("g"), col("v"), k)
+      .select("g", "est_distinct").as[(String, Long)].collect().toMap
+    val exact = df.groupBy("g").agg(countDistinct(col("v")).as("n"))
+      .as[(String, Long)].collect().toMap
+    for ((g, ex) <- exact) {
+      val est = got(g)
+      val relErr = math.abs(est - ex).toDouble / ex
+      assert(relErr < 4.0 / math.sqrt(k), s"$g: est=$est exact=$ex err=$relErr")
+    }
+  }
+
+  test("groups under k distinct values report the exact count") {
+    val df = (1 to 100).flatMap(i => Seq(("a", i.toLong), ("a", i.toLong)))
+      .toDF("g", "v")
+    val row = Sketches.kmvDistinct(df, Seq("g"), col("v"), k = 256)
+      .select("n_kept", "est_distinct").as[(Long, Long)].head()
+    assert(row == ((100L, 100L)))
+  }
+
+  test("sketches merge: k smallest of unioned survivor sets = sketch of the union") {
+    val rng = new Random(9)
+    val a = Seq.fill(5000)(("g", rng.nextInt(4000).toLong)).toDF("g", "v")
+    val b = Seq.fill(5000)(("g", rng.nextInt(4000).toLong + 2000L)).toDF("g", "v")
+    val k = 128
+    def survivors(df: org.apache.spark.sql.DataFrame) =
+      graft.plans.GroupTopK.topK(
+        df.select(col("g"), Sketches.hash48(col("v")).as("hv")).distinct(),
+        Seq("g"), Seq("hv" -> true), k)
+    val merged = graft.plans.GroupTopK.topK(
+        survivors(a).union(survivors(b)).distinct(), Seq("g"), Seq("hv" -> true), k)
+      .agg(max("hv")).as[Long].head()
+    val direct = survivors(a.union(b)).agg(max("hv")).as[Long].head()
+    assert(merged == direct)
+  }
+
+  test("hash48 stays in [1, 2^48] and is deterministic") {
+    val vals = Seq("a", "b", "", "0", "a").toDF("v")
+      .select(Sketches.hash48(col("v")).as("h")).as[Long].collect()
+    assert(vals.forall(h => h >= 1L && h <= (1L << 48)))
+    assert(vals(0) == vals(4))
+  }
+}
