@@ -29,7 +29,8 @@ object VolumeBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val mode = args.headOption.filter(Set("dedup", "vectors", "skew")).getOrElse("patterns")
+    val mode = args.headOption.filter(Set("dedup", "vectors", "skew", "groupstats"))
+      .getOrElse("patterns")
     val rest = (if (mode == "patterns") args else args.drop(1)).toSeq.map(_.toInt)
 
     mode match {
@@ -39,6 +40,8 @@ object VolumeBench {
         if (rest.nonEmpty) rest else Seq(1, 10, 100))
       case "skew" => runSkew(spark, sfDir, cpus.toInt,
         if (rest.nonEmpty) rest else Seq(10, 60))
+      case "groupstats" => runGroupStats(spark, sfDir, cpus.toInt,
+        if (rest.nonEmpty) rest else Seq(1, 10, 100))
       case _ => runPatterns(spark, sfDir, cpus.toInt,
         if (rest.nonEmpty) rest else Seq(1, 10, 60))
     }
@@ -162,6 +165,92 @@ object VolumeBench {
           s"$name: sub-partitioned output diverges (n $nOn vs $nOff, hash $hOn vs $hOff)")
         println(f"[skew] x$f%-3d $name%-14s speedup=${tOff / tOn}%5.2fx " +
           f"(on=${tOn}%6.2f s off=${tOff}%6.2f s, identical output)")
+      }
+    }
+  }
+
+  /** Group-statistics A/B ladder: the r10 GroupTopK heap operator and the
+    * histogram-quantile operator against the rank-window spellings they
+    * replace, on a replicated (lang, source, n_chars, doc_id) profile table
+    * whose GROUP CARDINALITY STAYS FIXED (~40 (lang, source) cells) while
+    * the corpus grows Kx — exactly the shape where the window plan
+    * collapses (every row exchanges on the group key and funnels into ~40
+    * sort tasks) and the heap/histogram plans stay bounded (the exchange
+    * carries groups x k survivors / the value histogram). Outputs are
+    * asserted checksum-identical per rung before the speedup prints.
+    */
+  private def runGroupStats(spark: SparkSession, sfDir: String, cpus: Int,
+                            factors: Seq[Int]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    factors.foreach { f =>
+      val dir = s"/tmp/graft-volume/gs-x$f"
+      if (!new java.io.File(s"$dir/profile.parquet").exists()) {
+        Tables.documents(spark, sfDir)
+          .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("_rep", explode(lit((0 until f).toArray)))
+          .withColumn("doc_id", col("doc_id") + col("_rep") * 10000000L)
+          // shift lengths per replica so the top-k winners and the
+          // percentile positions actually move (no degenerate all-ties)
+          .withColumn("n_chars", col("n_chars") + pmod(col("_rep"), lit(7)))
+          .drop("_rep")
+          .repartition(cpus)
+          .write.mode("overwrite").parquet(s"$dir/profile.parquet")
+      }
+      val base = spark.read.parquet(s"$dir/profile.parquet")
+      val rows = base.count()
+
+      val contenders: Seq[(String, Seq[(String, () => org.apache.spark.sql.DataFrame)])] = Seq(
+        "topk5" -> Seq(
+          "heap" -> (() => graft.plans.GroupTopK.topK(base, Seq("lang", "source"),
+            Seq("n_chars" -> false, "doc_id" -> true), 5)),
+          "window" -> { () =>
+            val w = Window.partitionBy(col("lang"), col("source"))
+              .orderBy(col("n_chars").desc, col("doc_id"))
+            base.withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") <= 5).drop("_rn")
+          }),
+        "quantiles" -> Seq(
+          "histogram" -> (() => graft.operators.Stats.histogramQuantiles(
+            base, Seq("lang", "source"), "n_chars", Seq(25, 50, 90, 99))),
+          "window" -> { () =>
+            val wOrd = Window.partitionBy(col("lang"), col("source"))
+              .orderBy(col("n_chars"))
+            val wAll = Window.partitionBy(col("lang"), col("source"))
+            val ranked = base
+              .withColumn("_rn", row_number().over(wOrd))
+              .withColumn("_n", count(lit(1)).over(wAll))
+            val picks = Seq(25, 50, 90, 99).map { p =>
+              min(when(col("_rn") === expr(s"(_n * $p + 99) div 100"),
+                col("n_chars"))).as(s"p$p")
+            }
+            ranked.groupBy(col("lang"), col("source"))
+              .agg(max(col("_n")).as("n_rows"), picks: _*)
+          }))
+
+      contenders.foreach { case (task, impls) =>
+        val timed = impls.map { case (impl, mk) =>
+          val runs = (1 to 2).map { round =>
+            val t0 = System.nanoTime()
+            val df = mk()
+            val Array(n, h) = df
+              .agg(count(lit(1)), bit_xor(xxhash64(Bench.checksumCols(df): _*)))
+              .head().toSeq.toArray
+            val sec = (System.nanoTime() - t0) / 1e9
+            println(f"[gs] x$f%-3d rows=$rows%-9d $task%-10s $impl%-10s " +
+              f"round=$round out=$n%-6s sec=$sec%6.2f " +
+              f"rate=${rows / sec / 1e3}%9.1fk rows/s")
+            spark.catalog.clearCache()
+            (n, h, sec)
+          }
+          (impl, runs.last._1, runs.last._2, runs.map(_._3).min)
+        }
+        val (bi, bn, bh, bt) = timed.head
+        timed.tail.foreach { case (oi, on, oh, ot) =>
+          require(bn == on && bh == oh,
+            s"$task: $bi and $oi outputs diverge (n $bn vs $on, hash $bh vs $oh)")
+          println(f"[gs] x$f%-3d $task%-10s speedup=${ot / bt}%5.2fx " +
+            f"($bi=${bt}%6.2f s $oi=${ot}%6.2f s, identical output)")
+        }
       }
     }
   }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics over discrete-valued metrics (lengths, token
+  * counts, scores in fixed-point) — the profiling pass a curation funnel
+  * runs before choosing filter thresholds ("what IS p99 doc length per
+  * language?").
+  */
+object Stats {
+
+  /** Exact per-group percentiles via a value histogram.
+    *
+    * The textbook spelling — `percentile_disc` / rank-window over the raw
+    * rows — hash-partitions on the group key alone, so every row of a group
+    * funnels through ONE task and gets sorted there; with a handful of
+    * groups (languages, sources) that is a handful of tasks for the whole
+    * corpus. This operator instead:
+    *
+    *  1. `groupBy (group, value) → count` — map-side combinable, so the
+    *     exchange carries at most `groups × distinct values` rows (a value
+    *     histogram, corpus-size-invariant for discrete metrics), never the
+    *     corpus;
+    *  2. one running-sum window over the tiny histogram, then the
+    *     `percentile_disc` pick: the smallest value whose cumulative count
+    *     reaches `ceil(p·n/100)` — all integer arithmetic
+    *     (`(n·p + 99) div 100`), so any engine replays it bit-for-bit.
+    *
+    * Exactness (not an approximation) holds because counting is lossless;
+    * the histogram-size contract is the caller's: value domains that grow
+    * with the corpus (raw doubles) should be quantized to fixed-point
+    * first, exactly as [[TextAnalysis]]'s integer-ppm scores do.
+    *
+    * Output: group cols + `n_rows` + one `p<pct>` column per requested
+    * percentile (1-based `ceil` convention, matching `percentile_disc`).
+    */
+  def histogramQuantiles(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100], got $pcts")
+    val g = groupCols.map(col)
+    val hist = df.groupBy(g :+ col(valueCol): _*).agg(count(lit(1)).as("_cnt"))
+    val cum = hist
+      .withColumn("_cum", sum(col("_cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(g: _*).orderBy(col(valueCol))))
+      .withColumn("_n", sum(col("_cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
+    val picks = pcts.map { p =>
+      min(when(col("_cum") >= expr(s"(_n * $p + 99) div 100"), col(valueCol)))
+        .as(s"p$p")
+    }
+    cum.groupBy(g: _*).agg(max(col("_n")).as("n_rows"), picks: _*)
+  }
+}

@@ -157,6 +157,16 @@ object RelationalQueries {
           col("start_us"), round(col("iv_value"), 2).as("iv_value"))
     },
 
+    // Exact per-(lang, source) doc-length percentiles via the value
+    // histogram: the exchange carries (group, n_chars) counts — bounded by
+    // the value domain, not the corpus — where a percentile_disc window
+    // would funnel each group's every row through one task.
+    "quantile_group" -> { (s, d) =>
+      graft.operators.Stats.histogramQuantiles(
+        Tables.documents(s, d), Seq("lang", "source"), "n_chars",
+        pcts = Seq(25, 50, 90, 99))
+    },
+
     // KMV distinct-count sketch: distinct active user-days per event type,
     // estimated from the 64 smallest 48-bit value hashes. The raw value
     // string never rides an exchange (only 8-byte hashes), and the
@@ -261,6 +271,23 @@ object RelationalQueries {
         |  round(i.iv_value, 2) AS iv_value
         |FROM pts p JOIN iv i ON p.user_id = i.user_id
         |  AND p.t_us >= i.start_us AND p.t_us < i.end_us""".stripMargin,
+
+    // Same histogram + integer ceil-rank arithmetic — deliberately NOT
+    // DuckDB's percentile_disc, whose boundary convention need not match.
+    "quantile_group" ->
+      """WITH hist AS (SELECT lang, source, n_chars, count(*) AS cnt
+        |              FROM documents GROUP BY 1, 2, 3),
+        |c AS (SELECT lang, source, n_chars, cnt,
+        |        sum(cnt) OVER (PARTITION BY lang, source
+        |          ORDER BY n_chars) AS cum,
+        |        sum(cnt) OVER (PARTITION BY lang, source) AS n
+        |      FROM hist)
+        |SELECT lang, source, max(n) AS n_rows,
+        |  min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN n_chars END) AS p25,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN n_chars END) AS p50,
+        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN n_chars END) AS p90,
+        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN n_chars END) AS p99
+        |FROM c GROUP BY lang, source""".stripMargin,
 
     // KMV replay: same md5-prefix hash (hex digits unpacked arithmetically,
     // DuckDB has no conv()), same rank-then-count, same INTEGER division
