@@ -173,11 +173,18 @@ object VolumeBench {
     * histogram-quantile operator against the rank-window spellings they
     * replace, on a replicated (lang, source, n_chars, doc_id) profile table
     * whose GROUP CARDINALITY STAYS FIXED (~40 (lang, source) cells) while
-    * the corpus grows Kx — exactly the shape where the window plan
-    * collapses (every row exchanges on the group key and funnels into ~40
-    * sort tasks) and the heap/histogram plans stay bounded (the exchange
-    * carries groups x k survivors / the value histogram). Outputs are
-    * asserted checksum-identical per rung before the speedup prints.
+    * the corpus grows Kx. Outputs are asserted checksum-identical per rung
+    * before the speedup prints.
+    *
+    * Read the top-k rung with [[graft.plans.TopKProbe]]'s finding in mind:
+    * Spark 4's WindowGroupLimit already caps the window plan's shuffle at
+    * k rows per group per partition, so the rungs compare heap admission
+    * (no sort) against the window's map-side full-partition sort — a
+    * constant-factor race locally, sort-superlinearity at scale. The
+    * QUANTILE rung is the structural one: the rank-window spelling has no
+    * group-limit rewrite (the filter is a cumulative pick, not rank<=k),
+    * so it really does exchange and sort every row, while the histogram
+    * plan ships value counts.
     */
   private def runGroupStats(spark: SparkSession, sfDir: String, cpus: Int,
                             factors: Seq[Int]): Unit = {

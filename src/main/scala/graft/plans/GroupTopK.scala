@@ -10,20 +10,31 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Per-group top-k as a first-class plan node — the "best k documents per
-  * domain" selector a curation funnel runs constantly, and the one shape
-  * where the relational spelling is structurally wasteful at scale: a rank
-  * window (`row_number() OVER (PARTITION BY g ORDER BY v) <= k`) must
-  * exchange EVERY row on `g` and fully sort every group, only to discard all
-  * but k rows — and when `g` has few distinct values the whole table funnels
-  * through that many tasks (the `q2_topk` catalog query needs a
-  * salt-by-partition pre-rank to survive exactly this).
+  * domain" selector a curation funnel runs constantly.
   *
-  * This node is the aggregation-shaped answer: a **partial** phase keeps a
-  * bounded k-row heap per group per input partition (map-side, no exchange,
-  * no sort — O(n log k) with n never leaving the scan task), so the ONE hash
-  * exchange carries at most `groups_in_partition × k` rows, then a **final**
-  * phase merges heaps per group. Same two-phase contract as partial/final
-  * hash aggregation, so memory is bounded the same way: retained state is
+  * Honest positioning vs the rank-window spelling (`row_number() OVER
+  * (PARTITION BY g ORDER BY v) <= k`): Spark 4's own `WindowGroupLimit`
+  * rewrite (SPARK-37099) already inserts a partial per-group limit before
+  * the exchange for exactly that filter shape, so shuffle VOLUME is no
+  * longer the differentiator — measured on a 5M-row profile table, both
+  * plans ship the identical ~16k surviving rows ([[TopKProbe]]). What the
+  * window plan still pays is a full SORT of every input partition to feed
+  * its rank limiter (O(n log n) map-side, on all n rows), then a
+  * sort+rank of the survivors post-shuffle. This node replaces both with
+  * bounded k-row heaps: admission is one comparison per row against the
+  * group's current worst (O(n log k) only on the rows that improve the
+  * heap, no sort of the input ever) — the probe measures ~2× end-to-end on
+  * warm 5M-row runs, and the gap widens with partition size since sort is
+  * superlinear. It also generalizes to selectors the rank rewrite cannot
+  * match (any k picked at plan-build time per call site, composed inside
+  * other operators — [[graft.operators.Sketches.kmvDistinct]] rides it for
+  * KMV survivor selection).
+  *
+  * Mechanics: a **partial** phase keeps a bounded k-row heap per group per
+  * input partition (map-side, no exchange), so the ONE hash exchange
+  * carries at most `groups_in_partition × k` rows, then a **final** phase
+  * merges heaps per group. Same two-phase contract as partial/final hash
+  * aggregation, so memory is bounded the same way: retained state is
   * `distinct groups per partition × k` row copies (the input rows stream
   * through un-buffered) — spill-free by construction wherever a hash
   * aggregate over the same keys fits.
