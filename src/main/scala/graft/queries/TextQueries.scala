@@ -177,6 +177,22 @@ object TextQueries {
         col("doc_id") +:
           piiCounts(planted).map { case (n, c) => c.as(n) } :+
           md5(redactPii(planted)).as("redacted_digest"): _*)
+    },
+
+    // Corpus vocabulary head: top-10 words per language — ONE map-side
+    // combinable (lang, word) count (the exploded words never reach the
+    // reduce side un-combined), then the GroupTopK heap selects winners
+    // without sorting the vocabulary. The word-frequency profile a
+    // tokenizer-training or stopword-mining pass reads first.
+    "frequent_terms" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+      val counts = words.groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("n"))
+      graft.plans.GroupTopK.topK(counts, Seq("lang"),
+        Seq("n" -> false, "word" -> true), k = 10)
     })
 
   val oracle: Map[String, String] = Map(
@@ -361,7 +377,19 @@ object TextQueries {
         |FROM g GROUP BY gram
         |ORDER BY n_occurrences DESC, gram ASC LIMIT 20""".stripMargin,
 
-    "text_bpe_encode" -> bpeEncodeOracle)
+    "text_bpe_encode" -> bpeEncodeOracle,
+
+    "frequent_terms" ->
+      """WITH w AS (SELECT lang,
+        |             unnest(string_split_regex(lower(text), '\s+')) AS word
+        |           FROM documents),
+        |c AS (SELECT lang, word, count(*) AS n FROM w
+        |      WHERE word <> '' GROUP BY lang, word)
+        |SELECT lang, word, n
+        |FROM (SELECT lang, word, n,
+        |       row_number() OVER (PARTITION BY lang
+        |         ORDER BY n DESC, word) AS rn
+        |      FROM c) WHERE rn <= 10""".stripMargin)
 
   /** Exact SQL replay of the pretrained-BPE greedy encode. The recursive
     * CTE walks each distinct word through the merge ranks in order,
