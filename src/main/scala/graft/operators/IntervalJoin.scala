@@ -37,19 +37,31 @@ object IntervalJoin {
     * @param intervals interval side; `[startUsCol, endUsCol)` in epoch micros
     * @param keys      equality key columns present on both sides
     * @param bucketUs  time-grid width; choose near the p95 interval length
+    * @param maxBucketsPerInterval fail-fast ceiling on per-interval fan-out:
+    *   one interval `maxBucketsPerInterval × bucketUs` longer than the grid
+    *   width means the width was chosen against the wrong duration profile,
+    *   and the silent alternative is an OOM-sized explode. The error names
+    *   the offending span so the caller can re-derive the width (or split
+    *   pathological intervals upstream).
     */
   def intervalJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
                    tsUsCol: String, startUsCol: String, endUsCol: String,
-                   bucketUs: Long): DataFrame = {
+                   bucketUs: Long, maxBucketsPerInterval: Int = 10000): DataFrame = {
     require(keys.nonEmpty, "intervalJoin needs at least one key column")
     require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
     val b = lit(bucketUs)
     val p = points.withColumn("_ib", floor(col(tsUsCol) / b))
+    val first = floor(col(startUsCol) / b)
+    val last = floor((col(endUsCol) - lit(1L)) / b)
     val iv = intervals
       .filter(col(endUsCol) > col(startUsCol))
-      .withColumn("_ib", explode(sequence(
-        floor(col(startUsCol) / b),
-        floor((col(endUsCol) - lit(1L)) / b))))
+      .withColumn("_ib", explode(sequence(first,
+        when(last - first < lit(maxBucketsPerInterval.toLong), last)
+          .otherwise(raise_error(concat(
+            lit(s"intervalJoin: interval spans more than $maxBucketsPerInterval " +
+              s"buckets of $bucketUs us (["),
+            col(startUsCol), lit(", "), col(endUsCol),
+            lit(")) — bucketUs is mis-sized for this duration profile")))))))
     val joinKeys = keys :+ "_ib"
     p.join(iv, joinKeys)
       .filter(col(tsUsCol) >= col(startUsCol) && col(tsUsCol) < col(endUsCol))

@@ -30,26 +30,22 @@ object RelationalQueries {
           count(lit(1)).as("cnt"))
     },
 
-    // Per-group top-k, two-phase. o_orderpriority has only 5 distinct
-    // values, so a direct rank window would funnel the whole table through 5
-    // tasks at scale. Phase 1 ranks within (priority, input-partition) — a
-    // high-cardinality key that spreads the exchange — and keeps at most k
-    // rows per (priority, partition); phase 2 ranks the surviving
-    // k * numPartitions * 5 rows, which is trivially small.
+    // Per-group top-k in the rank-window spelling, kept deliberately
+    // direct: Spark 4's WindowGroupLimit caps the exchange at k rows per
+    // (priority, input partition) on its own (verified in
+    // graft.plans.TopKProbe — shuffle records identical to a hand-salted
+    // two-phase pre-rank, which this query used before r10), and the `rn`
+    // column in the OUTPUT is what keeps this on the window operator
+    // rather than the GroupTopK heap (the rewrite rule correctly declines:
+    // the heap does not materialize ranks). `topk_group` is the heap-path
+    // twin.
     "q2_topk" -> { (s, d) =>
-      val k = 3
-      val pre = Tables.orders(s, d)
-        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-        .withColumn("_pid", spark_partition_id())
-      val w1 = Window.partitionBy(col("o_orderpriority"), col("_pid"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      val cand = pre.withColumn("_rn1", row_number().over(w1))
-        .filter(col("_rn1") <= k)
-        .drop("_pid", "_rn1")
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      cand.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
         .select(col("o_orderpriority"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("total"), col("rn"))
     },

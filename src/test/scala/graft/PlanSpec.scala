@@ -29,11 +29,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q2 top-k has no single-key window over the full table") {
+  test("q2 top-k gets a map-side group limit before the exchange") {
     val p = plan("q2_topk")
-    // phase-1 window partitions by (priority, partition id): the hash
-    // exchange must carry both columns
-    assert(p.contains("_pid"), "expected partition-id salted first phase")
+    // Spark 4's WindowGroupLimit partial phase must cap the shuffle at
+    // k rows per group per input partition (replaces the r1-r9 hand-salted
+    // _pid pre-rank)
+    assert(p.contains("WindowGroupLimit"), s"no group limit:\n${p.take(2000)}")
+    assert(p.contains("Partial"), s"group limit is not two-phase:\n${p.take(2000)}")
   }
 
   test("scan schemas are pruned to referenced columns") {

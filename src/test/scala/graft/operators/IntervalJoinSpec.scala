@@ -59,6 +59,23 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == Seq((1L, 10L), (1L, 11L)))
   }
 
+  test("pathological interval-to-bucket fan-out fails fast with a named span") {
+    val pts = Seq((1L, 1L, 50L)).toDF("event_id", "key", "t_us")
+    val ivs = Seq((1L, 0L, 10000000L, 10L)).toDF("key", "start_us", "end_us", "iv_id")
+    val ex = intercept[Exception] {
+      IntervalJoin.intervalJoin(pts, ivs, Seq("key"),
+        "t_us", "start_us", "end_us", bucketUs = 2L,
+        maxBucketsPerInterval = 100).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("mis-sized")), ex.getMessage)
+    // same data with an adequate width still works
+    val ok = IntervalJoin.intervalJoin(pts, ivs, Seq("key"),
+      "t_us", "start_us", "end_us", bucketUs = 1000000L).count()
+    assert(ok == 1)
+  }
+
   test("plan: exchange carries (key, time-bucket), not key alone") {
     val pts = Seq((1L, 1L, 50L)).toDF("event_id", "key", "t_us").repartition(2)
     val ivs = Seq((1L, 0L, 100L, 10L)).toDF("key", "start_us", "end_us", "iv_id")
