@@ -654,4 +654,38 @@ object TextAnalysis {
       .otherwise(concat(lit("?"), qsorted))
     concat(scheme, lit("://"), host, keepPort, path, qpart)
   }
+
+  /** Sliding-window document chunking — the RAG-indexing / long-context
+    * curation splitter: fixed `chunkWords`-word windows advancing by
+    * `chunkWords - overlapWords`, the final window shortened (never
+    * duplicated: exactly enough windows to cover the last word, so a
+    * trailing fragment shorter than the overlap is not emitted twice).
+    * Zero-word documents emit no chunks.
+    *
+    * Scale shape: one narrow codegen'd split + `sequence`/`explode` — no
+    * shuffle, no state, output rows ≈ corpus words / stride. Chunk
+    * identity is (id, chunk_idx); `chunk_digest` is md5 of the
+    * space-rejoined window (whitespace-normalized on both engines), so
+    * chunk equality is comparable without shipping chunk text.
+    */
+  def chunkDocuments(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, chunkWords: Int,
+                     overlapWords: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkWords > 0 && overlapWords >= 0 && overlapWords < chunkWords,
+      s"need 0 <= overlap < chunk, got chunk=$chunkWords overlap=$overlapWords")
+    val stride = chunkWords - overlapWords
+    docs
+      .select(col(idCol),
+        filter(split(col(textCol), "\\s+"), w => length(w) > 0).as("_ws"))
+      .withColumn("_nw", size(col("_ws")).cast("long"))
+      .filter(col("_nw") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        expr(s"greatest(0L, (_nw - $chunkWords + ${stride - 1}) div $stride)"))))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(chunkWords.toLong), col("_nw") - col("chunk_idx") * stride)
+          .as("n_words"),
+        md5(array_join(
+          slice(col("_ws"), (col("chunk_idx") * stride + 1).cast("int"),
+            lit(chunkWords)), " ")).as("chunk_digest"))
+  }
 }

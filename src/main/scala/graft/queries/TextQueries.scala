@@ -179,6 +179,15 @@ object TextQueries {
           md5(redactPii(planted)).as("redacted_digest"): _*)
     },
 
+    // RAG-shaped sliding-window chunking: 64-word windows, 16-word overlap
+    // (stride 48), digests instead of chunk text. Pure narrow explode —
+    // zero exchanges; the chunk count is exactly what covers the last word.
+    "doc_chunks" -> { (s, d) =>
+      graft.operators.TextAnalysis.chunkDocuments(
+        Tables.documents(s, d), "doc_id", "text",
+        chunkWords = 64, overlapWords = 16)
+    },
+
     // Corpus vocabulary head: top-10 words per language — ONE map-side
     // combinable (lang, word) count (the exploded words never reach the
     // reduce side un-combined), then the GroupTopK heap selects winners
@@ -378,6 +387,23 @@ object TextQueries {
         |ORDER BY n_occurrences DESC, gram ASC LIMIT 20""".stripMargin,
 
     "text_bpe_encode" -> bpeEncodeOracle,
+
+    // Same cover-the-last-word chunk count and 1-based inclusive slice
+    // bounds (DuckDB list_slice stop == Spark slice start+len-1).
+    "doc_chunks" ->
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '\s+'),
+        |                         x -> length(x) > 0) AS ws
+        |           FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS nw FROM w WHERE len(ws) > 0),
+        |c AS (SELECT doc_id, ws, nw,
+        |        unnest(range(0, 1 + greatest(0, (nw - 64 + 47) // 48))) AS ci
+        |      FROM n)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  CAST(least(64, nw - ci * 48) AS BIGINT) AS n_words,
+        |  md5(array_to_string(list_slice(ws, ci * 48 + 1, ci * 48 + 64), ' '))
+        |    AS chunk_digest
+        |FROM c""".stripMargin,
 
     "frequent_terms" ->
       """WITH w AS (SELECT lang,

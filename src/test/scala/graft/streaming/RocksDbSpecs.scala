@@ -35,3 +35,19 @@ class StreamingAsofRocksDbSpec extends StreamingAsofSpec {
   override protected def stateStoreProvider: Option[String] =
     Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }
+
+/** [[StreamingIntervalSpec]] under RocksDB state storage — the
+  * Array[IvWindow]-valued state round-trips through UnsafeRow here.
+  */
+class StreamingIntervalRocksDbSpec extends StreamingIntervalSpec {
+  override protected def stateStoreProvider: Option[String] =
+    Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}
+
+/** [[StreamingSketchSpec]] under RocksDB state storage — the
+  * Array[Long]-valued KMV survivor state round-trips through UnsafeRow.
+  */
+class StreamingSketchRocksDbSpec extends StreamingSketchSpec {
+  override protected def stateStoreProvider: Option[String] =
+    Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}

@@ -11,7 +11,23 @@ import scala.util.Random
   * key's feed arrives in event-time order across micro-batches, with state
   * bounded by the open-window overlap degree.
   */
-class StreamingIntervalSpec extends SparkSpec {
+class StreamingIntervalSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  protected def stateStoreProvider: Option[String] = None
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    stateStoreProvider.foreach(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
+
+  override protected def afterAll(): Unit = {
+    if (stateStoreProvider.isDefined)
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    super.afterAll()
+  }
+
   import spark.implicits._
 
   /** points (event_id, key, t); windows (key, start, end, value). */

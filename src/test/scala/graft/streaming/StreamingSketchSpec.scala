@@ -12,7 +12,23 @@ import scala.util.Random
   * regardless of chunking or duplicate re-delivery (the survivor set is a
   * pure function of the value set seen).
   */
-class StreamingSketchSpec extends SparkSpec {
+class StreamingSketchSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  protected def stateStoreProvider: Option[String] = None
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    stateStoreProvider.foreach(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
+
+  override protected def afterAll(): Unit = {
+    if (stateStoreProvider.isDefined)
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    super.afterAll()
+  }
+
   import spark.implicits._
 
   private val k = 64
