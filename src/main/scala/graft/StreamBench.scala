@@ -155,6 +155,42 @@ object StreamBench {
           f"rate=${nEvents / sec / 1e3}%8.1fk events/s")
       } finally q.stop()
     }
+
+    // seventh shape: streaming interval join — every 10th event opens a
+    // 40-tick window; state per key is the live overlap (~4 windows here)
+    val ivPoints: IndexedSeq[(Long, Long, Long)] =
+      (0 until nEvents).filter(_ % 10 != 0).map { i =>
+        (i.toLong, (i % nKeys).toLong, 1000000L + (i / nKeys).toLong)
+      }.toIndexedSeq
+    val ivWins: IndexedSeq[(Long, Long, Long, Double)] =
+      (0 until nEvents).filter(_ % 10 == 0).map { i =>
+        val s = 1000000L + (i / nKeys).toLong
+        ((i % nKeys).toLong, s, s + 40L, ((i * 7919) % 200).toDouble)
+      }.toIndexedSeq
+    (1 to 2).foreach { round =>
+      val msP = MemoryStream[(Long, Long, Long)]
+      val msW = MemoryStream[(Long, Long, Long, Double)]
+      val joined = graft.streaming.StreamingInterval.intervalJoinStream(
+        msP.toDF().toDF("event_id", "key", "t_us"),
+        msW.toDF().toDF("key", "start_us", "end_us", "value"))
+      val q = joined.writeStream.format("noop").outputMode("append").start()
+      try {
+        val t0 = System.nanoTime()
+        val pChunks = ivPoints.grouped(ivPoints.size / chunks + 1).toSeq
+        val wChunks = ivWins.grouped(ivWins.size / chunks + 1).toSeq
+        pChunks.zipAll(wChunks, IndexedSeq.empty, IndexedSeq.empty)
+          .foreach { case (pc, wc) =>
+            if (wc.nonEmpty) msW.addData(wc: _*)
+            if (pc.nonEmpty) msP.addData(pc: _*)
+            q.processAllAvailable()
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(q.exception.isEmpty, s"interval_stream failed: ${q.exception}")
+        println(f"[stream] interval_stream events=$nEvents%-8d keys=$nKeys%-5d " +
+          f"chunks=$chunks%-3d round=$round sec=$sec%7.2f " +
+          f"rate=${nEvents / sec / 1e3}%8.1fk events/s")
+      } finally q.stop()
+    }
     spark.stop()
   }
 }

@@ -53,4 +53,37 @@ object Stats {
     }
     cum.groupBy(g: _*).agg(max(col("_n")).as("n_rows"), picks: _*)
   }
+
+  /** One-sided CUSUM drift statistic per key — the classic "has this unit's
+    * level shifted upward" changepoint detector (Page 1954):
+    * `s_i = max(0, s_{i-1} + x_i - slack)`, alarm when `s_i` exceeds a
+    * threshold.
+    *
+    * The recursion has a closed form that two ORDERED-WINDOW passes compute
+    * without any per-row state machine: with `p_i = Σ_{j<=i} (x_j - slack)`,
+    * `s_i = p_i - min(0, min_{j<=i} p_j)` — a running sum and a running min,
+    * both O(1)-per-row frames over ONE (key) exchange + sort (the two
+    * windows share partitioning and ordering, so Catalyst plans a single
+    * Window pipeline; the same shape the pattern engine's stages pin in
+    * PlanSpec). Integer inputs make it bit-stable across engines — quantize
+    * doubles with `floor(x * scale)` first.
+    *
+    * Appends `cusum` (the statistic, ≥ 0) to every input row; threshold
+    * filtering is the caller's (keeps the operator composable — alarm
+    * runs, first-crossing extraction, and hysteresis are all downstream
+    * one-liners).
+    */
+  def cusum(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+            x: Column, slack: Long): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty,
+      "cusum needs key and order columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("_p", sum(x - lit(slack)).over(w))
+      .withColumn("cusum", col("_p") - least(lit(0L), min(col("_p")).over(w)))
+      .drop("_p")
+  }
 }

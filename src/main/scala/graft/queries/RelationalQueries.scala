@@ -163,6 +163,20 @@ object RelationalQueries {
         pcts = Seq(25, 50, 90, 99))
     },
 
+    // CUSUM upward-drift alarms per user: value quantized to integer
+    // millis-scale, slack 50.0, alarm above 300.0 cumulative excess. Two
+    // O(1)-frame windows over ONE (user_id) exchange — the closed form
+    // s = p - min(0, running_min(p)) replaces the per-row recursion.
+    "cusum_drift" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"),
+        floor(col("value") * 1000).cast("long").as("x"))
+      graft.operators.Stats.cusum(ev, Seq("user_id"),
+          Seq("t_us", "event_id"), col("x"), slack = 50000L)
+        .filter(col("cusum") > 300000L)
+        .select(col("user_id"), col("event_id"), col("t_us"), col("cusum"))
+    },
+
     // KMV distinct-count sketch: distinct active user-days per event type,
     // estimated from the 64 smallest 48-bit value hashes. The raw value
     // string never rides an exchange (only 8-byte hashes), and the
@@ -267,6 +281,23 @@ object RelationalQueries {
         |  round(i.iv_value, 2) AS iv_value
         |FROM pts p JOIN iv i ON p.user_id = i.user_id
         |  AND p.t_us >= i.start_us AND p.t_us < i.end_us""".stripMargin,
+
+    // Same closed form, same integer quantization, same (t_us, event_id)
+    // total order — bit-identical by construction.
+    "cusum_drift" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |             CAST(floor(value * 1000) AS BIGINT) - 50000 AS d
+        |           FROM events),
+        |p AS (SELECT user_id, event_id, t_us,
+        |        sum(d) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS p
+        |      FROM e),
+        |s AS (SELECT user_id, event_id, t_us,
+        |        p - least(0, min(p) OVER (PARTITION BY user_id
+        |          ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING)) AS cusum
+        |      FROM p)
+        |SELECT user_id, event_id, t_us, cusum FROM s
+        |WHERE cusum > 300000""".stripMargin,
 
     // Same histogram + integer ceil-rank arithmetic — deliberately NOT
     // DuckDB's percentile_disc, whose boundary convention need not match.

@@ -44,6 +44,31 @@ class StatsSpec extends SparkSpec {
     assert(got("b") == (("b", 1L, 1L, 1L)))
   }
 
+  test("cusum closed form equals the max(0, s+d) recursion on random walks") {
+    val rng = new Random(13)
+    val rows = for (k <- 0 until 6; i <- 0 until 500) yield
+      (k.toLong, i.toLong, rng.nextInt(200).toLong - 90L) // drifting walks
+    val df = rows.toDF("k", "i", "x").repartition(4)
+    val got = Stats.cusum(df, Seq("k"), Seq("i"), col("x"), slack = 10L)
+      .select("k", "i", "cusum").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for ((k, seq) <- rows.groupBy(_._1)) {
+      var s = 0L
+      seq.sortBy(_._2).foreach { case (_, i, x) =>
+        s = math.max(0L, s + x - 10L)
+        assert(got((k, i)) == s, s"key=$k i=$i")
+      }
+    }
+  }
+
+  test("cusum plan: both windows share one exchange and sort") {
+    val df = Seq((1L, 1L, 5L)).toDF("k", "i", "x").repartition(2)
+    val p = Stats.cusum(df, Seq("k"), Seq("i"), col("x"), slack = 1L)
+      .queryExecution.executedPlan.toString()
+    assert("Exchange hashpartitioning\\(k#".r.findAllIn(p).size == 1, p)
+    assert("Sort ".r.findAllIn(p).size == 1, p)
+  }
+
   test("plan: the exchange carries the histogram, not the rows") {
     val df = Seq(("a", 1L), ("b", 2L)).toDF("g", "v").repartition(2)
     val p = Stats.histogramQuantiles(df, Seq("g"), "v", Seq(50))

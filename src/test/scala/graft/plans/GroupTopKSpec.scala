@@ -89,4 +89,27 @@ class GroupTopKSpec extends SparkSpec {
   test("strategy leaves unrelated plans alone (smoke: normal query still plans)") {
     assert(Seq((1, 2)).toDF("a", "b").groupBy("a").count().count() == 1)
   }
+
+  test("a table bucketed on the group key satisfies the final phase — zero exchanges") {
+    val wh = java.nio.file.Files.createTempDirectory("topkbuckets").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS topkdb LOCATION '$wh'")
+    try {
+      val rng = new Random(3)
+      val df = Seq.tabulate(2000) { i =>
+        (rng.nextInt(11).toLong, rng.nextInt(500).toLong, i.toLong)
+      }.toDF("g", "v", "id")
+      graft.io.Bucketing.writeBucketed(df, "topkdb.profile", Seq("g"), 4)
+      val t = spark.table("topkdb.profile")
+      val q = GroupTopK.topK(t, Seq("g"), Seq("v" -> false, "id" -> true), 3)
+      val got = canon(q)
+      assert(got == canon(windowTopK(df, 3)))
+      val p = q.queryExecution.executedPlan.toString()
+      assert("GroupTopK \\[".r.findAllIn(p).size == 2, p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed layout should satisfy ClusteredDistribution:\n$p")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS topkdb.profile")
+      spark.sql("DROP DATABASE IF EXISTS topkdb")
+    }
+  }
 }
