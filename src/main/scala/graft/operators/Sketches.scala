@@ -47,7 +47,11 @@ object Sketches {
                   k: Int = 256): DataFrame = {
     require(k > 1 && k < 32768, s"kmvDistinct needs 1 < k < 32768, got $k")
     val g = groupCols.map(col)
-    val dist = df.select(g :+ hash48(valueExpr).as("hv"): _*).distinct()
+    // null values are EXCLUDED, matching count(DISTINCT x) semantics —
+    // and a null hash would also sort NULLS FIRST here vs NULLS LAST in
+    // engines replaying the sketch, silently eating a survivor slot
+    val dist = df.select(g :+ hash48(valueExpr).as("hv"): _*)
+      .filter(col("hv").isNotNull).distinct()
     val kept = graft.plans.GroupTopK.topK(dist, groupCols, Seq("hv" -> true), k)
     kept.groupBy(g: _*)
       .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("kth_hv"))

@@ -40,7 +40,10 @@ object Stats {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in [1,100], got $pcts")
     val g = groupCols.map(col)
-    val hist = df.groupBy(g :+ col(valueCol): _*).agg(count(lit(1)).as("_cnt"))
+    // null values are excluded, as every SQL percentile aggregate does —
+    // a null histogram row would otherwise pollute the cumulative counts
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol): _*).agg(count(lit(1)).as("_cnt"))
     val cum = hist
       .withColumn("_cum", sum(col("_cnt")).over(
         org.apache.spark.sql.expressions.Window

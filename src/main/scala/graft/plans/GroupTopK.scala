@@ -73,10 +73,15 @@ object GroupTopK {
     require(groupCols.nonEmpty, "topK needs at least one group column")
     require(orderBy.nonEmpty, "topK needs at least one order column")
     val lp = df.queryExecution.analyzed
-    def attr(n: String): Attribute = lp.output
-      .find(a => a.name.equalsIgnoreCase(n))
-      .getOrElse(throw new IllegalArgumentException(
-        s"topK: no column '$n' in [${lp.output.map(_.name).mkString(", ")}]"))
+    def attr(n: String): Attribute =
+      lp.output.filter(a => a.name.equalsIgnoreCase(n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"topK: no column '$n' in [${lp.output.map(_.name).mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"topK: ambiguous column '$n' (${many.size} matches) — " +
+            "disambiguate with aliases before calling")
+      }
     val order = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }

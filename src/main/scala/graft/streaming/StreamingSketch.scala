@@ -57,6 +57,9 @@ object StreamingSketch {
     implicit val stateEnc: Encoder[KmvState] = Encoders.product[KmvState]
     df.select(col("group").cast("string").as("group"),
         graft.operators.Sketches.hash48(col("value")).as("hv"))
+      // null values are excluded (count(DISTINCT) semantics — and a null
+      // hv would fail the non-nullable Long decode below)
+      .filter(col("hv").isNotNull)
       .as[HashedValue]
       .groupByKey(_.group)
       .flatMapGroupsWithState(OutputMode.Update,

@@ -58,7 +58,8 @@ class ChunkSpec extends SparkSpec {
   }
 
   test("zero-word and null docs emit nothing; plan has no exchange") {
-    val df = Seq((1L, ""), (2L, "   "), (3L, "one two")).toDF("doc_id", "text")
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one two"), (4L, null))
+      .toDF("doc_id", "text")
     val out = TextAnalysis.chunkDocuments(df, "doc_id", "text", 64, 16)
     assert(out.count() == 1)
     val p = out.queryExecution.executedPlan.toString()

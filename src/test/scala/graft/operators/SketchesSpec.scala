@@ -53,6 +53,17 @@ class SketchesSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("null values are excluded, matching count(DISTINCT) semantics") {
+    val df = (Seq.tabulate(80)(i => ("a", Option((i % 40).toLong))) ++
+        Seq.fill(25)(("a", Option.empty[Long])) :+ ("b", Option.empty[Long]))
+      .toDF("g", "v")
+    val got = Sketches.kmvDistinct(df, Seq("g"), col("v"), k = 256)
+      .select("g", "n_kept", "est_distinct").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == ((40L, 40L))) // nulls never occupy survivor slots
+    assert(!got.contains("b"))       // all-null group vanishes, like COUNT(DISTINCT)
+  }
+
   test("hash48 stays in [1, 2^48] and is deterministic") {
     val vals = Seq("a", "b", "", "0", "a").toDF("v")
       .select(Sketches.hash48(col("v")).as("h")).as[Long].collect()

@@ -34,6 +34,15 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("null values are ignored, like every SQL percentile aggregate") {
+    val df = (Seq.tabulate(100)(i => ("a", Option(i.toLong))) ++
+        Seq.fill(50)(("a", Option.empty[Long])))
+      .toDF("g", "v")
+    val got = Stats.histogramQuantiles(df, Seq("g"), "v", Seq(50, 100))
+      .select("n_rows", "p50", "p100").as[(Long, Long, Long)].head()
+    assert(got == ((100L, 49L, 99L))) // n and picks over the 100 non-nulls only
+  }
+
   test("heavy ties and single-value groups") {
     val df = (Seq.fill(999)(("a", 7L)) ++ Seq(("a", 8L)) ++ Seq(("b", 1L)))
       .toDF("g", "v")

@@ -75,6 +75,25 @@ class StreamingSketchSpec extends SparkSpec
     }
   }
 
+  test("null values in the stream are excluded, not a decode crash") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val q = StreamingSketch.kmvDistinctStream(
+        ms.toDF().toDF("group", "value"), k)
+      .writeStream.format("memory").queryName("kmv_null")
+      .outputMode("update").start()
+    try {
+      ms.addData(("g", "a"), ("g", null), ("g", "b"), ("g", null))
+      q.processAllAvailable()
+      val row = spark.table("kmv_null").select("n_kept", "est_distinct")
+        .as[(Long, Long)].head()
+      assert(row == ((2L, 2L)))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS kmv_null")
+    }
+  }
+
   test("duplicate re-delivery does not move the estimate") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq.tabulate(500)(i => ("g", (i % 200).toLong))
