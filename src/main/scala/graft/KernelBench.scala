@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
 object KernelBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("span")) return spanMain(args.drop(1))
+    if (args.headOption.contains("simhash")) return simhashMain(args.drop(1))
     val nPairs = args.headOption.map(_.toInt).getOrElse(2000000)
     val dim = args.drop(1).headOption.map(_.toInt).getOrElse(64)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -113,6 +114,52 @@ object KernelBench {
         val secs = (System.nanoTime() - t0) / 1e9
         sums(name) = s
         println(f"[kernel] span-$name%6s round=$round docs=$nDocs wpd=$wpd " +
+          f"sec=$secs%.2f kdocs_per_s=${nDocs / secs / 1e3}%.1f checksum=$s")
+      }
+    }
+    require(sums.values.toSet.size == 1, s"formulations disagree: $sums")
+    spark.stop()
+  }
+
+  /** SimHash signature kernel A/B: the relational frame (explode +
+    * 64-column partial agg + id shuffle) vs the whole-doc native kernel
+    * (pure narrow map). `sbt "runMain graft.KernelBench simhash [nDocs]
+    * [wordsPerDoc]"`.
+    */
+  private def simhashMain(args: Seq[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
+    val wpd = args.drop(1).headOption.map(_.toInt).getOrElse(80)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.range(0, nDocs, 1, cpus.toInt * 2)
+      .select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(wpd)),
+          i => concat(lit("tok"), pmod(i * (col("id") + 3), lit(500)))),
+          " ").as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    def checksum(df: DataFrame): Long =
+      df.agg(bit_xor(xxhash64(col("id"), col("sig")))).head().getLong(0)
+    val forms: Seq[(String, () => DataFrame)] = Seq(
+      "frame" -> (() => graft.operators.TextDedup
+        .simhashSignatures(docs, "doc_id", "text")),
+      "native" -> (() => graft.operators.TextDedup
+        .simhashSignaturesNative(docs, "doc_id", "text")))
+    val sums = scala.collection.mutable.Map.empty[String, Long]
+    (1 to 2).foreach { round =>
+      forms.foreach { case (name, f) =>
+        val t0 = System.nanoTime()
+        val s = checksum(f())
+        val secs = (System.nanoTime() - t0) / 1e9
+        sums(name) = s
+        println(f"[kernel] simhash-$name%6s round=$round docs=$nDocs wpd=$wpd " +
           f"sec=$secs%.2f kdocs_per_s=${nDocs / secs / 1e3}%.1f checksum=$s")
       }
     }

@@ -92,7 +92,7 @@ case class SpanCorrupt(words: Expression, docId: Expression, maskPct: Int)
 }
 
 object SpanCorrupt {
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
+  private[functions] val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
@@ -101,4 +101,75 @@ object SpanCorrupt {
   def spanCorrupt(words: Column, docId: Column, maskPct: Int): Column =
     GraftSqlShim.column(SpanCorrupt(GraftSqlShim.expression(words),
       GraftSqlShim.expression(docId), maskPct))
+}
+
+/** Native kernel for the 64-bit SimHash signature
+  * ([[graft.operators.TextDedup.simhashSignatures]]).
+  *
+  * The relational formulation explodes one row per word, parses the md5
+  * prefix into two integer halves, and runs a 64-column partial aggregate —
+  * map-side combinable, but it pays a word-row materialization, 64
+  * shift/mask Column evaluations per word row, and a hash exchange on the
+  * doc id to finish the votes. This expression computes the whole document
+  * in one JVM call — one thread-local MessageDigest per word, a 64-int
+  * vote array, O(doc) — turning the signature step into a pure narrow map
+  * with NO shuffle at all. CodegenFallback at the expression level (the
+  * digest call dominates; same stance as [[SpanCorrupt]]), with the
+  * relational frame retained as the in-test differential oracle.
+  *
+  * Bit layout is EXACTLY [[graft.operators.TextDedup.simhashSignatures]]'s
+  * (locked by the differential spec): bit j of the signature reads bit
+  * (j % 4) of hex digit (j / 4) of the word's md5, digits indexed from the
+  * hex string's first character; a bit is set when strictly more than half
+  * the words vote 1 (`2·sum > n`).
+  */
+case class SimHash64(words: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+
+  override def child: Expression = words
+  override def inputTypes: Seq[GraftSqlShim.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(w: Any): Any = {
+    val ws = w.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    val votes = new Array[Int](64)
+    val md = SpanCorrupt.digest.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(ws.getUTF8String(i).getBytes)
+      val d = md.digest()
+      // hex digit k = high nibble of byte k/2 (k even) else low nibble
+      var j = 0
+      while (j < 64) {
+        val digit = j >> 2
+        val b = d(digit >> 1) & 0xff
+        val nib = if ((digit & 1) == 0) b >> 4 else b & 0xf
+        votes(j) += (nib >> (j & 3)) & 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (2 * votes(j) > n) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(words = newChild)
+}
+
+object SimHash64 {
+  /** Column wrapper: 64-bit signature of a word array. */
+  def simhash64(words: Column): Column =
+    GraftSqlShim.column(SimHash64(GraftSqlShim.expression(words)))
 }

@@ -627,6 +627,19 @@ object TextDedup {
         }.reduce(_ + _).as("sig"))
   }
 
+  /** [[simhashSignatures]] on the native [[graft.functions.SimHash64]]
+    * kernel: the whole document in ONE JVM call — a pure narrow map with
+    * no word-row explode, no 64-column aggregate, and NO shuffle at all.
+    * Bit-identical to the relational frame by construction (the
+    * differential spec locks it); use the frame when an external engine
+    * must replay signatures relationally, this everywhere else.
+    */
+  def simhashSignaturesNative(df: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    Spread(df.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"), graft.functions.SimHash64
+        .simhash64(split(col("_t"), "\\s+")).as("sig"))
+
   /** SimHash near-duplicates: candidates share one of four 16-bit chunks
     * (any pair within hamming distance 3 of a 64-bit signature must agree on
     * at least one chunk), verified by exact hamming distance <= `maxHamming`.
@@ -640,7 +653,7 @@ object TextDedup {
     maxHamming: Int = 3,
     bucketCap: Int = 200
   ): DataFrame = {
-    val sig = simhashSignatures(df, idCol, textCol)
+    val sig = simhashSignaturesNative(df, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sig.select(col("id"),
       explode(array((0 until 4).map(c =>

@@ -290,6 +290,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(fast.size == oracle.size && fast.nonEmpty)
     val diff = fast.collect { case (k, v) if oracle(k) != v => k }
     assert(diff.isEmpty, s"signatures differ for ${diff.take(5)}")
+
+    // the r10 native kernel must be bit-identical to BOTH relational forms,
+    // and its plan must be a pure narrow map — no exchange at all
+    val native = TextDedup.simhashSignaturesNative(docs, "doc_id", "text")
+    val nat = native.as[(Long, Long)].collect().toMap
+    assert(nat == oracle, "native kernel diverges from the column oracle")
+    // Spread's round-robin repartition (spreading a single-split scan) is
+    // the ONLY exchange allowed — no hash shuffle, no aggregate
+    val p = native.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"native signatures must not hash-shuffle:\n$p")
+    assert(!p.contains("HashAggregate"), s"native signatures must not aggregate:\n$p")
   }
 
   test("scorePairs equals the higher-order cosine form") {
