@@ -51,3 +51,9 @@ class StreamingSketchRocksDbSpec extends StreamingSketchSpec {
   override protected def stateStoreProvider: Option[String] =
     Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }
+
+/** [[StreamingCusumSpec]] under RocksDB state storage. */
+class StreamingCusumRocksDbSpec extends StreamingCusumSpec {
+  override protected def stateStoreProvider: Option[String] =
+    Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}
