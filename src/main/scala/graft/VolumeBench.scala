@@ -50,8 +50,13 @@ object VolumeBench {
 
   private def runPatterns(spark: SparkSession, sfDir: String, cpus: Int,
                           factors: Seq[Int]): Unit = {
+    // r10 additions ride the same replicated events dirs: the two join
+    // operators (ordered-window carry / time-grid pairing), the CUSUM
+    // window pair, and the KMV sketch — all keyed on user_id, so the
+    // distinct-key replication is exactly their 100 TB growth axis
     val queries = Seq("pat_timer", "pat_sessions", "pat_truth_millis",
-      "dsl_andthen", "dsl_forstat", "dsl_nested")
+      "dsl_andthen", "dsl_forstat", "dsl_nested",
+      "asof_join", "interval_join", "cusum_drift", "sketch_distinct")
     factors.foreach { f =>
       val dir = s"/tmp/graft-volume/x$f"
       if (!new java.io.File(s"$dir/events.parquet").exists()) {
