@@ -67,4 +67,27 @@ object IntervalJoin {
       .filter(col(tsUsCol) >= col(startUsCol) && col(tsUsCol) < col(endUsCol))
       .drop("_ib")
   }
+
+  /** [[intervalJoin]] with the grid width derived from the data: one cheap
+    * aggregate reads the p95 interval duration and uses it as `bucketUs`
+    * (clamped to ≥ 1), so typical intervals replicate to ~2 buckets without
+    * the caller profiling durations by hand. Sound because the width is a
+    * PHYSICAL knob only — the differential spec proves the result identical
+    * across widths — so a planning-time approximation cannot change
+    * results, and the p95 read is `percentile_approx` (one narrow pass, no
+    * sort). Pathologically long outliers above p95 still hit the
+    * fail-fast fan-out ceiling with the named-span error.
+    */
+  def intervalJoinAuto(points: DataFrame, intervals: DataFrame,
+                       keys: Seq[String], tsUsCol: String, startUsCol: String,
+                       endUsCol: String,
+                       maxBucketsPerInterval: Int = 10000): DataFrame = {
+    val p95 = intervals
+      .filter(col(endUsCol) > col(startUsCol))
+      .agg(percentile_approx(col(endUsCol) - col(startUsCol), lit(0.95),
+        lit(1000)).as("p95"))
+      .head().getLong(0)
+    intervalJoin(points, intervals, keys, tsUsCol, startUsCol, endUsCol,
+      bucketUs = math.max(1L, p95), maxBucketsPerInterval)
+  }
 }

@@ -109,6 +109,19 @@ object RelationalQueries {
           .as("revenue"), count(lit(1)).as("cnt"))
     },
 
+    // Hierarchical rollup: revenue by (status, priority) with subtotal and
+    // grand-total rows — Spark's Expand + one partial-aggregated shuffle;
+    // grouping level disambiguated via grouping_id (NULL data values vs
+    // NULL subtotal markers).
+    "q8_rollup" -> { (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("cnt"),
+          grouping_id(col("o_orderstatus"), col("o_orderpriority"))
+            .cast("long").as("lvl"))
+    },
+
     // As-of (point-in-time) join: every non-click event picks up the
     // latest click "setpoint" at-or-before its timestamp per user — the
     // trade-meets-quote join Spark lacks. Union + ordered window (one
@@ -252,6 +265,15 @@ object RelationalQueries {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07""".stripMargin,
+
+    "q8_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | round(sum(o_totalprice), 2) AS revenue,
+        | count(*) AS cnt,
+        | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+        |   AS BIGINT) AS lvl
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
 
     // DuckDB has native ASOF JOIN — the oracle is the textbook spelling of
     // what the union+window operator computes (validated row-for-row

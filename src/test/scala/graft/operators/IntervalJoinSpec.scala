@@ -59,6 +59,24 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == Seq((1L, 10L), (1L, 11L)))
   }
 
+  test("auto-tuned width returns identical results to any fixed width") {
+    val rng = new Random(19)
+    val pts = Seq.tabulate(1500) { i =>
+      (i.toLong, rng.nextInt(10).toLong, rng.nextInt(50000).toLong)
+    }.toDF("event_id", "key", "t_us").repartition(3)
+    val ivs = Seq.tabulate(200) { i =>
+      val s = rng.nextInt(50000).toLong
+      (rng.nextInt(10).toLong, s, s + 1 + rng.nextInt(4000).toLong, i.toLong)
+    }.toDF("key", "start_us", "end_us", "iv_id").repartition(2)
+    val auto = IntervalJoin.intervalJoinAuto(pts, ivs, Seq("key"),
+        "t_us", "start_us", "end_us")
+      .select("event_id", "iv_id").as[(Long, Long)].collect().toSeq.sorted
+    val fixed = IntervalJoin.intervalJoin(pts, ivs, Seq("key"),
+        "t_us", "start_us", "end_us", bucketUs = 777L)
+      .select("event_id", "iv_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(auto == fixed && auto.nonEmpty)
+  }
+
   test("pathological interval-to-bucket fan-out fails fast with a named span") {
     val pts = Seq((1L, 1L, 50L)).toDF("event_id", "key", "t_us")
     val ivs = Seq((1L, 0L, 10000000L, 10L)).toDF("key", "start_us", "end_us", "iv_id")
