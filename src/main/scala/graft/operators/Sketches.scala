@@ -44,16 +44,45 @@ object Sketches {
     * than k distinct values, else the KMV estimator).
     */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueExpr: Column,
-                  k: Int = 256): DataFrame = {
-    require(k > 1 && k < 32768, s"kmvDistinct needs 1 < k < 32768, got $k")
-    val g = groupCols.map(col)
-    // null values are EXCLUDED, matching count(DISTINCT x) semantics —
-    // and a null hash would also sort NULLS FIRST here vs NULLS LAST in
-    // engines replaying the sketch, silently eating a survivor slot
-    val dist = df.select(g :+ hash48(valueExpr).as("hv"): _*)
+                  k: Int = 256): DataFrame =
+    kmvEstimate(kmvSurvivors(df, groupCols, valueExpr, k), groupCols, k)
+
+  /** The sketch STATE as a relation: per group, the k smallest distinct
+    * hashes as (group cols..., hv) rows. This is the artifact to persist
+    * for incremental use — parquet-writable, engine-portable, mergeable.
+    * Null values are EXCLUDED, matching `count(DISTINCT x)` semantics —
+    * and a null hash would also sort NULLS FIRST here vs NULLS LAST in
+    * engines replaying the sketch, silently eating a survivor slot.
+    */
+  def kmvSurvivors(df: DataFrame, groupCols: Seq[String], valueExpr: Column,
+                   k: Int = 256): DataFrame = {
+    require(k > 1 && k < 32768, s"kmvSurvivors needs 1 < k < 32768, got $k")
+    val dist = df.select(groupCols.map(col) :+ hash48(valueExpr).as("hv"): _*)
       .filter(col("hv").isNotNull).distinct()
-    val kept = graft.plans.GroupTopK.topK(dist, groupCols, Seq("hv" -> true), k)
-    kept.groupBy(g: _*)
+    graft.plans.GroupTopK.topK(dist, groupCols, Seq("hv" -> true), k)
+  }
+
+  /** Fold a new batch into stored survivors — the daily-crawl shape (the
+    * [[TextDedup]] index-and-probe stance): hash only the BATCH, union with
+    * yesterday's k-row-per-group survivor relation, re-take the k smallest
+    * distinct. By the KMV merge property the result equals the sketch of
+    * the full history, so estimates never drift under re-ingestion.
+    */
+  def kmvUpdate(survivors: DataFrame, batch: DataFrame, groupCols: Seq[String],
+                valueExpr: Column, k: Int = 256): DataFrame = {
+    val fresh = batch.select(groupCols.map(col) :+ hash48(valueExpr).as("hv"): _*)
+      .filter(col("hv").isNotNull)
+    graft.plans.GroupTopK.topK(
+      survivors.select(groupCols.map(col) :+ col("hv"): _*)
+        .unionByName(fresh).distinct(),
+      groupCols, Seq("hv" -> true), k)
+  }
+
+  /** Estimates from a survivor relation (see [[kmvSurvivors]]). */
+  def kmvEstimate(survivors: DataFrame, groupCols: Seq[String],
+                  k: Int): DataFrame = {
+    val g = groupCols.map(col)
+    survivors.groupBy(g: _*)
       .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("kth_hv"))
       .withColumn("est_distinct",
         when(col("n_kept") < k, col("n_kept"))

@@ -53,6 +53,27 @@ class SketchesSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("incremental kmvUpdate over batches equals the one-shot sketch") {
+    val rng = new Random(29)
+    val all = Seq.tabulate(9000) { _ =>
+      (s"g${rng.nextInt(3)}", rng.nextInt(2500).toLong)
+    }
+    val k = 128
+    val batches = all.grouped(3000).toSeq
+    var surv = Sketches.kmvSurvivors(batches.head.toDF("g", "v"),
+      Seq("g"), col("v"), k)
+    batches.tail.foreach { b =>
+      surv = Sketches.kmvUpdate(surv, b.toDF("g", "v"), Seq("g"), col("v"), k)
+    }
+    val incr = Sketches.kmvEstimate(surv, Seq("g"), k)
+      .select("g", "n_kept", "kth_hv", "est_distinct")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val oneShot = Sketches.kmvDistinct(all.toDF("g", "v"), Seq("g"), col("v"), k)
+      .select("g", "n_kept", "kth_hv", "est_distinct")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(incr == oneShot && incr.nonEmpty)
+  }
+
   test("null values are excluded, matching count(DISTINCT) semantics") {
     val df = (Seq.tabulate(80)(i => ("a", Option((i % 40).toLong))) ++
         Seq.fill(25)(("a", Option.empty[Long])) :+ ("b", Option.empty[Long]))
