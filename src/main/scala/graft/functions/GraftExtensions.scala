@@ -49,5 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NormL2(children.head)
       }
     ))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        requireArity("simhash64", 1, children)
+        SimHash64(children.head)
+      }
+    ))
   }
 }

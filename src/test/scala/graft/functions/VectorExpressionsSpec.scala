@@ -120,6 +120,21 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
   }
 
+  test("SQL function simhash64 is registered and matches the operator column") {
+    import org.apache.spark.sql.functions.{lit, split}
+    val viaSql = spark.sql(
+      "SELECT simhash64(split('alpha beta gamma', ' ')) AS sig").head().getLong(0)
+    val viaCol = spark.range(1)
+      .select(graft.functions.SimHash64
+        .simhash64(split(lit("alpha beta gamma"), " ")).as("sig"))
+      .head().getLong(0)
+    assert(viaSql == viaCol && viaSql != 0L)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64(array('a'), array('b'))").collect()
+    }
+    assert(e.getMessage.contains("simhash64"), e.getMessage)
+  }
+
   test("wrong arity raises a proper AnalysisException naming the function") {
     val e1 = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT vec_dot(array(1.0d))").collect()
