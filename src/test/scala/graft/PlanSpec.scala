@@ -329,6 +329,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), s"heap plan must not sort the input:\n${p.take(2000)}")
   }
 
+  test("frequent_terms combines counts map-side and selects winners on the heap") {
+    val p = plan("frequent_terms")
+    assert(p.contains("partial_count"), s"word counts must combine map-side:\n${p.take(2000)}")
+    assert("GroupTopK \\[".r.findAllIn(p).size == 2,
+      s"winner selection must run on the heap operator:\n${p.take(2000)}")
+    assert(!p.contains("Window"), "no rank window anywhere in the plan")
+  }
+
   test("cluster_assign rolls up with one exchange on the cell id") {
     val p = plan("cluster_assign")
     assert(!p.contains("CartesianProduct"))
