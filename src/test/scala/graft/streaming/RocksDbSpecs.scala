@@ -57,3 +57,9 @@ class StreamingCusumRocksDbSpec extends StreamingCusumSpec {
   override protected def stateStoreProvider: Option[String] =
     Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }
+
+/** [[StreamingTopKSpec]] under RocksDB state storage. */
+class StreamingTopKRocksDbSpec extends StreamingTopKSpec {
+  override protected def stateStoreProvider: Option[String] =
+    Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}
