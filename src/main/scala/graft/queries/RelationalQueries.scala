@@ -122,6 +122,17 @@ object RelationalQueries {
             .cast("long").as("lvl"))
     },
 
+    // Set-operation surface: INTERSECT/EXCEPT plan as left-semi/anti joins
+    // over deduplicated key sets (aggregate pushed partial) — no row
+    // payloads ride the exchanges.
+    "q9_setop" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val hiQ = li.filter(col("l_quantity") > 45).select(col("l_orderkey"))
+      val hiD = li.filter(col("l_discount") >= 0.08).select(col("l_orderkey"))
+      val ret = li.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      hiQ.intersect(hiD).except(ret)
+    },
+
     // As-of (point-in-time) join: every non-click event picks up the
     // latest click "setpoint" at-or-before its timestamp per user — the
     // trade-meets-quote join Spark lacks. Union + ordered window (one
@@ -265,6 +276,14 @@ object RelationalQueries {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07""".stripMargin,
+
+    "q9_setop" ->
+      """SELECT l_orderkey FROM (
+        |  (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45
+        |   INTERSECT
+        |   SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.08)
+        |  EXCEPT
+        |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R') t""".stripMargin,
 
     "q8_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,

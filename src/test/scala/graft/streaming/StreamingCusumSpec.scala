@@ -63,6 +63,33 @@ class StreamingCusumSpec extends SparkSpec
     }
   }
 
+  test("state survives a query restart through the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new Random(53)
+    val rows = (1L to 400L).map(i => (i % 3, i / 3, i, rng.nextInt(40).toLong - 12L))
+    val (firstHalf, secondHalf) = rows.splitAt(200)
+    val want = batchCusum(rows)
+
+    val ckpt = java.nio.file.Files.createTempDirectory("cusum-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cusum-out").toString
+    val ms = MemoryStream[(Long, Long, Long, Long)]
+    def start() = StreamingCusum.cusumStream(
+        ms.toDF().toDF("key", "t_us", "event_id", "x"), slack)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    ms.addData(firstHalf: _*); q1.processAllAvailable(); q1.stop()
+    val q2 = start()
+    ms.addData(secondHalf: _*); q2.processAllAvailable()
+    try {
+      val got = spark.read.parquet(outDir).select("event_id", "cusum")
+        .as[(Long, Long)].collect().toMap
+      // a lost (p, minP) would restart the second half's statistic at zero
+      assert(got == want)
+    } finally q2.stop()
+  }
+
   test("statistic resets to zero after a long quiet run, never negative") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(Long, Long, Long, Long)]
