@@ -88,6 +88,36 @@ class StreamingIntervalSpec extends SparkSpec
     }
   }
 
+  test("open-window state survives a query restart through the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("iv-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("iv-out").toString
+    val msP = MemoryStream[(Long, Long, Long)]
+    val msW = MemoryStream[(Long, Long, Long, Double)]
+    def start() = StreamingInterval.intervalJoinStream(
+        msP.toDF().toDF("event_id", "key", "t_us"),
+        msW.toDF().toDF("key", "start_us", "end_us", "value"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // open two overlapping windows, match one point, stop mid-window
+    val q1 = start()
+    msW.addData((1L, 10L, 100L, 5.0), (1L, 20L, 60L, 7.0))
+    msP.addData((1L, 1L, 30L))
+    q1.processAllAvailable(); q1.stop()
+
+    // restart: points must still see BOTH stored open windows
+    val q2 = start()
+    msP.addData((2L, 1L, 50L), (3L, 1L, 80L))
+    q2.processAllAvailable()
+    try {
+      val got = spark.read.parquet(outDir)
+        .select("event_id", "start_us").as[(Long, Long)].collect().toSeq.sorted
+      // point 2 (t=50): both windows; point 3 (t=80): only [10,100)
+      assert(got == Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L)))
+    } finally q2.stop()
+  }
+
   test("closed windows stop matching; ties at start match, at end do not") {
     implicit val sqlCtx = spark.sqlContext
     val msP = MemoryStream[(Long, Long, Long)]
