@@ -632,6 +632,11 @@ object TextAnalysis {
     * Pure codegen'd column expression (regexp splits + array HOFs): a
     * narrow map, embarrassingly parallel, with the dedup itself one
     * map-side-combinable groupBy on the canonical string.
+    *
+    * Schemeless or unparseable inputs (no `scheme://`) are returned
+    * fragment-stripped but otherwise verbatim — NOT collapsed: without the
+    * fallback every such URL canonicalized to the same `"://"` key and the
+    * min-doc_id dedup would silently merge unrelated documents.
     */
   def canonicalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
@@ -652,7 +657,8 @@ object TextAnalysis {
     val qsorted = array_join(array_sort(params), "&")
     val qpart = when(qsorted === "", lit(""))
       .otherwise(concat(lit("?"), qsorted))
-    concat(scheme, lit("://"), host, keepPort, path, qpart)
+    when(scheme === "", noFrag)
+      .otherwise(concat(scheme, lit("://"), host, keepPort, path, qpart))
   }
 
   /** Sliding-window document chunking — the RAG-indexing / long-context

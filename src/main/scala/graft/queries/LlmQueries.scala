@@ -407,7 +407,7 @@ object LlmQueries {
         |    round(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
         |          (a.nrm*b.nrm), 6) AS sim
         |    FROM cand JOIN m a ON a.vec_id = cand.qid JOIN m b ON b.vec_id = cand.nid)
-        |SELECT qid, nid, sim, rank FROM (
+        |SELECT qid, nid, sim, CAST(rank AS INTEGER) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
@@ -469,7 +469,7 @@ object LlmQueries {
         |    round(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
         |          (a.nrm*b.nrm), 6) AS sim
         |    FROM cand JOIN mm a ON a.vec_id = cand.qid JOIN mm b ON b.vec_id = cand.nid)
-        |SELECT qid, nid, sim, rank FROM (
+        |SELECT qid, nid, sim, CAST(rank AS INTEGER) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
@@ -528,7 +528,7 @@ object LlmQueries {
         |    round(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
         |          (a.nrm*b.nrm), 6) AS sim
         |    FROM cand JOIN mm a ON a.vec_id = cand.qid JOIN mm b ON b.vec_id = cand.nid)
-        |SELECT qid, nid, sim, rank FROM (
+        |SELECT qid, nid, sim, CAST(rank AS INTEGER) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
@@ -546,7 +546,7 @@ object LlmQueries {
         |         round(list_sum([q.v[i]*c.v[i] for i in range(1, len(q.v)+1)]) /
         |               (q.nrm*c.nrm), 6) AS sim
         |  FROM q JOIN m c ON q.vec_id <> c.vec_id)
-        |SELECT qid, nid, sim, rank FROM (
+        |SELECT qid, nid, sim, CAST(rank AS INTEGER) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
@@ -582,8 +582,8 @@ object LlmQueries {
 
     "text_tokens" ->
       s"""$docsCte
-         |SELECT doc_id, len(words) AS ws_tokens,
-         |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS sub_tokens
+         |SELECT doc_id, CAST(len(words) AS INTEGER) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS INTEGER) AS sub_tokens
          |FROM d""".stripMargin,
 
     "text_fingerprint" ->
@@ -1197,7 +1197,7 @@ object LlmQueries {
        |         round(list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
        |               (a.nrm*b.nrm), 6) AS sim
        |  FROM cand JOIN m a ON a.vec_id = cand.qid JOIN m b ON b.vec_id = cand.nid)
-       |SELECT qid, nid, sim, rank FROM (
+       |SELECT qid, nid, sim, CAST(rank AS INTEGER) AS rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
        |  FROM scored)
        |WHERE rank <= 5""".stripMargin

@@ -238,7 +238,8 @@ object RelationalQueries {
         | count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q2_topk" ->
-      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total, rn
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total,
+        | CAST(rn AS INTEGER) AS rn
         |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
         |       row_number() OVER (PARTITION BY o_orderpriority
         |         ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -330,12 +331,13 @@ object RelationalQueries {
         |             CAST(floor(value * 1000) AS BIGINT) - 50000 AS d
         |           FROM events),
         |p AS (SELECT user_id, event_id, t_us,
-        |        sum(d) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-        |          ROWS UNBOUNDED PRECEDING) AS p
+        |        CAST(sum(d) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
         |      FROM e),
         |s AS (SELECT user_id, event_id, t_us,
-        |        p - least(0, min(p) OVER (PARTITION BY user_id
-        |          ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING)) AS cusum
+        |        CAST(p - least(0, min(p) OVER (PARTITION BY user_id
+        |          ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING)) AS BIGINT)
+        |          AS cusum
         |      FROM p)
         |SELECT user_id, event_id, t_us, cusum FROM s
         |WHERE cusum > 300000""".stripMargin,
@@ -346,9 +348,9 @@ object RelationalQueries {
       """WITH hist AS (SELECT lang, source, n_chars, count(*) AS cnt
         |              FROM documents GROUP BY 1, 2, 3),
         |c AS (SELECT lang, source, n_chars, cnt,
-        |        sum(cnt) OVER (PARTITION BY lang, source
-        |          ORDER BY n_chars) AS cum,
-        |        sum(cnt) OVER (PARTITION BY lang, source) AS n
+        |        CAST(sum(cnt) OVER (PARTITION BY lang, source
+        |          ORDER BY n_chars) AS BIGINT) AS cum,
+        |        CAST(sum(cnt) OVER (PARTITION BY lang, source) AS BIGINT) AS n
         |      FROM hist)
         |SELECT lang, source, max(n) AS n_rows,
         |  min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN n_chars END) AS p25,

@@ -13,6 +13,16 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def typestr(t):
+    # Parquet round-trips Spark timestamps as TIMESTAMP WITH TIME ZONE in
+    # DuckDB while plain SQL emits TIMESTAMP; the driver's hash treats them
+    # alike, so normalize tz-ness only. Everything else is strict — this is
+    # what catches DuckDB widening sum(BIGINT) to HUGEINT.
+    return str(t).replace(" WITH TIME ZONE", "")
+
+def typemap(rel):
+    return {c: typestr(t) for c, t in zip(rel.columns, rel.types)}
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -39,17 +49,22 @@ def main():
         spark_files = glob.glob(os.path.join(outdir, name, "*.parquet"))
         if not spark_files:
             print(f"{name}: NO SPARK OUTPUT"); fail += 1; continue
-        sdf = con.execute(
-            f"SELECT * FROM read_parquet({spark_files!r})").fetchall()
-        scols = [d[0] for d in con.description]
+        srel = con.sql(f"SELECT * FROM read_parquet({spark_files!r})")
+        sdf, scols, stypes = srel.fetchall(), srel.columns, typemap(srel)
         try:
-            odf = con.execute(sql).fetchall()
-            ocols = [d[0] for d in con.description]
+            orel = con.sql(sql)
+            odf, ocols, otypes = orel.fetchall(), orel.columns, typemap(orel)
         except Exception as e:
             print(f"{name}: ORACLE SQL ERROR: {e}"); fail += 1; continue
         a, b = canon(sdf, scols), canon(odf, ocols)
+        tdiff = {c: (stypes.get(c), otypes.get(c))
+                 for c in set(scols) & set(ocols)
+                 if stypes.get(c) != otypes.get(c)}
         if sorted(scols) != sorted(ocols):
             print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}")
+            fail += 1
+        elif tdiff:
+            print(f"{name}: TYPE MISMATCH {tdiff}")
             fail += 1
         elif a == b:
             print(f"{name}: OK ({len(a)} rows)"); ok += 1
