@@ -40,20 +40,27 @@ object AsofJoin {
                tsCol: String, payload: Seq[String],
                prefix: String = "asof_"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
+    val asofCols = s"$prefix$tsCol" +: payload.map(p => s"$prefix$p")
     val l = left.withColumn("_side", lit(1))
+    // The whole right row travels as ONE struct under a single
+    // last(ignoreNulls): per-column carries would mix two setpoints when
+    // the latest one has a NULL in some payload column (that column would
+    // fall back to an older row while asof_<ts> comes from the newer one).
+    // The struct itself is never null on a right row, so NULL payload
+    // values ride along atomically.
     val r = right.select(
-      keys.map(col) ++
-        Seq(col(tsCol), col(tsCol).as(s"$prefix$tsCol")) ++
-        payload.map(p => col(p).as(s"$prefix$p")): _*)
+      keys.map(col) ++ Seq(col(tsCol),
+        struct(col(tsCol).as(s"$prefix$tsCol") +:
+          payload.map(p => col(p).as(s"$prefix$p")): _*).as("_asof")): _*)
       .withColumn("_side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (s"$prefix$tsCol" +: payload.map(p => s"$prefix$p"))
-      .foldLeft(u) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
-    carried.filter(col("_side") === 1).drop("_side")
+    val carried =
+      u.withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))
+    carried.filter(col("_side") === 1)
+      .select(left.columns.map(col) ++
+        asofCols.map(n => col("_asof").getField(n).as(n)): _*)
   }
 }

@@ -82,11 +82,14 @@ object IntervalJoin {
                        keys: Seq[String], tsUsCol: String, startUsCol: String,
                        endUsCol: String,
                        maxBucketsPerInterval: Int = 10000): DataFrame = {
-    val p95 = intervals
+    val r = intervals
       .filter(col(endUsCol) > col(startUsCol))
       .agg(percentile_approx(col(endUsCol) - col(startUsCol), lit(0.95),
         lit(1000)).as("p95"))
-      .head().getLong(0)
+      .head()
+    // No non-degenerate interval ⇒ percentile_approx is NULL; any width
+    // yields the same (empty) join result, so take 1 rather than NPE.
+    val p95 = if (r.isNullAt(0)) 1L else r.getLong(0)
     intervalJoin(points, intervals, keys, tsUsCol, startUsCol, endUsCol,
       bucketUs = math.max(1L, p95), maxBucketsPerInterval)
   }

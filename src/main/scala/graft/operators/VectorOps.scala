@@ -504,14 +504,23 @@ object VectorOps {
                     maxCentroidBytes: Long = 64L << 20): DataFrame = {
     val cBase = Spread(corpus).select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
       .withColumn("nn", norm(col("nv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stride = ivfStride(cBase.count(), minStride,
-      centroidBudget(probeDim(cBase, "nv"), maxCentroids, maxCentroidBytes))
-    val cents: Array[(Long, Array[Double], Double)] =
-      cBase.filter(col("nid") % stride === 0)
-        .orderBy("nid")
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    // The cache lives ONLY across the two planning reads (count + centroid
+    // collect) and is released before the output is built: the rollup scans
+    // cBase exactly once, so caching it for the output would trade one
+    // narrow recompute for a cached RDD leaked for the session's lifetime
+    // (the ProductQuantization qBase leak class).
+    cBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (stride, cents) =
+      try {
+        val st = ivfStride(cBase.count(), minStride,
+          centroidBudget(probeDim(cBase, "nv"), maxCentroids, maxCentroidBytes))
+        val cs: Array[(Long, Array[Double], Double)] =
+          cBase.filter(col("nid") % st === 0)
+            .orderBy("nid")
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        (st, cs)
+      } finally cBase.unpersist()
     require(cents.nonEmpty,
       s"clusterAssign: empty systematic sample (stride $stride) — " +
         "ids must be long-castable with some multiple of the stride present")

@@ -12,10 +12,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Like the KMV sketch (and unlike the order-contracted joins), the
   * retained set is a pure function of the SET of rows seen, so the stream
   * result after any prefix equals the batch top-k over that prefix under
-  * ANY delivery order, batching, or duplicate re-delivery — admission is
-  * idempotent because ties break on the unique id and duplicates compare
-  * equal, never displacing anything. State is ≤ k (long, long) pairs per
-  * group.
+  * ANY delivery order, batching, or duplicate re-delivery. Each id holds at
+  * most ONE rank: re-delivery of an id with a different score keeps the
+  * BEST score ever seen for that id (per-id max is itself a set function,
+  * so idempotence and order-independence survive score updates; an
+  * append-only stream cannot distinguish "update" from "replay", so
+  * best-ever is the only deterministic choice). State is ≤ k (long, long)
+  * pairs per group.
   *
   * Ordering: descending by `v`, ascending by `id` on ties (the leaderboard
   * convention); rows are re-emitted with their 1-based `rank`.
@@ -37,7 +40,7 @@ object StreamingTopK {
     val prev = state.getOption.getOrElse(TopKState(Array.empty, Array.empty))
     val merged = (prev.vs.indices.map(i => (prev.vs(i), prev.ids(i))) ++
         rows.map(r => (r.v, r.id)))
-      .distinct
+      .groupBy(_._2).valuesIterator.map(_.maxBy(_._1)).toSeq
       .sortWith { case ((v1, i1), (v2, i2)) => better(v1, i1, v2, i2) }
       .take(k)
     if (merged.isEmpty) return Iterator.empty

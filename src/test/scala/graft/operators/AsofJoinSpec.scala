@@ -44,6 +44,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(row == ((1.5, "lo", 5L)))
   }
 
+  test("asof join: NULL payload in the latest setpoint travels atomically") {
+    // Two setpoints: the older has v=1.5/mode=lo, the NEWER has v=NULL.
+    // Per-column carries would mix rows (v from t=5, ts/mode from t=8);
+    // the struct carry must deliver the t=8 row whole: v NULL, mode "hi".
+    val probes = Seq((1L, "a", 10L)).toDF("event_id", "k", "t")
+    val right = Seq(
+      ("a", 5L, Some(1.5), "lo"),
+      ("a", 8L, None: Option[Double], "hi")
+    ).toDF("k", "t", "v", "mode")
+    val row = AsofJoin.asofJoin(probes, right, Seq("k"), "t", Seq("v", "mode"))
+      .select("asof_v", "asof_mode", "asof_t")
+      .as[(Option[Double], String, Long)].head()
+    assert(row == ((None, "hi", 8L)))
+  }
+
   test("asof join matches a scan replica on random data") {
     val rnd = new Random(23)
     val keys = Seq("k0", "k1", "k2", "k3")

@@ -77,6 +77,20 @@ class IntervalJoinSpec extends SparkSpec {
     assert(auto == fixed && auto.nonEmpty)
   }
 
+  test("auto-tuned width survives empty and all-degenerate interval sides") {
+    val pts = Seq((1L, 1L, 10L)).toDF("event_id", "key", "t_us")
+    // empty intervals frame: percentile_approx is NULL — must not NPE
+    val none = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("key", "start_us", "end_us", "iv_id")
+    assert(IntervalJoin.intervalJoinAuto(pts, none, Seq("key"),
+      "t_us", "start_us", "end_us").count() === 0L)
+    // every interval degenerate (end <= start): same NULL p95 path
+    val degen = Seq((1L, 10L, 10L, 1L), (1L, 9L, 5L, 2L))
+      .toDF("key", "start_us", "end_us", "iv_id")
+    assert(IntervalJoin.intervalJoinAuto(pts, degen, Seq("key"),
+      "t_us", "start_us", "end_us").count() === 0L)
+  }
+
   test("pathological interval-to-bucket fan-out fails fast with a named span") {
     val pts = Seq((1L, 1L, 50L)).toDF("event_id", "key", "t_us")
     val ivs = Seq((1L, 0L, 10000000L, 10L)).toDF("key", "start_us", "end_us", "iv_id")

@@ -59,19 +59,21 @@ class StreamingAsofSpec extends SparkSpec
     val batches = merged.grouped((merged.size + 4) / 5).toSeq
 
     implicit val sqlCtx = spark.sqlContext
-    val msP = MemoryStream[(Long, Long, Long)] // event_id, key, t
-    val msS = MemoryStream[(Long, Long, Double)] // key, t, v
+    // ONE tagged source filtered two ways (the operator's documented
+    // one-source shape): two independent MemoryStreams would race the
+    // running trigger between their addData calls, and a micro-batch
+    // holding a chunk's probes WITHOUT its setpoints violates the per-key
+    // event-time-order contract (flaked once under RocksDB timing).
+    val ms = MemoryStream[(Long, Long, Int, Long, Double)]
+    val all = ms.toDF().toDF("key", "t_us", "side", "event_id", "value")
     val joined = StreamingAsof.asofJoinStream(
-      msP.toDF().toDF("event_id", "key", "t_us"),
-      msS.toDF().toDF("key", "t_us", "value"))
+      all.filter(col("side") === 1).select("event_id", "key", "t_us"),
+      all.filter(col("side") === 0).select("key", "t_us", "value"))
     val query = joined.writeStream.format("memory").queryName("stream_asof")
       .outputMode("append").start()
     try {
       batches.foreach { b =>
-        val ps = b.filter(_._3 == 1).map(e => (e._4, e._1, e._2))
-        val ss = b.filter(_._3 == 0).map(e => (e._1, e._2, e._5))
-        if (ps.nonEmpty) msP.addData(ps)
-        if (ss.nonEmpty) msS.addData(ss)
+        ms.addData(b: _*)
         query.processAllAvailable()
       }
       val got = spark.table("stream_asof")

@@ -62,19 +62,26 @@ class StreamingIntervalSpec extends SparkSpec
 
     implicit val sqlCtx = spark.sqlContext
     for (chunks <- Seq(1, 5, 23)) {
-      val msP = MemoryStream[(Long, Long, Long)]
-      val msW = MemoryStream[(Long, Long, Long, Double)]
+      // ONE tagged source filtered two ways — two independent
+      // MemoryStreams race the running trigger between their addData
+      // calls, and a batch holding a chunk's points without its windows
+      // breaks the in-order-feed contract (see StreamingAsofSpec).
+      val ms = MemoryStream[(Int, Long, Long, Long, Long, Double)]
+      val all = ms.toDF().toDF("side", "event_id", "key", "a", "b", "value")
       val q = StreamingInterval.intervalJoinStream(
-          msP.toDF().toDF("event_id", "key", "t_us"),
-          msW.toDF().toDF("key", "start_us", "end_us", "value"))
+          all.filter(col("side") === 1)
+            .select(col("event_id"), col("key"), col("a").as("t_us")),
+          all.filter(col("side") === 0)
+            .select(col("key"), col("a").as("start_us"),
+              col("b").as("end_us"), col("value")))
         .writeStream.format("memory").queryName("iv_out")
         .outputMode("append").start()
       try {
         feed.grouped(feed.size / chunks + 1).foreach { chunk =>
-          val ps = chunk.collect { case Left(p) => p }
-          val ws = chunk.collect { case Right(w) => w }
-          if (ws.nonEmpty) msW.addData(ws: _*)
-          if (ps.nonEmpty) msP.addData(ps: _*)
+          ms.addData(chunk.map {
+            case Left((id, k, t))        => (1, id, k, t, 0L, 0.0)
+            case Right((k, s0, e0, v))   => (0, -1L, k, s0, e0, v)
+          }: _*)
           q.processAllAvailable()
         }
         val got = spark.table("iv_out")

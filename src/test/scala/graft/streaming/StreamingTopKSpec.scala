@@ -83,6 +83,28 @@ class StreamingTopKSpec extends SparkSpec
     }
   }
 
+  test("score update for an existing id keeps one rank at the best score") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = StreamingTopK.topKStream(ms.toDF().toDF("group", "v", "id"), 3)
+      .writeStream.format("memory").queryName("topk_upd")
+      .outputMode("update").start()
+    try {
+      ms.addData(("g", 10L, 1L), ("g", 5L, 2L)); q.processAllAvailable()
+      // id=1 re-delivered with a HIGHER score: upgrades in place, one rank
+      ms.addData(("g", 30L, 1L)); q.processAllAvailable()
+      // id=2 re-delivered with a LOWER score: best-ever wins, no downgrade
+      ms.addData(("g", 3L, 2L)); q.processAllAvailable()
+      // final emission: each id exactly once, ranked by best-ever score —
+      // no duplicate ranks for id=1, no downgrade for id=2
+      assert(lastEmission("topk_upd") ==
+        Map("g" -> Seq((30L, 1L), (5L, 2L))))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS topk_upd")
+    }
+  }
+
   test("duplicate re-delivery re-emits the identical ranking") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(("g", 10L, 1L), ("g", 20L, 2L), ("g", 20L, 3L))
