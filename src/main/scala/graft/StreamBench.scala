@@ -38,6 +38,17 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
+    if (args.headOption.contains("statesize")) {
+      runStateSize(spark,
+        args.drop(1).filterNot(_ == "rocksdb").map(_.toInt).toSeq match {
+          case Nil => Seq(200, 2000, 20000)
+          case ks  => ks
+        },
+        rocksdb = args.contains("rocksdb"))
+      spark.stop()
+      return
+    }
+
     val nEvents = args.headOption.map(_.toInt).getOrElse(500000)
     val nKeys = args.drop(1).headOption.map(_.toInt).getOrElse(200)
     val chunks = args.drop(2).headOption.map(_.toInt).getOrElse(10)
@@ -192,5 +203,151 @@ object StreamBench {
       } finally q.stop()
     }
     spark.stop()
+  }
+
+  /** State-size-vs-keys ladder for the r10 streaming operators — the
+    * capacity number a deployment sizes executors by: state BYTES PER KEY,
+    * which must stay flat as key cardinality grows 10×/100× (each operator
+    * holds a bounded per-key structure: ≤ k pairs for top-k, ≤ k hashes for
+    * KMV, 2 longs for CUSUM, the live window set for the interval join).
+    *
+    *   sbt "runMain graft.StreamBench statesize [keys...] [rocksdb]"
+    *
+    * Run via sbt or spark-submit, NOT bare `java -cp`: the HDFS provider's
+    * size metric uses SizeEstimator, which needs the `--add-opens` module
+    * flags on Java 17 — without them every map reflects as an 80-byte stub
+    * and the ladder reads a constant (observed: 640 = 8 partitions × 80).
+    *
+    * Metrics come from the committed batch's StateOperatorProgress:
+    * `numRowsTotal` and the provider's current-version size
+    * (`stateOnCurrentVersionSizeBytes` for HDFS-backed,
+    * `rocksdbTotalMemoryUsage` for RocksDB) — not `memoryUsedBytes`, which
+    * counts retained old versions in the HDFS provider.
+    */
+  private def runStateSize(spark: SparkSession, keyLadder: Seq[Int],
+                           rocksdb: Boolean): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    if (rocksdb)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val perKey = 50
+    val chunks = 5
+
+    def report(name: String, nKeys: Int,
+               q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      require(q.exception.isEmpty, s"$name failed: ${q.exception}")
+      val ops = q.lastProgress.stateOperators
+      val rows = ops.map(_.numRowsTotal).sum
+      // HDFS provider: live on-heap size of the current version map.
+      // RocksDB: SST bytes on local disk (there is no total-memory metric;
+      // pinned block cache is negligible) — the capacity number is
+      // bytes-on-SSD there, which is also what changelog checkpoints ship.
+      val cur = ops.map { op =>
+        val m = op.customMetrics
+        val hdfs = m.getOrDefault("stateOnCurrentVersionSizeBytes", 0L)
+        if (hdfs > 0L) hdfs.toLong
+        else m.getOrDefault("rocksdbSstFileSize", 0L).toLong
+      }.sum
+      println(f"[statesize] $name%-16s keys=$nKeys%-6d stateRows=$rows%-8d " +
+        f"curBytes=$cur%-10d bytes/key=${cur.toDouble / nKeys}%8.1f " +
+        f"rows/key=${rows.toDouble / nKeys}%6.2f " +
+        f"provider=${if (rocksdb) "rocksdb" else "hdfs"}")
+    }
+
+    keyLadder.foreach { nKeys =>
+      val n = nKeys * perKey
+
+      // top-k leaderboard: state bounded at k=10 (v, id) pairs per group
+      locally {
+        val ms = MemoryStream[(String, Long, Long)]
+        val q = streaming.StreamingTopK
+          .topKStream(ms.toDF().toDF("group", "v", "id"), 10)
+          .writeStream.format("noop").outputMode("update").start()
+        try {
+          (0 until n).map(i => (s"g${i % nKeys}", (i * 7919 % 100000).toLong,
+              i.toLong))
+            .grouped(n / chunks + 1)
+            .foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+          report("topk_stream", nKeys, q)
+        } finally q.stop()
+      }
+
+      // KMV distinct sketch: every value distinct, state capped at k=256
+      locally {
+        val ms = MemoryStream[(String, Long)]
+        val q = streaming.StreamingSketch
+          .kmvDistinctStream(ms.toDF().toDF("group", "value"), 256)
+          .writeStream.format("noop").outputMode("update").start()
+        try {
+          (0 until n).map(i => (s"g${i % nKeys}", i.toLong))
+            .grouped(n / chunks + 1)
+            .foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+          report("kmv_stream", nKeys, q)
+        } finally q.stop()
+      }
+
+      // bottom-k quantile sample: ≤ k (hash, value) pairs per group; at 50
+      // events/key the sample IS the group, so rows/key tracks perKey
+      locally {
+        val ms = MemoryStream[(String, Long, Double)]
+        val q = streaming.StreamingQuantile
+          .quantileStream(ms.toDF().toDF("group", "id", "value"), 256)
+          .writeStream.format("noop").outputMode("update").start()
+        try {
+          (0 until n).map(i => (s"g${i % nKeys}", i.toLong,
+              (i * 7919 % 100000).toDouble))
+            .grouped(n / chunks + 1)
+            .foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+          report("quantile_stream", nKeys, q)
+        } finally q.stop()
+      }
+
+      // CUSUM: two longs per key, the flattest possible ladder
+      locally {
+        val ms = MemoryStream[(Long, Long, Long, Long)]
+        val q = streaming.StreamingCusum
+          .cusumStream(ms.toDF().toDF("key", "t_us", "event_id", "x"),
+            slack = 100L)
+          .writeStream.format("noop").outputMode("append").start()
+        try {
+          (0 until n).map(i => ((i % nKeys).toLong, (i / nKeys).toLong,
+              i.toLong, (i * 7919 % 200).toLong))
+            .grouped(n / chunks + 1)
+            .foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+          report("cusum_stream", nKeys, q)
+        } finally q.stop()
+      }
+
+      // interval join: state = frontier + live windows (40-tick spans at
+      // one open per 10 ticks ⇒ ~4 live windows per key, corpus-invariant)
+      locally {
+        val msP = MemoryStream[(Long, Long, Long)]
+        val msW = MemoryStream[(Long, Long, Long, Double)]
+        val q = streaming.StreamingInterval.intervalJoinStream(
+            msP.toDF().toDF("event_id", "key", "t_us"),
+            msW.toDF().toDF("key", "start_us", "end_us", "value"))
+          .writeStream.format("noop").outputMode("append").start()
+        try {
+          val pts = (0 until n).filter(_ % 10 != 0).map(i =>
+            (i.toLong, (i % nKeys).toLong, 1000000L + (i / nKeys).toLong))
+          val wins = (0 until n).filter(_ % 10 == 0).map { i =>
+            val s = 1000000L + (i / nKeys).toLong
+            ((i % nKeys).toLong, s, s + 40L, (i * 7919 % 200).toDouble)
+          }
+          pts.grouped(pts.size / chunks + 1).toSeq
+            .zipAll(wins.grouped(wins.size / chunks + 1).toSeq,
+              IndexedSeq.empty, IndexedSeq.empty)
+            .foreach { case (pc, wc) =>
+              if (wc.nonEmpty) msW.addData(wc: _*)
+              if (pc.nonEmpty) msP.addData(pc: _*)
+              q.processAllAvailable()
+            }
+          report("interval_stream", nKeys, q)
+        } finally q.stop()
+      }
+    }
+    if (rocksdb)
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 }

@@ -264,6 +264,54 @@ object VolumeBench {
             f"($bi=${bt}%6.2f s $oi=${ot}%6.2f s, identical output)")
         }
       }
+
+      // Continuous-domain rung (r11): a raw-double metric makes every value
+      // distinct, so the exact histogram's exchange grows WITH the corpus
+      // while the bottom-k sample ships groups × k (hash, value) pairs at
+      // any K. Outputs are estimate-vs-exact (not identical), so the
+      // assertion is quantile BRACKETING per group instead of a checksum:
+      // sample p50 within exact [p25, p75], sample p99 within [p90, p100].
+      locally {
+        val cont = base.withColumn("v",
+          col("n_chars") +
+            pmod(xxhash64(col("doc_id")), lit(1000000)).cast("double") / 1e6)
+        val impls = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+          "sample256" -> (() => graft.operators.Stats.sampleQuantiles(
+            cont, Seq("lang", "source"), col("doc_id"), "v", Seq(50, 99),
+            k = 256)),
+          "histogram" -> (() => graft.operators.Stats.histogramQuantiles(
+            cont, Seq("lang", "source"), "v",
+            Seq(25, 50, 75, 90, 99, 100))))
+        val timed = impls.map { case (impl, mk) =>
+          val runs = (1 to 2).map { round =>
+            val t0 = System.nanoTime()
+            val df = mk()
+            val n = df.count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            println(f"[gs] x$f%-3d rows=$rows%-9d ${"contq"}%-10s $impl%-10s " +
+              f"round=$round out=$n%-6s sec=$sec%6.2f " +
+              f"rate=${rows / sec / 1e3}%9.1fk rows/s")
+            spark.catalog.clearCache()
+            sec
+          }
+          impl -> runs.min
+        }.toMap
+        val joined = impls(0)._2().alias("s")
+          .join(impls(1)._2().alias("e"), Seq("lang", "source"))
+          .select(col("s.p50").as("s50"), col("s.p99").as("s99"),
+            col("e.p25").as("e25"), col("e.p75").as("e75"),
+            col("e.p90").as("e90"), col("e.p100").as("e100"))
+          .collect()
+        joined.foreach { r =>
+          require(r.getDouble(0) >= r.getDouble(2) &&
+            r.getDouble(0) <= r.getDouble(3), s"sample p50 outside [p25,p75]: $r")
+          require(r.getDouble(1) >= r.getDouble(4) &&
+            r.getDouble(1) <= r.getDouble(5), s"sample p99 outside [p90,p100]: $r")
+        }
+        println(f"[gs] x$f%-3d contq      sample=${timed("sample256")}%6.2f s " +
+          f"exact=${timed("histogram")}%6.2f s " +
+          f"(${joined.length} groups bracket-verified)")
+      }
     }
   }
 

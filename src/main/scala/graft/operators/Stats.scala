@@ -57,6 +57,72 @@ object Stats {
     cum.groupBy(g: _*).agg(max(col("_n")).as("n_rows"), picks: _*)
   }
 
+  /** The CONTINUOUS-domain quantile rung: [[histogramQuantiles]] is exact
+    * but its exchange is bounded by the value domain, so raw-double metrics
+    * must be quantized first. This sketch instead bounds the exchange by a
+    * SAMPLE budget: per group, keep the k rows whose 48-bit id-hash is
+    * smallest ([[Sketches.hash48]] — bottom-k sampling, a uniform
+    * without-replacement row sample that is a pure function of the row SET,
+    * so it merges like KMV: union survivor relations, re-take the k
+    * smallest; see [[quantileUpdate]]). Standard error of a p-quantile is
+    * ~ sqrt(p(1-p)/k); groups smaller than k are EXACT (the sample is the
+    * whole group).
+    *
+    * The survivor relation (group cols..., hv, value) is the persistable
+    * sketch state — parquet-writable, engine-portable (md5-prefix hash, so
+    * an external engine replays the selection bit-for-bit), and the values
+    * ride raw: no quantization, no float arithmetic anywhere — selection is
+    * by integer hash and the estimator only sorts and counts.
+    *
+    * Scale shape: one narrow hash projection, then the k-smallest selection
+    * on the [[graft.plans.GroupTopK]] bounded heaps — the exchange carries
+    * ≤ groups × k (hash, value) pairs regardless of corpus size.
+    */
+  def quantileSurvivors(df: DataFrame, groupCols: Seq[String], idExpr: Column,
+                        valueCol: String, k: Int = 256): DataFrame = {
+    require(k > 1 && k < 32768, s"quantileSurvivors needs 1 < k < 32768, got $k")
+    val base = df
+      .select(groupCols.map(col) ++
+        Seq(Sketches.hash48(idExpr).as("hv"), col(valueCol).as("value")): _*)
+      // null values excluded like every SQL percentile aggregate; the
+      // distinct makes re-ingestion idempotent (same id ⇒ same hash+value)
+      .filter(col("value").isNotNull)
+      .distinct()
+    graft.plans.GroupTopK.topK(base, groupCols,
+      Seq("hv" -> true, "value" -> true), k)
+  }
+
+  /** Fold a new batch into stored survivors — same merge law as
+    * [[Sketches.kmvUpdate]]: bottom-k by hash of the union equals the
+    * bottom-k of the full history, so quantile estimates never drift under
+    * incremental re-ingestion.
+    */
+  def quantileUpdate(survivors: DataFrame, batch: DataFrame,
+                     groupCols: Seq[String], idExpr: Column, valueCol: String,
+                     k: Int = 256): DataFrame = {
+    val fresh = batch
+      .select(groupCols.map(col) ++
+        Seq(Sketches.hash48(idExpr).as("hv"), col(valueCol).as("value")): _*)
+      .filter(col("value").isNotNull)
+    graft.plans.GroupTopK.topK(
+      survivors.select(groupCols.map(col) ++ Seq(col("hv"), col("value")): _*)
+        .unionByName(fresh).distinct(),
+      groupCols, Seq("hv" -> true, "value" -> true), k)
+  }
+
+  /** Per-group percentile ESTIMATES from the bottom-k sample: the empirical
+    * quantile of the survivor values, computed by [[histogramQuantiles]]
+    * over the (tiny) survivor relation — same 1-based ceil-rank convention,
+    * so the whole sketch replays in external SQL. Output: group cols +
+    * `n_sample` + one `p<pct>` column per requested percentile.
+    */
+  def sampleQuantiles(df: DataFrame, groupCols: Seq[String], idExpr: Column,
+                      valueCol: String, pcts: Seq[Int],
+                      k: Int = 256): DataFrame =
+    histogramQuantiles(quantileSurvivors(df, groupCols, idExpr, valueCol, k),
+      groupCols, "value", pcts)
+      .withColumnRenamed("n_rows", "n_sample")
+
   /** One-sided CUSUM drift statistic per key — the classic "has this unit's
     * level shifted upward" changepoint detector (Page 1954):
     * `s_i = max(0, s_{i-1} + x_i - slack)`, alarm when `s_i` exceeds a

@@ -216,6 +216,18 @@ object RelationalQueries {
         Tables.events(s, d), Seq("event_type"), userDay, k = 64)
     },
 
+    // Continuous-domain quantile sketch: per-event_type percentiles of the
+    // RAW double value from a bottom-k (k=256) id-hash row sample — the
+    // rung histogramQuantiles can't serve without quantizing. Exchange is
+    // groups × k (hash, value) pairs on the GroupTopK heaps; every group
+    // at sf0.01 exceeds k, so the estimator (not the exact small-group
+    // path) is exercised.
+    "quantile_sample" -> { (s, d) =>
+      graft.operators.Stats.sampleQuantiles(
+        Tables.events(s, d), Seq("event_type"), col("event_id"), "value",
+        pcts = Seq(25, 50, 90, 99), k = 256)
+    },
+
     // Per-group top-k on the custom plan node ([[graft.plans.GroupTopK]]):
     // partial bounded heaps map-side, so the one exchange carries at most
     // groups x k rows — vs q2_topk's window spelling, which must exchange
@@ -364,6 +376,13 @@ object RelationalQueries {
     // for the estimator — bit-identical to the Spark plan by construction.
     "sketch_distinct" -> sketchDistinctOracle,
 
+    // Bottom-k sample replay: same md5-prefix hash over event_id, same
+    // (hv, value) rank order, then the quantile_group histogram + integer
+    // ceil-rank arithmetic over the 256 survivors. Values are raw doubles
+    // but are never computed with — only selected — so the replay is
+    // bit-identical.
+    "quantile_sample" -> quantileSampleOracle,
+
     // The heap operator's contract IS row_number-with-total-order: the
     // (n_chars DESC, doc_id ASC) tiebreak makes the k survivors unique.
     "topk_group" ->
@@ -373,18 +392,25 @@ object RelationalQueries {
         |         ORDER BY n_chars DESC, doc_id) AS rn
         |      FROM documents) WHERE rn <= 5""".stripMargin)
 
-  /** KMV oracle: DuckDB lacks `conv(hex, 16, 10)`, so the 12-char md5
-    * prefix is unpacked digit-by-digit with the same CASE arithmetic the
-    * other md5-bucket oracles use, then ranked and estimated with integer
-    * division only.
+  /** The [[graft.operators.Sketches.hash48]] replay: DuckDB lacks
+    * `conv(hex, 16, 10)`, so the 12-char md5 prefix (in a column named
+    * `hx`) is unpacked digit-by-digit with the same CASE arithmetic the
+    * other md5-bucket oracles use.
     */
-  private lazy val sketchDistinctOracle: String = {
+  private def hv48Expr: String = {
     def dv(i: Int) =
       s"(CASE WHEN ascii(substr(hx, $i, 1)) >= 97 THEN ascii(substr(hx, $i, 1)) - 87" +
         s" ELSE ascii(substr(hx, $i, 1)) - 48 END)"
-    val hv = (1 to 12)
+    (1 to 12)
       .map(i => s"${dv(i)} * CAST(${1L << (4 * (12 - i))} AS BIGINT)")
       .mkString(" + ")
+  }
+
+  /** KMV oracle: hash replay, then rank-then-count and the integer-division
+    * estimator.
+    */
+  private lazy val sketchDistinctOracle: String = {
+    val hv = hv48Expr
     s"""WITH v AS (SELECT event_type,
        |             user_id::VARCHAR || ':' ||
        |               CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS val
@@ -398,5 +424,33 @@ object RelationalQueries {
        |  CASE WHEN count(*) < 64 THEN count(*)
        |       ELSE (63 * 281474976710656) // max(hv) END AS est_distinct
        |FROM r WHERE rn <= 64 GROUP BY event_type""".stripMargin
+  }
+
+  /** Bottom-k quantile-sample oracle: hash replay over event_id, the same
+    * (hv, value) rank selection, then the quantile_group histogram + integer
+    * ceil-rank pick over the survivors.
+    */
+  private lazy val quantileSampleOracle: String = {
+    val hv = hv48Expr
+    s"""WITH h0 AS (SELECT event_type, md5(event_id::VARCHAR) AS hx, value
+       |            FROM events WHERE value IS NOT NULL),
+       |h AS (SELECT DISTINCT event_type, ($hv) + 1 AS hv, value FROM h0),
+       |r AS (SELECT event_type, hv, value,
+       |        row_number() OVER (PARTITION BY event_type
+       |          ORDER BY hv, value) AS rn
+       |      FROM h),
+       |hist AS (SELECT event_type, value, count(*) AS cnt
+       |         FROM r WHERE rn <= 256 GROUP BY 1, 2),
+       |c AS (SELECT event_type, value, cnt,
+       |        CAST(sum(cnt) OVER (PARTITION BY event_type
+       |          ORDER BY value) AS BIGINT) AS cum,
+       |        CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |      FROM hist)
+       |SELECT event_type, max(n) AS n_sample,
+       |  min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN value END) AS p25,
+       |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN value END) AS p50,
+       |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN value END) AS p90,
+       |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN value END) AS p99
+       |FROM c GROUP BY event_type""".stripMargin
   }
 }

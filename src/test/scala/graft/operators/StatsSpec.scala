@@ -53,6 +53,71 @@ class StatsSpec extends SparkSpec {
     assert(got("b") == (("b", 1L, 1L, 1L)))
   }
 
+  // ------------------------------------------- bottom-k quantile sample
+
+  test("sampleQuantiles is exact when every group fits the sample budget") {
+    val rng = new Random(31)
+    val rows = Seq.tabulate(900) { i =>
+      (s"g${i % 3}", i.toLong, rng.nextDouble() * 100)
+    }
+    val df = rows.toDF("g", "id", "v").repartition(5)
+    // 300 rows per group < k=512: the sample IS the group
+    val got = Stats.sampleQuantiles(df, Seq("g"), col("id"), "v",
+        Seq(25, 50, 99), k = 512)
+      .select("g", "n_sample", "p25", "p50", "p99")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((g, vs) <- rows.groupBy(_._1)) {
+      val sorted = vs.map(_._3).sorted.toIndexedSeq
+      def disc(p: Int) = sorted((p * sorted.size + 99) / 100 - 1)
+      val (_, n, p25, p50, p99) = got(g)
+      assert(n == sorted.size)
+      assert(p25 == disc(25) && p50 == disc(50) && p99 == disc(99), g)
+    }
+  }
+
+  test("sampleQuantiles approximates true percentiles within sample error") {
+    val rng = new Random(37)
+    // uniform [0, 1000): true p-quantile = 10*p; k=256 ⇒ se(p50) ≈ 3.1%
+    val df = Seq.tabulate(50000) { i =>
+      ("g", i.toLong, rng.nextDouble() * 1000)
+    }.toDF("g", "id", "v").repartition(8)
+    val (n, p25, p50, p90) = Stats.sampleQuantiles(df, Seq("g"), col("id"),
+        "v", Seq(25, 50, 90), k = 256)
+      .select("n_sample", "p25", "p50", "p90")
+      .as[(Long, Double, Double, Double)].head()
+    assert(n == 256)
+    assert(math.abs(p25 - 250) < 100, s"p25=$p25")
+    assert(math.abs(p50 - 500) < 100, s"p50=$p50")
+    assert(math.abs(p90 - 900) < 100, s"p90=$p90")
+  }
+
+  test("bottom-k sample merge law: update(surv(b1), b2) == surv(b1 ∪ b2)") {
+    val rng = new Random(41)
+    def batch(ids: Range) = ids.map { i =>
+      (s"g${i % 2}", i.toLong, rng.nextDouble() * 10)
+    }
+    val b1 = batch(0 until 4000)
+    val b2 = batch(4000 until 7000)
+    val d1 = b1.toDF("g", "id", "v").repartition(4)
+    val d2 = b2.toDF("g", "id", "v").repartition(3)
+    val dAll = (b1 ++ b2).toDF("g", "id", "v").repartition(5)
+    val k = 64
+    val merged = Stats.quantileUpdate(
+        Stats.quantileSurvivors(d1, Seq("g"), col("id"), "v", k),
+        d2, Seq("g"), col("id"), "v", k)
+      .select("g", "hv", "value").as[(String, Long, Double)].collect().toSet
+    val direct = Stats.quantileSurvivors(dAll, Seq("g"), col("id"), "v", k)
+      .select("g", "hv", "value").as[(String, Long, Double)].collect().toSet
+    assert(merged == direct && direct.size == 2 * k)
+    // re-ingesting an already-seen batch changes nothing (idempotence)
+    val again = Stats.quantileUpdate(
+        Stats.quantileSurvivors(dAll, Seq("g"), col("id"), "v", k),
+        d1, Seq("g"), col("id"), "v", k)
+      .select("g", "hv", "value").as[(String, Long, Double)].collect().toSet
+    assert(again == direct)
+  }
+
   test("cusum closed form equals the max(0, s+d) recursion on random walks") {
     val rng = new Random(13)
     val rows = for (k <- 0 until 6; i <- 0 until 500) yield

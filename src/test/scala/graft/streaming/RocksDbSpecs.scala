@@ -63,3 +63,11 @@ class StreamingTopKRocksDbSpec extends StreamingTopKSpec {
   override protected def stateStoreProvider: Option[String] =
     Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }
+
+/** [[StreamingQuantileSpec]] under RocksDB state storage — the parallel
+  * (Array[Long], Array[Double]) sample state round-trips through UnsafeRow.
+  */
+class StreamingQuantileRocksDbSpec extends StreamingQuantileSpec {
+  override protected def stateStoreProvider: Option[String] =
+    Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}
