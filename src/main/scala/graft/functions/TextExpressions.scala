@@ -173,3 +173,175 @@ object SimHash64 {
   def simhash64(words: Column): Column =
     GraftSqlShim.column(SimHash64(GraftSqlShim.expression(words)))
 }
+
+/** Native kernel for HTML main-content extraction — the tag-stripping /
+  * boilerplate-block removal step every crawl-curation funnel runs before
+  * any text analysis (the trafilatura/jusText role, reduced to its
+  * deterministic core so external SQL can replay it).
+  *
+  * The kernel is defined as the EXACT single-pass equivalent of a fixed
+  * regex chain (retained as the relational differential oracle in
+  * [[graft.operators.TextAnalysis.htmlExtractRelational]]):
+  *
+  *   1. `(?s)<!--.*?-->` → '' (comments)
+  *   2. `(?is)<head[^>]*>.*?</head[^>]*>` → '' (head block)
+  *   3. `(?is)<script[^>]*>.*?</script[^>]*>` → '' (script blocks)
+  *   4. `(?is)<style[^>]*>.*?</style[^>]*>` → '' (style blocks)
+  *   5. remaining `<[^>]*>` → ' ' (tags separate words, counting
+  *      `(?i)<a[ \t\n\r\f>]` anchors along the way)
+  *   6. entity decode, non-recursive single pass: &lt; &gt; &quot; &apos;
+  *      &#39; &nbsp;(→space) &amp; — unknown entities pass through
+  *   7. whitespace-collapse + trim
+  *
+  * `title` is the raw inner text of the first `(?is)<title[^>]*>(.*?)
+  * </title[^>]*>` match on the ORIGINAL input ('' when absent).
+  *
+  * Malformed-input behavior mirrors the chain: an unclosed comment/block
+  * leaves `<` as literal text or falls back to the bare-tag rule, exactly
+  * as the regexes fail to match. Out of scope (documented, not detected),
+  * because the chain applies stages globally while the kernel reads in
+  * document order: block closers hidden inside comments
+  * (`<script><!-- </script> -->`) and a stray text `<` standing
+  * immediately before a removable block (`5 < 6 <script>…`); real HTML
+  * escapes both.
+  *
+  * One JVM call per document, O(doc), two StringBuilders — the same
+  * CodegenFallback stance as [[SpanCorrupt]] (string building has no
+  * profitable codegen form; the win is one interpreted call per ROW versus
+  * seven regex passes over the full document).
+  */
+case class HtmlExtract(html: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+
+  override def child: Expression = html
+  override def inputTypes: Seq[GraftSqlShim.AbstractType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("title", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("n_links", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "html_extract"
+
+  import HtmlExtract._
+
+  override def nullSafeEval(h: Any): Any = {
+    val s = h.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val raw = new java.lang.StringBuilder(n)
+    var nLinks = 0L
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val j = s.indexOf("-->", i + 4)
+          if (j < 0) { raw.append('<'); i += 1 } else i = j + 3
+        } else if (regionMatchesCi(s, i, "<script")) {
+          i = skipBlock(s, i, "</script", raw)
+        } else if (regionMatchesCi(s, i, "<style")) {
+          i = skipBlock(s, i, "</style", raw)
+        } else if (regionMatchesCi(s, i, "<head")) {
+          i = skipBlock(s, i, "</head", raw)
+        } else {
+          if (i + 2 < n && (s.charAt(i + 1) == 'a' || s.charAt(i + 1) == 'A')
+              && isWsOrGt(s.charAt(i + 2))) nLinks += 1
+          val j = s.indexOf('>', i)
+          if (j < 0) { raw.append('<'); i += 1 }
+          else { raw.append(' '); i = j + 1 }
+        }
+      } else if (c == '&') {
+        var matched = false
+        var e = 0
+        while (!matched && e < entities.length) {
+          val (ent, rep) = entities(e)
+          if (s.startsWith(ent, i)) {
+            raw.append(rep); i += ent.length; matched = true
+          }
+          e += 1
+        }
+        if (!matched) { raw.append('&'); i += 1 }
+      } else { raw.append(c); i += 1 }
+    }
+    // whitespace collapse + trim (chain step 7; \s there is the RE2 class,
+    // which excludes \x0B — keep that exact set)
+    val out = new java.lang.StringBuilder(raw.length)
+    var k = 0
+    var pendingSpace = false
+    while (k < raw.length) {
+      val c = raw.charAt(k)
+      if (isWs(c)) pendingSpace = out.length > 0
+      else { if (pendingSpace) out.append(' '); pendingSpace = false; out.append(c) }
+      k += 1
+    }
+    InternalRow(UTF8String.fromString(title(s)),
+      UTF8String.fromString(out.toString), nLinks)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlExtract =
+    copy(html = newChild)
+}
+
+object HtmlExtract {
+
+  /** Entity table, longest-prefix-unambiguous; &amp; decodes non-recursively
+    * (single left-to-right pass = the non-overlapping global regex replace).
+    */
+  private val entities: Array[(String, Char)] = Array(
+    "&lt;" -> '<', "&gt;" -> '>', "&quot;" -> '"', "&apos;" -> '\'',
+    "&#39;" -> '\'', "&nbsp;" -> ' ', "&amp;" -> '&')
+
+  /** The RE2/Java-common `\s` subset used by the chain's `[ \t\n\r\f>]`
+    * link anchor and `\s+` collapse (no \x0B — RE2 excludes it).
+    */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  private def isWsOrGt(c: Char): Boolean = isWs(c) || c == '>'
+
+  private def regionMatchesCi(s: String, at: Int, pat: String): Boolean =
+    s.regionMatches(true, at, pat, 0, pat.length)
+
+  /** `(?is)<open[^>]*>.*?</close[^>]*>` → '': the opening tag ends at the
+    * first '>', the body runs to the earliest close marker after it, the
+    * block ends at the first '>' after that marker. If any piece is
+    * missing the block regex cannot match, so fall back to exactly what
+    * the chain's later stages do: bare-tag rule for the opening tag alone
+    * (emit ' ', skip past its '>'), or literal '<' when not even a tag.
+    */
+  private def skipBlock(s: String, i: Int, closeCi: String,
+                        raw: java.lang.StringBuilder): Int = {
+    val gt = s.indexOf('>', i)
+    if (gt < 0) { raw.append('<'); return i + 1 }
+    val close = indexOfCi(s, closeCi, gt + 1)
+    val end = if (close < 0) -1 else s.indexOf('>', close + closeCi.length)
+    if (end >= 0) end + 1
+    else { raw.append(' '); gt + 1 }
+  }
+
+  private def indexOfCi(s: String, pat: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val limit = s.length - pat.length
+    while (i <= limit) {
+      if (s.regionMatches(true, i, pat, 0, pat.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** First `(?is)<title[^>]*>(.*?)</title[^>]*>` group on the raw input. */
+  private def title(s: String): String = {
+    val open = indexOfCi(s, "<title", 0)
+    if (open < 0) return ""
+    val gt = s.indexOf('>', open + 6)
+    if (gt < 0) return ""
+    val close = indexOfCi(s, "</title", gt + 1)
+    if (close < 0) return ""
+    if (s.indexOf('>', close + 7) < 0) return ""
+    s.substring(gt + 1, close)
+  }
+
+  /** Column wrapper: struct(title, text, n_links). */
+  def htmlExtract(html: Column): Column =
+    GraftSqlShim.column(HtmlExtract(GraftSqlShim.expression(html)))
+}

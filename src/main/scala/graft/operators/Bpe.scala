@@ -28,10 +28,13 @@ import scala.collection.mutable
   * compression-ratio curation signals; a generation-grade tokenizer
   * would add the marker (one more symbol per word, same machinery).
   *
-  * The merge-loop argmax is inherently iterative, so `text_bpe` is the
-  * one catalog entry WITHOUT a DuckDB oracle (rows-only driver check);
-  * correctness is locked by an independent reference implementation in
-  * the test suite (paper example + randomized differential).
+  * The merge-loop argmax is iterative, but the merge budget is a fixed
+  * literal, so the external oracle replays the ENTIRE training run as a
+  * chain of one-merge-per-block SQL CTEs (see TextQueries.bpeTrainCtes):
+  * `text_bpe` hash-checks train+encode end-to-end and `text_bpe_merges`
+  * hash-checks the artifact itself; an independent reference
+  * implementation in the test suite (paper example + randomized
+  * differential) locks the unit level.
   */
 object Bpe {
 

@@ -661,6 +661,80 @@ object TextAnalysis {
       .otherwise(concat(scheme, lit("://"), host, keepPort, path, qpart))
   }
 
+  /** The regex-chain formulation of
+    * [[graft.functions.HtmlExtract]] — the definitional contract the native
+    * kernel must match byte-for-byte (see the kernel's scaladoc for the
+    * stage list), retained as the in-test differential oracle exactly like
+    * span_corrupt's HOF fold. Every stage is a codegen'd built-in, so this
+    * also IS the portable spelling an external SQL engine replays.
+    *
+    * Returns struct(title, text, n_links).
+    */
+  def htmlExtractRelational(html: Column): Column = {
+    val s1 = regexp_replace(html, "(?s)<!--.*?-->", "")
+    val s2 = regexp_replace(s1, "(?is)<head[^>]*>.*?</head[^>]*>", "")
+    val s3 = regexp_replace(s2, "(?is)<script[^>]*>.*?</script[^>]*>", "")
+    val s4 = regexp_replace(s3, "(?is)<style[^>]*>.*?</style[^>]*>", "")
+    // [ \t\n\r\f>] spelled explicitly: RE2's \s excludes \x0B, Java's
+    // includes it — the common subset keeps kernel, chain, and DuckDB
+    // replay identical
+    val nLinks = size(regexp_extract_all(s4,
+      lit("(?i)<a[ \\t\\n\\r\\f>]"), lit(0))).cast("long")
+    val tagless = regexp_replace(s4, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&apos;" -> "'", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(tagless) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    val text = trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+    struct(
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title[^>]*>", 1)
+        .as("title"),
+      text.as("text"), nLinks.as("n_links"))
+  }
+
+  /** Outlink extraction — the crawl-frontier feeder: one row per
+    * double-quoted `href` on an anchor tag, in document order, each
+    * canonicalized with [[canonicalizeUrl]] (relative/schemeless targets
+    * ride the verbatim fallback, so distinct targets never merge).
+    *
+    * Contract (kept regex-narrow so any engine replays it): anchors are
+    * `(?i)<a[^>]*?href="..."` on the RAW input — links inside comments or
+    * scripts count; strip markup first (the [[extractContent]] chain) if
+    * frontier hygiene demands body-only links. Pure narrow map + explode:
+    * zero exchanges; the frontier rollup downstream is one
+    * map-side-combinable groupBy on the canonical string.
+    *
+    * Output: (id, link_idx, href, canon_url).
+    */
+  def outlinks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               htmlCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol), posexplode(regexp_extract_all(col(htmlCol),
+        lit("(?i)<a[^>]*?href=\"([^\"]*)\""), lit(1)))
+        .as(Seq("link_idx", "href")))
+      .withColumn("canon_url", canonicalizeUrl(col("href")))
+
+  /** Main-content extraction over a corpus of raw HTML — the funnel's
+    * entry step (strip markup, drop head/script/style/comment boilerplate,
+    * count anchors as a link-density signal, decode entities). Runs on the
+    * native single-pass kernel; zero exchanges — a pure narrow map, like
+    * [[chunkDocuments]].
+    *
+    * Output: (id, title, n_links, n_chars, text_digest) — the digest is
+    * md5 of the extracted text (corpus-sized payloads never leave the
+    * scan stage; downstream analysis calls the kernel again or keeps the
+    * struct).
+    */
+  def extractContent(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     htmlCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol),
+        graft.functions.HtmlExtract.htmlExtract(col(htmlCol)).as("_e"))
+      .select(col(idCol),
+        col("_e.title").as("title"),
+        col("_e.n_links").as("n_links"),
+        length(col("_e.text")).cast("long").as("n_chars"),
+        md5(col("_e.text")).as("text_digest"))
+
   /** Sliding-window document chunking — the RAG-indexing / long-context
     * curation splitter: fixed `chunkWords`-word windows advancing by
     * `chunkWords - overlapWords`, the final window shortened (never

@@ -84,14 +84,30 @@ object TextQueries {
 
     // Trained-BPE token statistics: a real byte-pair tokenizer (trained on
     // the corpus's own word-frequency table, 50 merges) replaces the
-    // text_tokens regex heuristic. The merge-loop argmax is inherently
-    // iterative, so this is the ONE catalog entry without a DuckDB oracle
-    // (driver records the weaker rows-only check); the algorithm is locked
-    // by BpeSpec's independent reference implementation instead.
+    // text_tokens regex heuristic. The merge loop is iterative, but with a
+    // FIXED merge budget the whole training run replays in SQL: the oracle
+    // chains one (pair-count → argmax → apply-until-exhausted) CTE block
+    // per merge step (see bpeTrainCtes), and because applying a merge never
+    // creates a lower-rank pair, the training loop's final word states ARE
+    // the greedy tokenization — so one catalog row hash-checks training and
+    // encode together (BpeSpec's independent reference implementation
+    // remains as the unit-level lock).
     "text_bpe" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val model = graft.operators.Bpe.train(docs, "text", numMerges = 50)
-      graft.operators.Bpe.tokenStats(docs, "doc_id", "text", model)
+      graft.operators.Bpe.tokenStatsPortable(docs, "doc_id", "text", model)
+    },
+
+    // The trained artifact itself — the ordered merge table a deployment
+    // persists via BpeModel.save. Verified against the oracle's own
+    // training replay: a wrong argmax ANYWHERE shifts every later rank.
+    "text_bpe_merges" -> { (s, d) =>
+      import s.implicits._
+      val model = graft.operators.Bpe.train(
+        Tables.documents(s, d), "text", numMerges = 50)
+      model.merges.zipWithIndex
+        .map { case ((a, b), r) => (r + 1, a, b) }
+        .toDF("merge_rank", "lhs", "rhs")
     },
 
     // Pretrained-BPE encode: the production tokenizer shape — a FROZEN
@@ -109,6 +125,54 @@ object TextQueries {
       graft.operators.Bpe.tokenStatsPortable(
         Tables.documents(s, d), "doc_id", "text",
         graft.operators.Bpe.BpeModel(graft.operators.Bpe.pretrained))
+    },
+
+    // HTML main-content extraction: the crawl funnel's entry step. The
+    // synthetic corpus is plain text, so the query PLANTS a deterministic
+    // HTML document around it (the text_gopher/text_pii stance): comment,
+    // head with title+style, h1, body paragraph with anchor tags wrapped
+    // around every 'join' and an entity sampler, trailing script block —
+    // every kernel stage fires on every row, and the driver hash
+    // cross-verifies the native single-pass kernel against DuckDB's replay
+    // of the defining regex chain.
+    "html_extract" -> { (s, d) =>
+      val docId = col("doc_id").cast("string")
+      val linked = regexp_replace(coalesce(col("text"), lit("")), "join",
+        "<a href=\"https://ex.com/join\">join</a>")
+      val html = concat(
+        lit("<html><!-- docid "), docId,
+        lit(" --><head><title>Doc "), docId,
+        lit("</title><style>p { color: #333; }</style></head><body><h1>Doc "),
+        docId,
+        lit("</h1><p>"), linked,
+        lit(" &lt;b&gt; &amp; &quot;q&quot;&nbsp;&#39;s&#39;</p>" +
+          "<script type=\"text/javascript\">var d = "), docId,
+        lit(";</script></body></html>"))
+      graft.operators.TextAnalysis.extractContent(
+        Tables.documents(s, d).select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+    },
+
+    // Outlink extraction + crawl-frontier rollup. Plants one absolute
+    // anchor per 'join' occurrence (host case noise + a utm param +
+    // unsorted params — the canonicalizer must collapse five targets per
+    // id-class) and one RELATIVE anchor per document (exercises the
+    // schemeless verbatim fallback at driver level: /rel/0../rel/2 must
+    // stay three distinct frontier entries).
+    "html_links" -> { (s, d) =>
+      val id = col("doc_id")
+      val html = concat(
+        regexp_replace(coalesce(col("text"), lit("")), lit("join"),
+          concat(lit("<a href=\"https://Ex.com/j/"), (id % 5).cast("string"),
+            lit("?utm_x=1&b=2&a=1\">join</a>"))),
+        lit("<a href=\"/rel/"), (id % 3).cast("string"), lit("\">rel</a>"))
+      graft.operators.TextAnalysis.outlinks(
+          Tables.documents(s, d).select(id, html.as("html")),
+          "doc_id", "html")
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_refs"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
     },
 
     // Integer-quantized TF-IDF keywords: top-3 most distinctive words per
@@ -146,10 +210,15 @@ object TextQueries {
     // ids, a unique utm_content tracking param (so all RAW urls are
     // distinct and the collapse is real work), unsorted params, and a
     // fragment on every 5th id. Canonical groups = source x 7 x 3.
+    // Every 11th id is SCHEMELESS (crawl frontiers carry relative/bare
+    // links): the fallback must keep them verbatim (fragment-stripped) —
+    // each one its own canonical group, never collapsed to a shared key.
     "dedup_url" -> { (s, d) =>
       val id = col("doc_id")
       val raw = concat(
-        when(id % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+        when(id % 11 === 0, lit(""))
+          .otherwise(when(id % 2 === 0, lit("HTTPS://WWW."))
+            .otherwise(lit("https://"))),
         col("source"), lit(".Example.COM"),
         when(id % 2 === 0, lit(":443")).otherwise(lit("")),
         lit("/Docs/p"), (id % 7).cast("string"), lit("/"),
@@ -317,7 +386,9 @@ object TextQueries {
         |FROM k""".stripMargin,
     "dedup_url" ->
       """WITH u AS (SELECT doc_id,
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN ''
+        |          WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+        |          ELSE 'https://' END) ||
         |    source || '.Example.COM' ||
         |    (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END) ||
         |    '/Docs/p' || (doc_id % 7) || '/' ||
@@ -326,13 +397,14 @@ object TextQueries {
         |    (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
         |  FROM documents),
         |nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM u),
-        |p AS (SELECT doc_id, url,
+        |p AS (SELECT doc_id, url, u,
         |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
         |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS hostport,
         |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
         |    regexp_extract(u, '\?([^#]*)', 1) AS q
         |  FROM nf),
         |c AS (SELECT doc_id, url,
+        |    CASE WHEN scheme = '' THEN u ELSE
         |    scheme || '://' ||
         |    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
         |                   '^www\.', '') ||
@@ -348,7 +420,7 @@ object TextQueries {
         |          THEN ''
         |          ELSE '?' || array_to_string(list_sort(list_filter(string_split(q, '&'),
         |                 x -> NOT starts_with(x, 'utm_') AND x <> '')), '&') END)
-        |      AS canon_url
+        |    END AS canon_url
         |  FROM p)
         |SELECT canon_url, count(*) AS n_dups, min(doc_id) AS keep_id,
         |       count(DISTINCT url) AS n_variants
@@ -388,6 +460,94 @@ object TextQueries {
 
     "text_bpe_encode" -> bpeEncodeOracle,
 
+    "text_bpe" -> bpeTrainOracle,
+
+    "text_bpe_merges" -> bpeTrainMergesOracle,
+
+    // Replays the planted anchors, the href regex, and the dedup_url
+    // canonicalization (with the schemeless verbatim fallback), then the
+    // same frontier rollup.
+    "html_links" ->
+      """WITH h AS (SELECT doc_id,
+        |    regexp_replace(coalesce(text, ''), 'join',
+        |      '<a href="https://Ex.com/j/' || (doc_id % 5) ||
+        |      '?utm_x=1&b=2&a=1">join</a>', 'g')
+        |    || '<a href="/rel/' || (doc_id % 3) || '">rel</a>' AS html
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(html, '(?i)<a[^>]*?href="([^"]*)"', 1)) AS href
+        |  FROM h),
+        |nf AS (SELECT doc_id, regexp_replace(href, '#.*$', '') AS u FROM l),
+        |p AS (SELECT doc_id, u,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS hostport,
+        |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(u, '\?([^#]*)', 1) AS q
+        |  FROM nf),
+        |c AS (SELECT doc_id,
+        |    CASE WHEN scheme = '' THEN u ELSE
+        |    scheme || '://' ||
+        |    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+        |                   '^www\.', '') ||
+        |    (CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) = '' OR
+        |               (scheme = 'https' AND
+        |                regexp_extract(hostport, ':([0-9]+)$', 1) = '443') OR
+        |               (scheme = 'http' AND
+        |                regexp_extract(hostport, ':([0-9]+)$', 1) = '80')
+        |          THEN '' ELSE ':' || regexp_extract(hostport, ':([0-9]+)$', 1) END) ||
+        |    path ||
+        |    (CASE WHEN array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |                 x -> NOT starts_with(x, 'utm_') AND x <> '')), '&') = ''
+        |          THEN ''
+        |          ELSE '?' || array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |                 x -> NOT starts_with(x, 'utm_') AND x <> '')), '&') END)
+        |    END AS canon_url
+        |  FROM p)
+        |SELECT canon_url, count(*) AS n_refs,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+        |FROM c GROUP BY canon_url""".stripMargin,
+
+    // Replays the planted-HTML build, then the kernel's defining regex
+    // chain stage by stage (comments → head → script → style → tag→space +
+    // anchor count → entity decode → collapse). The [ \t\n\r\f] class is
+    // the RE2/Java common \s subset the kernel pins.
+    "html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><!-- docid ' || CAST(doc_id AS VARCHAR)
+        |    || ' --><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</title><style>p { color: #333; }</style></head><body><h1>Doc '
+        |    || CAST(doc_id AS VARCHAR)
+        |    || '</h1><p>'
+        |    || regexp_replace(coalesce(text, ''), 'join',
+        |         '<a href="https://ex.com/join">join</a>', 'g')
+        |    || ' &lt;b&gt; &amp; &quot;q&quot;&nbsp;&#39;s&#39;</p><script type="text/javascript">var d = '
+        |    || CAST(doc_id AS VARCHAR) || ';</script></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, html,
+        |         regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS x FROM h),
+        |s2 AS (SELECT doc_id, html,
+        |         regexp_replace(x, '(?is)<head[^>]*>.*?</head[^>]*>', '', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id, html,
+        |         regexp_replace(x, '(?is)<script[^>]*>.*?</script[^>]*>', '', 'g') AS x FROM s2),
+        |s4 AS (SELECT doc_id, html,
+        |         regexp_replace(x, '(?is)<style[^>]*>.*?</style[^>]*>', '', 'g') AS x FROM s3),
+        |t AS (SELECT doc_id,
+        |        regexp_extract(html, '(?is)<title[^>]*>(.*?)</title[^>]*>', 1) AS title,
+        |        len(regexp_extract_all(x, '(?i)<a[ \t\n\r\f>]')) AS n_links,
+        |        regexp_replace(x, '<[^>]*>', ' ', 'g') AS x
+        |      FROM s4),
+        |e AS (SELECT doc_id, title, n_links,
+        |        trim(regexp_replace(
+        |          replace(replace(replace(replace(replace(replace(replace(x,
+        |            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |            '&apos;', ''''), '&#39;', ''''), '&nbsp;', ' '),
+        |            '&amp;', '&'),
+        |          '[ \t\n\r\f]+', ' ', 'g')) AS text
+        |      FROM t)
+        |SELECT doc_id, title, n_links,
+        |  CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS text_digest
+        |FROM e""".stripMargin,
+
     // Same cover-the-last-word chunk count and 1-based inclusive slice
     // bounds (DuckDB list_slice stop == Spark slice start+len-1).
     "doc_chunks" ->
@@ -425,6 +585,99 @@ object TextQueries {
     * self-overlapping pairs. Merges come from the same
     * [[graft.operators.Bpe.pretrained]] literal the query uses.
     */
+  /** CTE prefix replaying [[graft.operators.Bpe.train]] end-to-end in SQL.
+    *
+    * The merge-loop argmax is iterative, but the merge BUDGET is a fixed
+    * literal (50), so the whole training run unrolls into `n` chained CTE
+    * blocks: `p{k}` counts adjacent symbol pairs weighted by word frequency
+    * (every adjacent position, overlapping included — same as the scan in
+    * `trainOnCounts`), `m{k}` takes the argmax with the same
+    * (count desc, pair lex asc) tiebreak, the recursive `a{k}` applies that
+    * merge ONE leftmost occurrence per step until exhausted (replace-all
+    * diverges on self-overlapping pairs — see bpeEncodeOracle), and `w{k}`
+    * keeps each word's final state. If pair counts run dry early, `m{k}` is
+    * empty and every later step is a no-op — matching the early stop in
+    * `trainOnCounts`. `MATERIALIZED` is required: each `w{k}` is referenced
+    * twice, and DuckDB's default CTE inlining would expand the chain 2^n×.
+    *
+    * Because applying a merge never creates a pair of lower rank, applying
+    * merges in training order equals the greedy lowest-rank-first encode —
+    * so `w{n}` holds the trained tokenization of every distinct word with
+    * no separate encode phase.
+    */
+  private def bpeTrainCtes(n: Int): String = {
+    val head =
+      """WITH RECURSIVE
+        |words AS (SELECT word, count(*) AS c FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents) WHERE length(word) > 0 GROUP BY word),
+        |w0 AS (SELECT word, c,
+        |         ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS spaced
+        |       FROM words)""".stripMargin
+    val steps = (1 to n).map { k =>
+      val p = k - 1
+      s"""p$k AS (SELECT s[i] AS l, s[i+1] AS rt, sum(c) AS pc
+         |  FROM (SELECT c, s, unnest(generate_series(1, len(s)-1)) AS i
+         |        FROM (SELECT c, string_split(trim(spaced), ' ') AS s FROM w$p))
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT l, rt FROM p$k
+         |  ORDER BY pc DESC, l ASC, rt ASC LIMIT 1),
+         |a$k(word, c, spaced, it) AS (
+         |  SELECT word, c, spaced, 0 FROM w$p
+         |  UNION ALL
+         |  SELECT word, c,
+         |    substr(spaced, 1, pos - 1) || rep || substr(spaced, pos + length(pat)),
+         |    it + 1
+         |  FROM (SELECT a.word, a.c, a.spaced, a.it,
+         |          ' ' || m.l || ' ' || m.rt || ' ' AS pat,
+         |          ' ' || m.l || m.rt || ' ' AS rep,
+         |          position(' ' || m.l || ' ' || m.rt || ' ' IN a.spaced) AS pos
+         |        FROM a$k a CROSS JOIN m$k m)
+         |  WHERE pos > 0),
+         |w$k AS MATERIALIZED (SELECT word, c, arg_max(spaced, it) AS spaced
+         |  FROM a$k GROUP BY word, c)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /** text_bpe oracle: train (bpeTrainCtes), then aggregate the final word
+    * tokenizations back onto documents — same doc rollup as
+    * bpeEncodeOracle, same portable md5 token-stream digest.
+    */
+  private def bpeTrainOracle: String = {
+    val n = 50
+    s"""${bpeTrainCtes(n)},
+       |tok AS (SELECT word, trim(spaced) AS toks,
+       |          len(string_split(trim(spaced), ' ')) AS n FROM w$n),
+       |dws AS (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |                      w -> length(w) > 0) AS ws
+       |        FROM documents),
+       |dw AS (SELECT doc_id, g AS ord, ws[g] AS word
+       |       FROM (SELECT doc_id, ws,
+       |               unnest(generate_series(1, len(ws))) AS g FROM dws)),
+       |agg AS (SELECT doc_id, count(*) AS n_words, sum(n) AS n_tokens,
+       |          string_agg(toks, ' ' ORDER BY ord) AS toks
+       |        FROM dw JOIN tok USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  md5(coalesce(a.toks, '')) AS token_digest
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+  }
+
+  /** text_bpe_merges oracle: the replayed training's own merge decisions,
+    * ranked. Early-stopped steps contribute no row (empty m{k}).
+    */
+  private def bpeTrainMergesOracle: String = {
+    val n = 50
+    val union = (1 to n).map { k =>
+      s"SELECT CAST($k AS INTEGER) AS merge_rank, l AS lhs, rt AS rhs FROM m$k"
+    }.mkString("\nUNION ALL ")
+    s"""${bpeTrainCtes(n)}
+       |SELECT * FROM ($union)""".stripMargin
+  }
+
   private def bpeEncodeOracle: String = {
     val merges = graft.operators.Bpe.pretrained
     val vals = merges.zipWithIndex

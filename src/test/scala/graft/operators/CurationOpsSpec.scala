@@ -57,6 +57,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(groups("https://other.com/page?a=1&b=2") == ((1L, 3L)))
   }
 
+  test("canonicalizeUrl: schemeless/unparseable inputs stay distinct") {
+    // Without the scheme fallback these all collapsed to "://" and the
+    // min-doc_id dedup silently merged unrelated documents.
+    assert(canon("example.com/a") === "example.com/a")
+    assert(canon("other.org/b") === "other.org/b")
+    assert(canon("/relative/path?x=1") === "/relative/path?x=1")
+    assert(canon("not a url at all") === "not a url at all")
+    // fragment still stripped on the fallback path
+    assert(canon("example.com/a#frag") === "example.com/a")
+    // schemeless variants of DIFFERENT pages never share a dedup key
+    val ids = Seq("example.com/a", "other.org/b", "plain text")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url")
+      .groupBy(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .count().as[(String, Long)].collect().toMap
+    assert(ids.size === 3 && ids.values.forall(_ == 1L))
+  }
+
+  test("outlinks: document-order hrefs, canonicalized, relative kept verbatim") {
+    val html = "<p>a</p><a href=\"HTTPS://WWW.Ex.COM:443/A?b=2&a=1&utm_s=x\">x</a>" +
+      " mid <A class='k' HREF=\"/rel/7#frag\">y</A><a name='no-href'>z</a>"
+    val got = Seq((5L, html)).toDF("doc_id", "html")
+    val rows = TextAnalysis.outlinks(got, "doc_id", "html")
+      .select("link_idx", "href", "canon_url")
+      .as[(Int, String, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (0, "HTTPS://WWW.Ex.COM:443/A?b=2&a=1&utm_s=x", "https://ex.com/A?a=1&b=2"),
+      (1, "/rel/7#frag", "/rel/7"))) // fallback: fragment-stripped verbatim
+  }
+
   // -------------------------------------------------------- span corrupt
 
   /** Parse '<extra_id_k> tok…' runs out of a target stream. */
