@@ -216,6 +216,24 @@ object RelationalQueries {
         Tables.events(s, d), Seq("event_type"), userDay, k = 64)
     },
 
+    // Link-graph PageRank over a planted deterministic doc→doc graph
+    // (every doc links to (id·7+3)%N and (id·13+1)%N; every 50th doc is
+    // DANGLING — no outlinks — so the uniform-redistribution correction is
+    // exercised). 10 iterations, integer ppb fixed-point: BIGINT sums
+    // commute, so the result is hash-stable under any partitioning and
+    // DuckDB replays the unrolled iterations bit-for-bit.
+    "link_rank" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val tot = docs.agg(count(lit(1)).as("_n"))
+      val base = docs.crossJoin(broadcast(tot))
+        .filter(col("doc_id") % 50 =!= 0)
+      val edges = base
+        .select(col("doc_id").as("src"), expr("(doc_id * 7 + 3) % _n").as("dst"))
+        .unionByName(base.select(col("doc_id").as("src"),
+          expr("(doc_id * 13 + 1) % _n").as("dst")))
+      graft.operators.Graphs.pageRank(edges, iters = 10)
+    },
+
     // Continuous-domain quantile sketch: per-event_type percentiles of the
     // RAW double value from a bottom-k (k=256) id-hash row sample — the
     // rung histogramQuantiles can't serve without quantizing. Exchange is
@@ -383,6 +401,11 @@ object RelationalQueries {
     // bit-identical.
     "quantile_sample" -> quantileSampleOracle,
 
+    // 10 unrolled PageRank iterations over the same planted graph, all
+    // integer — DuckDB's sum() widens to HUGEINT, so every aggregate is
+    // cast back to BIGINT before it feeds the next iteration.
+    "link_rank" -> linkRankOracle(10),
+
     // The heap operator's contract IS row_number-with-total-order: the
     // (n_chars DESC, doc_id ASC) tiebreak makes the k survivors unique.
     "topk_group" ->
@@ -424,6 +447,46 @@ object RelationalQueries {
        |  CASE WHEN count(*) < 64 THEN count(*)
        |       ELSE (63 * 281474976710656) // max(hv) END AS est_distinct
        |FROM r WHERE rn <= 64 GROUP BY event_type""".stripMargin
+  }
+
+  /** PageRank replay: the planted edge build, then `iters` unrolled
+    * iterations of the integer update (inflow sum → dangling mass →
+    * damped redistribution), each rank relation MATERIALIZED (it feeds
+    * two readers — the bpeTrainCtes stance). All sums cast back to
+    * BIGINT (DuckDB widens to HUGEINT); `//` is truncating like Spark's
+    * `div` on the nonnegative ranks here.
+    */
+  private def linkRankOracle(iters: Int): String = {
+    val head =
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |b AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |edges AS MATERIALIZED (
+        |  SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst FROM b
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 1) % (SELECT n FROM nn) FROM b),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |base AS (SELECT (SELECT 1000000000 // n FROM nn) AS init),
+        |r0 AS MATERIALIZED (SELECT node, (SELECT init FROM base) AS rank
+        |                    FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s"""c$k AS (SELECT e.dst AS node,
+         |    CAST(sum(r.rank // d.deg) AS BIGINT) AS inflow
+         |  FROM edges e JOIN deg d ON d.src = e.src
+         |  JOIN r$p r ON r.node = e.src GROUP BY e.dst),
+         |d$k AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+         |  FROM r$p WHERE node NOT IN (SELECT src FROM deg)),
+         |r$k AS MATERIALIZED (SELECT nodes.node,
+         |    (15 * (SELECT init FROM base) +
+         |     85 * (coalesce(c.inflow, CAST(0 AS BIGINT)) +
+         |           (SELECT dang FROM d$k) // (SELECT n FROM nn))) // 100
+         |      AS rank
+         |  FROM nodes LEFT JOIN c$k c ON c.node = nodes.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters"
   }
 
   /** Bottom-k quantile-sample oracle: hash replay over event_id, the same
