@@ -84,10 +84,14 @@ object Stats {
     val base = df
       .select(groupCols.map(col) ++
         Seq(Sketches.hash48(idExpr).as("hv"), col(valueCol).as("value")): _*)
-      // null values excluded like every SQL percentile aggregate; the
-      // distinct makes re-ingestion idempotent (same id ⇒ same hash+value)
+      // null values excluded like every SQL percentile aggregate
       .filter(col("value").isNotNull)
-      .distinct()
+    // NO defensive distinct here: ids are row-unique by contract, and a
+    // pre-selection distinct would hash-exchange the whole corpus —
+    // exactly the shape this sketch exists to avoid. GroupTopK's partial
+    // heaps bound the one exchange to partitions × groups × k.
+    // (quantileUpdate keeps its distinct: re-delivered batches DO repeat
+    // rows there, and its input is already survivor-bounded.)
     graft.plans.GroupTopK.topK(base, groupCols,
       Seq("hv" -> true, "value" -> true), k)
   }

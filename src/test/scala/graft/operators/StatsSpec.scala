@@ -92,6 +92,17 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(p90 - 900) < 100, s"p90=$p90")
   }
 
+  test("plan: the sample's one exchange is heap-bounded, no corpus distinct") {
+    val df = Seq(("a", 1L, 2.0), ("b", 2L, 3.0)).toDF("g", "id", "v")
+      .repartition(2)
+    val p = Stats.quantileSurvivors(df, Seq("g"), col("id"), "v", 8)
+      .queryExecution.executedPlan.toString()
+    // exactly one exchange (the GroupTopK final), fed by partial heaps —
+    // a defensive distinct would add a corpus-sized hash exchange
+    assert("Exchange hashpartitioning\\(g#".r.findAllIn(p).size == 1, p)
+    assert(!p.toLowerCase.contains("hashaggregate"), p)
+  }
+
   test("bottom-k sample merge law: update(surv(b1), b2) == surv(b1 ∪ b2)") {
     val rng = new Random(41)
     def batch(ids: Range) = ids.map { i =>
