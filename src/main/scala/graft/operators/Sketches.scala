@@ -88,4 +88,68 @@ object Sketches {
         when(col("n_kept") < k, col("n_kept"))
           .otherwise(expr(s"${(k - 1).toLong * (1L << 48)}L div kth_hv")))
   }
+
+  // ------------------------------------------------- Count-Min sketch
+
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005) — the
+    * FREQUENCY sibling of the KMV distinct sketch: `depth` independent
+    * salted hash rows of `width` counters each; a value's estimate is the
+    * MIN of its counters (always ≥ the true count; over by ≤ 2N/width
+    * with prob 1 − 2^-depth).
+    *
+    * Same portable-relation stance as [[kmvSurvivors]]: the sketch IS a
+    * (row, bucket, cnt) relation — parquet-persistable, engine-replayable
+    * (salted md5-prefix bucket hash), and mergeable by pure addition
+    * (counts sum; unlike KMV it is NOT idempotent under re-delivery —
+    * counting never is). Exchange is ≤ depth × width counter cells per
+    * group of the one map-side-combinable aggregate, regardless of corpus
+    * size — the bounded-memory answer when key cardinality makes an exact
+    * `groupBy(value)` table unholdable.
+    */
+  def cmsHash(v: Column, salt: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$salt:"), v.cast("string"))), 1, 12),
+      16, 10).cast("long"), lit(width.toLong))
+
+  /** Build the sketch relation: (row, bucket, cnt), depth × width cells
+    * max. Null values are excluded (count(value) semantics).
+    */
+  def cmsSketch(df: DataFrame, valueExpr: Column, depth: Int = 4,
+                width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"need 1 <= depth <= 16, got $depth")
+    require(width >= 2 && width <= (1 << 20), s"bad width $width")
+    df.select(valueExpr.cast("string").as("_v"))
+      .filter(col("_v").isNotNull)
+      .select(explode(array((0 until depth).map { d =>
+        struct(lit(d).as("row"), cmsHash(col("_v"), d, width).as("bucket"))
+      }: _*)).as("_c"))
+      .groupBy(col("_c.row").as("row"), col("_c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketch relations built with the SAME (depth, width, salt
+    * family): counts add cell-wise.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate frequencies for a (small, broadcastable) probe
+    * relation exposing `valueCol`: min over the depth counters, 0 for a
+    * value whose buckets were never touched.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, valueCol: String,
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    val cells = probes
+      .select(col(valueCol), col(valueCol).cast("string").as("_v"))
+      .select(col(valueCol) +: (0 until depth).map(d =>
+        cmsHash(col("_v"), d, width).as(s"_b$d")): _*)
+      .select(col(valueCol), explode(array((0 until depth).map { d =>
+        struct(lit(d).as("row"), col(s"_b$d").as("bucket"))
+      }: _*)).as("_c"))
+      .select(col(valueCol), col("_c.row").as("row"),
+        col("_c.bucket").as("bucket"))
+    cells.join(sketch, Seq("row", "bucket"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
 }

@@ -216,6 +216,22 @@ object RelationalQueries {
         Tables.events(s, d), Seq("event_type"), userDay, k = 64)
     },
 
+    // Count-Min frequency sketch (the FREQUENCY sibling of sketch_distinct):
+    // 4×256 salted-md5 counter cells over user_id — 1500 users at sf0.1
+    // force real collisions, so the min-estimator genuinely resolves them.
+    // Output compares the estimate against exact counts for the top-20
+    // users (est ≥ exact by construction; the driver hash locks both).
+    "sketch_cms" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val sketch = graft.operators.Sketches.cmsSketch(
+        ev, col("user_id"), depth = 4, width = 256)
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(20)
+      graft.operators.Sketches.cmsEstimate(sketch, exact, "user_id",
+          depth = 4, width = 256)
+        .join(exact, "user_id")
+    },
+
     // Link-graph PageRank over a planted deterministic doc→doc graph
     // (every doc links to (id·7+3)%N and (id·13+1)%N; every 50th doc is
     // DANGLING — no outlinks — so the uniform-redistribution correction is
@@ -406,6 +422,10 @@ object RelationalQueries {
     // cast back to BIGINT before it feeds the next iteration.
     "link_rank" -> linkRankOracle(10),
 
+    // CMS replay: same salted md5-prefix bucket hash (digit-unpacked),
+    // same counter cells, same min-over-rows estimate.
+    "sketch_cms" -> sketchCmsOracle,
+
     // The heap operator's contract IS row_number-with-total-order: the
     // (n_chars DESC, doc_id ASC) tiebreak makes the k survivors unique.
     "topk_group" ->
@@ -447,6 +467,30 @@ object RelationalQueries {
        |  CASE WHEN count(*) < 64 THEN count(*)
        |       ELSE (63 * 281474976710656) // max(hv) END AS est_distinct
        |FROM r WHERE rn <= 64 GROUP BY event_type""".stripMargin
+  }
+
+  /** CMS oracle: the salted bucket hash is the same md5-prefix unpack as
+    * hv48Expr (no +1 — the raw 48-bit value mod width), the cells a plain
+    * GROUP BY, the estimate a min over the 4 rows' counters.
+    */
+  private lazy val sketchCmsOracle: String = {
+    val hv = hv48Expr
+    s"""WITH cells0 AS (SELECT dd.d AS row,
+       |      md5(dd.d || ':' || user_id::VARCHAR) AS hx
+       |    FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS d) dd),
+       |cells AS (SELECT row, ($hv) % 256 AS bucket FROM cells0),
+       |sk AS (SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+       |exact AS (SELECT user_id, count(*) AS exact_n FROM events
+       |          GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 20),
+       |pc0 AS (SELECT e.user_id, e.exact_n, dd.d AS row,
+       |      md5(dd.d || ':' || e.user_id::VARCHAR) AS hx
+       |    FROM exact e CROSS JOIN (SELECT unnest(range(0, 4)) AS d) dd),
+       |pc AS (SELECT user_id, exact_n, row, ($hv) % 256 AS bucket FROM pc0)
+       |SELECT pc.user_id,
+       |  CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_est,
+       |  max(pc.exact_n) AS exact_n
+       |FROM pc LEFT JOIN sk s ON s.row = pc.row AND s.bucket = pc.bucket
+       |GROUP BY pc.user_id""".stripMargin
   }
 
   /** PageRank replay: the planted edge build, then `iters` unrolled

@@ -91,4 +91,47 @@ class SketchesSpec extends SparkSpec {
     assert(vals.forall(h => h >= 1L && h <= (1L << 48)))
     assert(vals(0) == vals(4))
   }
+
+  // ------------------------------------------------- Count-Min sketch
+
+  test("CMS never underestimates, and is exact when width clears the load") {
+    val rng = new Random(67)
+    val rows = Seq.fill(6000)(("u" + rng.nextInt(300)).hashCode.toLong % 300)
+    val df = rows.toDF("v").repartition(5)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probes = exact.keys.toSeq.toDF("v")
+    // narrow sketch: collisions certain; estimate must only ever be high
+    val narrow = Sketches.cmsEstimate(
+        Sketches.cmsSketch(df, col("v"), depth = 4, width = 16),
+        probes, "v", depth = 4, width = 16)
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (v, n) => assert(narrow(v) >= n, s"v=$v") }
+    assert(exact.exists { case (v, n) => narrow(v) > n }) // collisions real
+    // wide sketch: 4 rows of 4096 over 300 keys — min resolves every probe
+    val wide = Sketches.cmsEstimate(
+        Sketches.cmsSketch(df, col("v"), depth = 4, width = 4096),
+        probes, "v", depth = 4, width = 4096)
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (v, n) => assert(wide(v) == n, s"v=$v") }
+  }
+
+  test("CMS merge law: merge(sketch(b1), sketch(b2)) == sketch(b1 ++ b2)") {
+    val rng = new Random(71)
+    val b1 = Seq.fill(2000)(rng.nextInt(150).toLong)
+    val b2 = Seq.fill(1500)(rng.nextInt(150).toLong)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("row", "bucket", "cnt").as[(Int, Long, Long)].collect().toSet
+    val merged = cells(Sketches.cmsMerge(
+      Sketches.cmsSketch(b1.toDF("v"), col("v"), 4, 64),
+      Sketches.cmsSketch(b2.toDF("v"), col("v"), 4, 64)))
+    val oneShot = cells(Sketches.cmsSketch((b1 ++ b2).toDF("v"), col("v"), 4, 64))
+    assert(merged == oneShot && merged.nonEmpty)
+  }
+
+  test("CMS plan: one map-side-combinable exchange, cells never the corpus") {
+    val df = Seq.tabulate(100)(i => i.toLong % 7).toDF("v").repartition(3)
+    val p = Sketches.cmsSketch(df, col("v"), 4, 32)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("partial_count"), s"must combine map-side:\n$p")
+  }
 }
