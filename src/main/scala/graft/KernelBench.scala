@@ -23,6 +23,7 @@ object KernelBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("span")) return spanMain(args.drop(1))
     if (args.headOption.contains("simhash")) return simhashMain(args.drop(1))
+    if (args.headOption.contains("html")) return htmlMain(args.drop(1))
     val nPairs = args.headOption.map(_.toInt).getOrElse(2000000)
     val dim = args.drop(1).headOption.map(_.toInt).getOrElse(64)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -114,6 +115,58 @@ object KernelBench {
         val secs = (System.nanoTime() - t0) / 1e9
         sums(name) = s
         println(f"[kernel] span-$name%6s round=$round docs=$nDocs wpd=$wpd " +
+          f"sec=$secs%.2f kdocs_per_s=${nDocs / secs / 1e3}%.1f checksum=$s")
+      }
+    }
+    require(sums.values.toSet.size == 1, s"formulations disagree: $sums")
+    spark.stop()
+  }
+
+  /** HTML extraction kernel A/B: the seven-pass regex chain (each pass a
+    * full scan + rebuild of the document string) vs the native single-pass
+    * scanner. Synthetic documents carry every construct (comment, head
+    * with title+style, anchors, entities, script).
+    * `sbt "runMain graft.KernelBench html [nDocs] [paras]"`.
+    */
+  private def htmlMain(args: Seq[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(100000)
+    val paras = args.drop(1).headOption.map(_.toInt).getOrElse(12)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val para = concat(lit("<p class='c'>tok"), pmod(col("id"), lit(97)),
+      lit(" &amp; <a href=\"/l"), pmod(col("id"), lit(13)),
+      lit("\">link</a> body text here</p>"))
+    val docs = spark.range(0, nDocs, 1, cpus.toInt * 2)
+      .select(col("id").as("doc_id"), concat(
+        lit("<html><!-- c --><head><title>T"), col("id"),
+        lit("</title><style>p{x:1}</style></head><body>"),
+        array_join(transform(sequence(lit(1), lit(paras)), _ => para), " "),
+        lit("<script>var z = 1 < 2;</script></body></html>")).as("html"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    def checksum(df: DataFrame): Long =
+      df.agg(bit_xor(xxhash64(col("e.title"), col("e.text"),
+        col("e.n_links")))).head().getLong(0)
+    val forms: Seq[(String, () => DataFrame)] = Seq(
+      "chain" -> (() => docs.select(graft.operators.TextAnalysis
+        .htmlExtractRelational(col("html")).as("e"))),
+      "native" -> (() => docs.select(graft.functions.HtmlExtract
+        .htmlExtract(col("html")).as("e"))))
+    val sums = scala.collection.mutable.Map.empty[String, Long]
+    (1 to 2).foreach { round =>
+      forms.foreach { case (name, f) =>
+        val t0 = System.nanoTime()
+        val s = checksum(f())
+        val secs = (System.nanoTime() - t0) / 1e9
+        sums(name) = s
+        println(f"[kernel] html-$name%6s round=$round docs=$nDocs paras=$paras " +
           f"sec=$secs%.2f kdocs_per_s=${nDocs / secs / 1e3}%.1f checksum=$s")
       }
     }
