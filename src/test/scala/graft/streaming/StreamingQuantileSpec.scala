@@ -97,6 +97,51 @@ class StreamingQuantileSpec extends SparkSpec
     }
   }
 
+  test("sample state survives a query restart through the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new Random(43)
+    val rows = Seq.tabulate(1200) { i =>
+      (s"g${i % 2}", i.toLong, rng.nextDouble() * 50)
+    }
+    val (firstHalf, secondHalf) = rows.splitAt(600)
+    val want = batchQuartet(rows)
+
+    val ckpt = java.nio.file.Files.createTempDirectory("q-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("q-out").toString
+    val ms = MemoryStream[(String, Long, Double)]
+    // update-mode emissions need an update-capable durable sink:
+    // foreachBatch appends each micro-batch's rows (parquet itself only
+    // accepts Append)
+    def start() = StreamingQuantile.quantileStream(
+        ms.toDF().toDF("group", "id", "value"), k)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          StreamingQuantile.QuantileEstimate], _: Long) =>
+        df.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt).outputMode("update").start()
+
+    val q1 = start()
+    ms.addData(firstHalf: _*); q1.processAllAvailable(); q1.stop()
+    val q2 = start()
+    ms.addData(secondHalf: _*); q2.processAllAvailable()
+    try {
+      // two batches → exactly two emissions per group: batch-over-half,
+      // then batch-over-all. Lost survivor state across the restart would
+      // make the second emission batch-over-SECOND-half instead.
+      val wantHalf = batchQuartet(firstHalf)
+      val got = spark.read.parquet(outDir)
+        .select("group", "n_sample", "p25", "p50", "p90", "p99")
+        .as[(String, Long, Double, Double, Double, Double)].collect()
+        .groupBy(_._1).map { case (g, rs) =>
+          g -> rs.map(r => (r._2, r._3, r._4, r._5, r._6)).toSet
+        }
+      want.keys.foreach { g =>
+        assert(got(g) == Set(wantHalf(g), want(g)), s"group $g")
+      }
+    } finally q2.stop()
+  }
+
   test("small groups are exact: the sample is the whole group") {
     implicit val sqlCtx = spark.sqlContext
     val rows = (1 to 20).map(i => ("g", i.toLong, i.toDouble))
