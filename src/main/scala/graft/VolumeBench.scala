@@ -54,9 +54,13 @@ object VolumeBench {
     // operators (ordered-window carry / time-grid pairing), the CUSUM
     // window pair, and the KMV sketch — all keyed on user_id, so the
     // distinct-key replication is exactly their 100 TB growth axis
+    // r11: quantile_sample (bottom-k heaps; exchange groups × k at any K)
+    // and sketch_cms (depth × width counter cells) ride the same events
+    // replication — their exchanges must stay corpus-size-invariant
     val queries = Seq("pat_timer", "pat_sessions", "pat_truth_millis",
       "dsl_andthen", "dsl_forstat", "dsl_nested",
-      "asof_join", "interval_join", "cusum_drift", "sketch_distinct")
+      "asof_join", "interval_join", "cusum_drift", "sketch_distinct",
+      "quantile_sample", "sketch_cms")
     factors.foreach { f =>
       val dir = s"/tmp/graft-volume/x$f"
       if (!new java.io.File(s"$dir/events.parquet").exists()) {
@@ -341,11 +345,16 @@ object VolumeBench {
     // prefixes make every replica's vocabulary OOV for the frozen merges,
     // so the per-partition memo amortizes nothing across replicas);
     // span_corrupt and dedup_url are narrow-map/cheap-agg controls.
+    // r11 rungs: html_extract / html_links are narrow-map + cheap-agg
+    // controls like text_pii; link_rank is 10 join+agg iterations whose
+    // cost must track EDGES (2 per doc) linearly — the planted modular
+    // graph stays well-defined under the sparse replicated doc ids
     val queries = Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
       "dedup_ngram", "text_boilerplate", "dedup_substring",
       "affinity_weights", "text_pii", "dedup_incremental",
       "text_lm", "text_gopher",
-      "text_bpe_encode", "span_corrupt", "dedup_url")
+      "text_bpe_encode", "span_corrupt", "dedup_url",
+      "html_extract", "html_links", "link_rank")
     factors.foreach { f =>
       val dir = s"/tmp/graft-volume/docs-x$f"
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {
