@@ -221,8 +221,11 @@ object StreamBench {
     * Metrics come from the committed batch's StateOperatorProgress:
     * `numRowsTotal` and the provider's current-version size
     * (`stateOnCurrentVersionSizeBytes` for HDFS-backed,
-    * `rocksdbTotalMemoryUsage` for RocksDB) — not `memoryUsedBytes`, which
-    * counts retained old versions in the HDFS provider.
+    * `rocksdbSstFileSize` for RocksDB: the provider exposes no
+    * total-memory metric, so bytes/key for the RocksDB rows means
+    * bytes-on-SSD, which is also what changelog checkpoints ship) — not
+    * `memoryUsedBytes`, which counts retained old versions in the HDFS
+    * provider.
     */
   private def runStateSize(spark: SparkSession, keyLadder: Seq[Int],
                            rocksdb: Boolean): Unit = {

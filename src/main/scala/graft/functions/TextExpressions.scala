@@ -201,9 +201,13 @@ object SimHash64 {
   * as the regexes fail to match. Out of scope (documented, not detected),
   * because the chain applies stages globally while the kernel reads in
   * document order: block closers hidden inside comments
-  * (`<script><!-- </script> -->`) and a stray text `<` standing
-  * immediately before a removable block (`5 < 6 <script>…`); real HTML
-  * escapes both.
+  * (`<script><!-- </script> -->`), a stray text `<` standing
+  * immediately before a removable block (`5 < 6 <script>…`), and
+  * INTERLEAVED removable blocks whose open/close tags cross
+  * (`<style>A<script>B</style>C</script>`: the chain removes script
+  * globally before style, keeping 'A'; the kernel skips the style block
+  * first in document order, keeping 'C' — hand cases in HtmlExtractSpec
+  * pin both behaviors). Real HTML escapes all three.
   *
   * One JVM call per document, O(doc), two StringBuilders — the same
   * CodegenFallback stance as [[SpanCorrupt]] (string building has no

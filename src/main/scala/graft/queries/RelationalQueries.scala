@@ -499,6 +499,15 @@ object RelationalQueries {
     * two readers — the bpeTrainCtes stance). All sums cast back to
     * BIGINT (DuckDB widens to HUGEINT); `//` is truncating like Spark's
     * `div` on the nonnegative ranks here.
+    *
+    * The init value and the dangling-mass divisor are derived from the
+    * `nodes` CTE (`nc`), matching `Graphs.pageRank`'s `n = nodes.count()`
+    * by construction; `nn` (count of documents) is kept ONLY as the edge
+    * modulus of the planted graph. The two counts agree on most corpus
+    * sizes but diverge whenever some doc_id appears as neither src nor
+    * dst of the planted graph (a multiple of 50 whose modular preimages
+    * all fall on multiples of 50) — deriving from `nodes` makes the
+    * oracle correct at every corpus size instead of most.
     */
   private def linkRankOracle(iters: Int): String = {
     val head =
@@ -511,7 +520,8 @@ object RelationalQueries {
         |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
         |nodes AS MATERIALIZED (
         |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-        |base AS (SELECT (SELECT 1000000000 // n FROM nn) AS init),
+        |nc AS (SELECT count(*) AS n FROM nodes),
+        |base AS (SELECT (SELECT 1000000000 // n FROM nc) AS init),
         |r0 AS MATERIALIZED (SELECT node, (SELECT init FROM base) AS rank
         |                    FROM nodes)""".stripMargin
     val steps = (1 to iters).map { k =>
@@ -525,7 +535,7 @@ object RelationalQueries {
          |r$k AS MATERIALIZED (SELECT nodes.node,
          |    (15 * (SELECT init FROM base) +
          |     85 * (coalesce(c.inflow, CAST(0 AS BIGINT)) +
-         |           (SELECT dang FROM d$k) // (SELECT n FROM nn))) // 100
+         |           (SELECT dang FROM d$k) // (SELECT n FROM nc))) // 100
          |      AS rank
          |  FROM nodes LEFT JOIN c$k c ON c.node = nodes.node)""".stripMargin
     }

@@ -600,10 +600,19 @@ object TextQueries {
     * `trainOnCounts`. `MATERIALIZED` is required: each `w{k}` is referenced
     * twice, and DuckDB's default CTE inlining would expand the chain 2^n×.
     *
-    * Because applying a merge never creates a pair of lower rank, applying
-    * merges in training order equals the greedy lowest-rank-first encode —
-    * so `w{n}` holds the trained tokenization of every distinct word with
-    * no separate encode phase.
+    * Applying merges in training order ALMOST equals the greedy
+    * lowest-rank-first encode — so `w{n}` holds the trained tokenization
+    * of every distinct word with no separate encode phase. The usual
+    * justification ("applying a merge never creates a pair of lower
+    * rank") has one exception: a later merge can re-form an earlier
+    * symbol's STRING via a different bracketing (e.g. the symbol string
+    * "aaa" arising as (aa,a) after a rank-j "a a"→"aa" merge, when rank-i
+    * (i < j) merged "aa a"→"aaa"), recreating a lower-rank adjacency that
+    * greedy encode would apply but the training replay leaves unmerged.
+    * That needs a repeated-unit run whose merges interleave in rank order
+    * just so; `BpeSpec`'s repeated-char-run differential pins the class,
+    * so a future corpus change that trips it diagnoses as this known
+    * divergence, not an operator bug.
     */
   private def bpeTrainCtes(n: Int): String = {
     val head =

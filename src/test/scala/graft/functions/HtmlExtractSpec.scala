@@ -59,6 +59,31 @@ class HtmlExtractSpec extends SparkSpec {
     for (h <- cases) assert(kernel(h) == chain(h), s"input: $h")
   }
 
+  /** The third documented out-of-scope class (kernel scaladoc): removable
+    * blocks whose open/close tags CROSS. The chain applies stages globally
+    * in head→script→style order, so the earlier-stage block wins even when
+    * it opens later in the document; the kernel takes whichever block
+    * opens first. These hand cases pin BOTH behaviors so the divergence is
+    * stated, not latent. Real HTML never nests these blocks at all.
+    */
+  test("interleaved removable blocks: documented kernel-vs-chain divergence") {
+    // style opens first, script closes last: chain's script stage removes
+    // <script>B</style>C</script> first (keeps A); the kernel skips the
+    // style block <style>A<script>B</style> first (keeps C)
+    val styleFirst = "<style>A<script>B</style>C</script>"
+    assert(kernel(styleFirst) == (("", "C", 0L)))
+    assert(chain(styleFirst) == (("", "A", 0L)))
+    // head opens later but its stage runs first: chain keeps A, kernel C
+    val headCross = "<script>A<head>B</script>C</head>"
+    assert(kernel(headCross) == (("", "C", 0L)))
+    assert(chain(headCross) == (("", "A", 0L)))
+    // script opens first: stage order and document order agree — no
+    // divergence even though the tags cross
+    val scriptFirst = "<script>A<style>B</script>C</style>"
+    assert(kernel(scriptFirst) == (("", "C", 0L)))
+    assert(kernel(scriptFirst) == chain(scriptFirst))
+  }
+
   test("randomized assembly differential: kernel == chain") {
     val rnd = new Random(47)
     // stray '<' immediately before a removable block is the documented

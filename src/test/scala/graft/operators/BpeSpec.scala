@@ -149,6 +149,40 @@ class BpeSpec extends SparkSpec {
       }
   }
 
+  /** Pins the one known class where training-order replay and greedy
+    * lowest-rank-first encode could part ways — the multi-bracketing
+    * exception (see `TextQueries.bpeTrainCtes`): a later merge can re-form
+    * an earlier symbol's STRING via a different bracketing (e.g. "aaa" as
+    * (aa,a) at one rank and (a,aa) at another), recreating a lower-rank
+    * adjacency that greedy applies but the rank-ordered replay has already
+    * passed. Repeated-unit runs are the only corpora whose merges can
+    * interleave that way, so this differential hammers them; if a future
+    * corpus change ever breaks `text_bpe`, re-run this — a failure HERE
+    * means the known replay-vs-greedy bracketing divergence, not an
+    * operator bug.
+    */
+  test("repeated-char-run corpora: training replay == greedy encode (multi-bracketing class)") {
+    val rnd = new Random(41)
+    (1 to 8).foreach { trial =>
+      // words are pure runs (a^k, b^k) plus run-heavy composites that can
+      // learn both bracketings of the same symbol string
+      val runs = (1 to 9).map(k => "a" * k) ++ (1 to 5).map(k => "b" * k) ++
+        Seq("ab" * 3, "ba" * 3, "aab" * 2, "abb" * 2)
+      val counts = runs.map(w => (w, 1L + rnd.nextInt(9).toLong))
+      val model = Bpe.trainOnCounts(counts, 12)
+      assert(model.merges == refTrain(counts, 12), s"trial $trial merges")
+      val rank = model.merges.zipWithIndex.toMap
+      // the differential proper: greedy vs rank-ordered replay per word,
+      // including long runs the training never saw
+      (counts.map(_._1) ++ Seq("a" * 13, "a" * 17, "b" * 11)).foreach { w =>
+        assert(Bpe.encodeWord(w, rank).toSeq == refEncode(w, model.merges),
+          s"trial $trial word $w: greedy encode diverged from training-order " +
+            "replay — the known multi-bracketing class (see bpeTrainCtes " +
+            "scaladoc), NOT an encodeWord bug")
+      }
+    }
+  }
+
   test("model save/load round-trip preserves merges and stats") {
     val df = Seq((1L, "abab abab baba"), (2L, "aabb bbaa")).toDF("doc_id", "text")
     val model = Bpe.train(df, "text", numMerges = 5)
