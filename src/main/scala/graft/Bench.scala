@@ -17,12 +17,14 @@ import org.apache.spark.sql.SparkSession
   *      reading instead of erasing it.
   *   2. Pass 1 runs cheapest-tier-first, so a mid-pass kill still leaves
   *      the cheap majority of the catalog measured.
-  *   3. The second pass (min-of-two noise suppression) is budget-gated:
-  *      each pass-2 rerun happens only while projected elapsed stays under
+  *   3. The rerun passes (pass 2 min-of-two; pass 3 third sample for
+  *      queries whose two readings disagree >1.3x) are budget-gated: each
+  *      rerun happens only while projected elapsed stays under
   *      `SPARK_GRAFT_BENCH_BUDGET_S` (default 420 s of measured wall from
-  *      main entry). On a fast host both passes fit with ~6x headroom; on a
-  *      slow host pass 2 shrinks to the expensive queries that fit, or to
-  *      nothing — pass-1 values stand.
+  *      main entry). On a fast host all passes fit with headroom; on a
+  *      slow host the reruns shrink to the expensive queries that fit, or
+  *      to nothing — pass-1 values stand. Every raw reading is emitted
+  *      under `"readings"` (round 12) so drift adjudicates from the JSON.
   *
   * Measurement action (round 8): a full-output checksum aggregate, not a
   * bare `count()` — count lets Catalyst prune the whole computation of
@@ -53,21 +55,30 @@ object Bench {
     }
   }
 
-  /** name -> (seconds, ok); filled incrementally so the hook can read it. */
-  private val measured = new ConcurrentHashMap[String, (Double, Boolean)]()
+  /** name -> (all readings oldest-first, ok); filled incrementally so the
+    * hook can read it. The reported per-query value is the MIN over
+    * readings (steady-state convention, same as VolumeBench round-2), and
+    * every raw reading is emitted under `"readings"` so a drifted driver
+    * value is adjudicated from the JSON itself instead of costing a round
+    * of same-code reruns (r11 `dsl_reducer` 1.60x-on-unchanged-code class).
+    */
+  private val measured = new ConcurrentHashMap[String, (List[Double], Boolean)]()
   private val emitted  = new AtomicBoolean(false)
 
   private def emit(allNames: Seq[String], sfDir: String, partial: Boolean): Unit =
     if (emitted.compareAndSet(false, true)) {
       val present = allNames.flatMap(n => Option(measured.get(n)).map(n -> _))
       val qs = present
-        .map { case (k, (v, ok)) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+        .map { case (k, (v, ok)) => "\"" + k + "\":" + (if (ok) v.min else -1.0) }
+        .mkString("{", ",", "}")
+      val rs = present
+        .map { case (k, (v, _)) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
         .mkString("{", ",", "}")
       val failed  = present.count(!_._2._2)
       val skipped = allNames.size - present.size
-      val total   = present.collect { case (_, (v, true)) => v }.sum
+      val total   = present.collect { case (_, (v, true)) => v.min }.sum
       println(
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"skipped":$skipped,"partial":$partial,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"readings":$rs,"failed":$failed,"skipped":$skipped,"partial":$partial,"sf":"$sfDir"}"""
       )
       System.out.flush()
     }
@@ -147,22 +158,35 @@ object Bench {
     }
 
     // pass 1: cheap-first, every query measured once
-    names.foreach { n => measured.put(n, runOne(n)) }
+    names.foreach { n => val (t, ok) = runOne(n); measured.put(n, (List(t), ok)) }
     System.err.println(f"[bench] pass 1 done at ${elapsed}%.1f s")
+
+    def rerun(n: String): Unit = {
+      val (prev, prevOk) = measured.get(n)
+      val (t, ok)        = runOne(n)
+      measured.put(n, (prev :+ t, prevOk && ok))
+    }
 
     // pass 2: min-of-two noise suppression, most-expensive-first, only while
     // the projected finish stays inside the budget (estimate = pass-1 time)
-    val byCost = names.sortBy(n => -measured.get(n)._1)
+    val byCost = names.sortBy(n => -measured.get(n)._1.min)
     var reran  = 0
     byCost.foreach { n =>
-      val (prev, prevOk) = measured.get(n)
-      if (elapsed + prev * 1.5 < budget) {
-        val (t, ok) = runOne(n)
-        measured.put(n, (math.min(prev, t), prevOk && ok))
-        reran += 1
-      }
+      if (elapsed + measured.get(n)._1.min * 1.5 < budget) { rerun(n); reran += 1 }
     }
     System.err.println(f"[bench] pass 2 reran $reran%d/${names.size}%d at ${elapsed}%.1f s")
+
+    // pass 3: targeted tie-break — only queries whose two readings disagree
+    // by >1.3x (one of them hit host noise; a third sample lets min() land
+    // on steady state), most-discrepant-first, same budget gate
+    val noisy = names
+      .filter { n => val r = measured.get(n)._1; r.size >= 2 && r.max / r.min.max(1e-9) > 1.3 }
+      .sortBy { n => val r = measured.get(n)._1; -(r.max / r.min.max(1e-9)) }
+    var reran3 = 0
+    noisy.foreach { n =>
+      if (elapsed + measured.get(n)._1.min * 1.5 < budget) { rerun(n); reran3 += 1 }
+    }
+    System.err.println(f"[bench] pass 3 reran $reran3%d/${noisy.size}%d noisy at ${elapsed}%.1f s")
 
     emit(names, sfDir, partial = false)
     Runtime.getRuntime.removeShutdownHook(hook)
