@@ -19,7 +19,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     timestamp cannot retro-fill probes already emitted (append mode
   *     has no retraction). Deliver each key's feed in event-time order
   *     across batches — the same contract the corpus-replay streaming
-  *     suites use — and batch/stream outputs are identical.
+  *     suites use — and batch/stream outputs are identical. For feeds
+  *     that CANNOT promise cross-batch order (replays, repartition
+  *     merges), use [[asofJoinStreamOrdered]]: a watermark-delay reorder
+  *     buffer in front of the same machine, with a loud drop-and-count
+  *     policy for events later than the delay (see [[Reorder]]).
   *   - A late setpoint OLDER than the one in state is ignored (state
   *     keeps the max-timestamp setpoint), so state never regresses.
   *
@@ -37,18 +41,17 @@ object StreamingAsof {
   case class AsofJoined(event_id: Long, key: Long, t_us: Long,
                         asof_ts: Option[Long], asof_value: Option[Double])
 
-  private def processKey(ttlMs: Long)(
-      key: Long, rows: Iterator[AsofEvent],
-      state: GroupState[AsofState]): Iterator[AsofJoined] = {
-    if (state.hasTimedOut) {
-      state.remove()
-      return Iterator.empty
-    }
-    var cur = state.getOption
+  /** The as-of machine proper: run `evs` (already in (ts, side, id) order —
+    * setpoints beat probes on timestamp ties, the >= convention; ids make
+    * re-delivery deterministic) from `cur0`, returning the joined probes
+    * and the carried setpoint. Shared verbatim by the in-order and the
+    * reorder-buffered entry points.
+    */
+  private def runMachine(key: Long, evs: Seq[AsofEvent], cur0: Option[AsofState])
+      : (Seq[AsofJoined], Option[AsofState]) = {
+    var cur = cur0
     val out = Seq.newBuilder[AsofJoined]
-    // (ts, side, id) order: setpoints beat probes on timestamp ties (the
-    // >= convention), ids make re-delivery deterministic
-    rows.toSeq.sortBy(e => (e.tUs, e.side, e.eventId)).foreach { e =>
+    evs.foreach { e =>
       if (e.side == 0) {
         if (cur.forall(_.tUs <= e.tUs)) cur = Some(AsofState(e.tUs, e.value))
       } else {
@@ -56,9 +59,98 @@ object StreamingAsof {
         out += AsofJoined(e.eventId, key, e.tUs, m.map(_.tUs), m.map(_.value))
       }
     }
+    (out.result(), cur)
+  }
+
+  private def processKey(ttlMs: Long)(
+      key: Long, rows: Iterator[AsofEvent],
+      state: GroupState[AsofState]): Iterator[AsofJoined] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val (out, cur) = runMachine(key,
+      rows.toSeq.sortBy(e => (e.tUs, e.side, e.eventId)), state.getOption)
     cur.foreach(state.update)
     if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
-    out.result().iterator
+    out.iterator
+  }
+
+  /** Wire row of the reorder-buffered path: [[AsofEvent]] plus the
+    * event-time timestamp the watermark rides on (must survive the typed
+    * projection or event-time timeouts are rejected).
+    */
+  case class AsofEventT(key: Long, tUs: Long, side: Int, eventId: Long,
+                        value: Double, ts: java.sql.Timestamp)
+
+  /** Pending (not-yet-released) event, key- and ts-column-free. */
+  case class AsofPend(tUs: Long, side: Int, eventId: Long, value: Double)
+
+  case class AsofOrderedState(hasCur: Boolean, curTs: Long, curValue: Double,
+                              frontierUs: Long, pending: Array[AsofPend])
+
+  private val pendOrder: Ordering[AsofPend] =
+    Ordering.by(p => (p.tUs, p.side, p.eventId))
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def processKeyOrdered(lateAcc: Option[org.apache.spark.util.LongAccumulator])(
+      key: Long, rows: Iterator[AsofEventT],
+      state: GroupState[AsofOrderedState]): Iterator[AsofJoined] = {
+    val wmMs = state.getCurrentWatermarkMs()
+    val wmU  = Reorder.wmUs(wmMs)
+    val prev = state.getOption
+      .getOrElse(AsofOrderedState(hasCur = false, 0L, 0.0, Long.MinValue, Array.empty))
+    val incoming = rows.map(e => AsofPend(e.tUs, e.side, e.eventId, e.value)).toSeq
+    val (ready, still, nLate) = Reorder.release(
+      prev.pending.toSeq, incoming, prev.frontierUs, wmU, (p: AsofPend) => p.tUs)(pendOrder)
+    if (nLate > 0) {
+      lateAcc.foreach(_.add(nLate.toLong))
+      log.warn(s"asofJoinStreamOrdered key=$key dropped $nLate event(s) behind " +
+        s"the watermark frontier (${prev.frontierUs} us) — beyond the configured delay")
+    }
+    val cur0 = if (prev.hasCur) Some(AsofState(prev.curTs, prev.curValue)) else None
+    val (out, cur) = runMachine(key,
+      ready.map(p => AsofEvent(key, p.tUs, p.side, p.eventId, p.value)), cur0)
+    state.update(AsofOrderedState(cur.isDefined,
+      cur.map(_.tUs).getOrElse(0L), cur.map(_.value).getOrElse(0.0),
+      math.max(prev.frontierUs, wmU), still.toArray))
+    if (still.nonEmpty)
+      state.setTimeoutTimestamp(Reorder.nextTimeoutMs(still.map(_.tUs).min, wmMs))
+    out.iterator
+  }
+
+  /** [[asofJoinStream]] behind a bounded event-time reorder buffer (see
+    * [[Reorder]]): tolerates ANY disorder — across micro-batches included —
+    * up to `delayMs` of event time, by buffering each event in keyed state
+    * until the stream watermark passes it and only then feeding it, in
+    * full (ts, side, id) order, to the unchanged as-of machine. Output
+    * equals the batch operator under any delivery order/batching within
+    * the delay. Events later than the delay are dropped loudly
+    * (Spark's watermark filter counts them in `numRowsDroppedByWatermark`;
+    * `lateAcc` nets any residual per-key-frontier stragglers — see
+    * [[Reorder]]) — never silently mis-joined. Emission waits
+    * for the watermark, so results trail the feed by ~`delayMs`.
+    */
+  def asofJoinStreamOrdered(probes: DataFrame, setpoints: DataFrame,
+                            delayMs: Long,
+                            lateAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[AsofJoined] = {
+    require(delayMs > 0, s"asofJoinStreamOrdered needs delayMs > 0, got $delayMs")
+    import probes.sparkSession.implicits._
+    implicit val stateEnc: Encoder[AsofOrderedState] = Encoders.product[AsofOrderedState]
+    val u = probes.select(col("key").cast("long").as("key"),
+        col("t_us").cast("long").as("tUs"), lit(1).as("side"),
+        col("event_id").cast("long").as("eventId"), lit(0.0).as("value"))
+      .unionByName(setpoints.select(col("key").cast("long").as("key"),
+        col("t_us").cast("long").as("tUs"), lit(0).as("side"),
+        lit(-1L).as("eventId"), col("value").cast("double").as("value")))
+      .withColumn("ts", timestamp_micros(col("tUs")))
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .as[AsofEventT]
+    u.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processKeyOrdered(lateAcc))
   }
 
   /** Join a streaming probe frame `(event_id, key, t_us)` against a

@@ -15,7 +15,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * stream compute the identical statistic by construction. Rows within a
   * micro-batch are processed in (t_us, event_id) order (intra-batch
   * disorder absorbed); across batches the usual in-order-per-key contract
-  * applies. Emits every event with its `cusum`; thresholding stays
+  * applies — for feeds that cannot promise it, [[cusumStreamOrdered]] puts
+  * a watermark-delay reorder buffer (see [[Reorder]]) in front of the same
+  * recursion, with a loud drop-and-count policy for events later than the
+  * delay. Emits every event with its `cusum`; thresholding stays
   * downstream, exactly like the batch operator.
   *
   * State: (p, minP) per key — bounded by key cardinality, never stream
@@ -29,6 +32,22 @@ object StreamingCusum {
 
   case class CusumRow(key: Long, event_id: Long, t_us: Long, cusum: Long)
 
+  /** The CUSUM recursion proper over `evs` (already in (ts, id) order) from
+    * `st0` — shared verbatim by the in-order and reorder-buffered paths.
+    */
+  private def runMachine(slack: Long, key: Long, evs: Seq[CusumEvent],
+                         st0: CusumState): (Seq[CusumRow], CusumState) = {
+    var st = st0
+    val out = Seq.newBuilder[CusumRow]
+    evs.foreach { e =>
+      val p = st.p + e.x - slack
+      val minP = math.min(st.minP, p)
+      st = CusumState(p, minP)
+      out += CusumRow(key, e.eventId, e.tUs, p - math.min(0L, minP))
+    }
+    (out.result(), st)
+  }
+
   private def processKey(slack: Long, ttlMs: Long)(
       key: Long, rows: Iterator[CusumEvent],
       state: GroupState[CusumState]): Iterator[CusumRow] = {
@@ -36,17 +55,82 @@ object StreamingCusum {
       state.remove()
       return Iterator.empty
     }
-    var st = state.getOption.getOrElse(CusumState(0L, 0L))
-    val out = Seq.newBuilder[CusumRow]
-    rows.toSeq.sortBy(e => (e.tUs, e.eventId)).foreach { e =>
-      val p = st.p + e.x - slack
-      val minP = math.min(st.minP, p)
-      st = CusumState(p, minP)
-      out += CusumRow(key, e.eventId, e.tUs, p - math.min(0L, minP))
-    }
+    val (out, st) = runMachine(slack, key,
+      rows.toSeq.sortBy(e => (e.tUs, e.eventId)),
+      state.getOption.getOrElse(CusumState(0L, 0L)))
     state.update(st)
     if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
-    out.result().iterator
+    out.iterator
+  }
+
+  /** Wire row of the reorder-buffered path: [[CusumEvent]] plus the
+    * event-time timestamp the watermark rides on.
+    */
+  case class CusumEventT(key: Long, tUs: Long, eventId: Long, x: Long,
+                         ts: java.sql.Timestamp)
+
+  /** Pending (not-yet-released) event, key- and ts-column-free. */
+  case class CusumPend(tUs: Long, eventId: Long, x: Long)
+
+  case class CusumOrderedState(p: Long, minP: Long, frontierUs: Long,
+                               pending: Array[CusumPend])
+
+  private val pendOrder: Ordering[CusumPend] = Ordering.by(p => (p.tUs, p.eventId))
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def processKeyOrdered(slack: Long,
+      lateAcc: Option[org.apache.spark.util.LongAccumulator])(
+      key: Long, rows: Iterator[CusumEventT],
+      state: GroupState[CusumOrderedState]): Iterator[CusumRow] = {
+    val wmMs = state.getCurrentWatermarkMs()
+    val wmU  = Reorder.wmUs(wmMs)
+    val prev = state.getOption
+      .getOrElse(CusumOrderedState(0L, 0L, Long.MinValue, Array.empty))
+    val incoming = rows.map(e => CusumPend(e.tUs, e.eventId, e.x)).toSeq
+    val (ready, still, nLate) = Reorder.release(
+      prev.pending.toSeq, incoming, prev.frontierUs, wmU, (p: CusumPend) => p.tUs)(pendOrder)
+    if (nLate > 0) {
+      lateAcc.foreach(_.add(nLate.toLong))
+      log.warn(s"cusumStreamOrdered key=$key dropped $nLate event(s) behind " +
+        s"the watermark frontier (${prev.frontierUs} us) — beyond the configured delay")
+    }
+    val (out, st) = runMachine(slack, key,
+      ready.map(p => CusumEvent(key, p.tUs, p.eventId, p.x)),
+      CusumState(prev.p, prev.minP))
+    state.update(CusumOrderedState(st.p, st.minP,
+      math.max(prev.frontierUs, wmU), still.toArray))
+    if (still.nonEmpty)
+      state.setTimeoutTimestamp(Reorder.nextTimeoutMs(still.map(_.tUs).min, wmMs))
+    out.iterator
+  }
+
+  /** [[cusumStream]] behind a bounded event-time reorder buffer (see
+    * [[Reorder]]): tolerates ANY disorder — across micro-batches included —
+    * up to `delayMs` of event time. The CUSUM recursion is order-DEFINED
+    * (not just order-sensitive), so the buffer is what makes a replayed or
+    * repartition-merged feed compute the same statistic as the batch
+    * closed form. Events later than the delay are dropped loudly
+    * (Spark's watermark filter counts them in `numRowsDroppedByWatermark`;
+    * `lateAcc` nets any residual per-key-frontier stragglers — see
+    * [[Reorder]]); emission trails the feed by ~`delayMs`.
+    */
+  def cusumStreamOrdered(df: DataFrame, slack: Long, delayMs: Long,
+                         lateAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[CusumRow] = {
+    require(delayMs > 0, s"cusumStreamOrdered needs delayMs > 0, got $delayMs")
+    import df.sparkSession.implicits._
+    implicit val stateEnc: Encoder[CusumOrderedState] = Encoders.product[CusumOrderedState]
+    df.select(col("key").cast("long").as("key"),
+        col("t_us").cast("long").as("tUs"),
+        col("event_id").cast("long").as("eventId"),
+        col("x").cast("long").as("x"))
+      .withColumn("ts", timestamp_micros(col("tUs")))
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .as[CusumEventT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processKeyOrdered(slack, lateAcc))
   }
 
   /** `df` must expose (key, t_us, event_id, x); emits every event with its

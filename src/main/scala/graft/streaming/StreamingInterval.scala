@@ -15,7 +15,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - ACROSS batches, a point matches the windows seen so far: a window
   *    arriving in a later batch with an earlier start cannot retro-match
   *    already-emitted points (no retraction in append mode). Deliver each
-  *    key's feed in event-time order and stream == batch.
+  *    key's feed in event-time order and stream == batch. For feeds that
+  *    CANNOT promise cross-batch order, use [[intervalJoinStreamOrdered]]:
+  *    a watermark-delay reorder buffer in front of the same machine, with
+  *    a loud drop-and-count policy for events later than the delay (see
+  *    [[Reorder]]).
   *
   * State stays bounded WITHOUT a watermark config: once a point at time t
   * has been processed, in-order delivery means no future point can land
@@ -37,18 +41,21 @@ object StreamingInterval {
   case class IvMatch(event_id: Long, key: Long, t_us: Long,
                      start_us: Long, value: Double)
 
-  private def processKey(ttlMs: Long)(
-      key: Long, rows: Iterator[IvEvent],
-      state: GroupState[IvState]): Iterator[IvMatch] = {
-    if (state.hasTimedOut) {
-      state.remove()
-      return Iterator.empty
-    }
-    val prev = state.getOption.getOrElse(IvState(Long.MinValue, Array.empty))
-    var frontier = prev.frontierUs
-    val open = scala.collection.mutable.ArrayBuffer.from(prev.windows)
+  /** The interval machine proper: run `evs` (already in (ts, side, id)
+    * order — windows open before points on ties) from (frontier0, open0),
+    * returning the matches, the advanced point frontier, and the surviving
+    * open-window set (pruned by `closeUs` — the point frontier for the
+    * in-order path, max(frontier, watermark) for the reorder-buffered one,
+    * since there no future released point can precede the watermark).
+    * Shared verbatim by both entry points.
+    */
+  private def runMachine(key: Long, evs: Seq[IvEvent], frontier0: Long,
+                         open0: Array[IvWindow], closeUsOf: Long => Long)
+      : (Seq[IvMatch], Long, Array[IvWindow]) = {
+    var frontier = frontier0
+    val open = scala.collection.mutable.ArrayBuffer.from(open0)
     val out = Seq.newBuilder[IvMatch]
-    rows.toSeq.sortBy(e => (e.tUs, e.side, e.eventId)).foreach { e =>
+    evs.foreach { e =>
       if (e.side == 0) {
         if (e.endUs > e.tUs && e.endUs > frontier)
           open += IvWindow(e.tUs, e.endUs, e.value)
@@ -60,11 +67,104 @@ object StreamingInterval {
         }
       }
     }
-    val stillOpen = open.filter(_.endUs > frontier).toArray
+    val closeUs = closeUsOf(frontier)
+    (out.result(), frontier, open.filter(_.endUs > closeUs).toArray)
+  }
+
+  private def processKey(ttlMs: Long)(
+      key: Long, rows: Iterator[IvEvent],
+      state: GroupState[IvState]): Iterator[IvMatch] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val prev = state.getOption.getOrElse(IvState(Long.MinValue, Array.empty))
+    val (out, frontier, stillOpen) = runMachine(key,
+      rows.toSeq.sortBy(e => (e.tUs, e.side, e.eventId)),
+      prev.frontierUs, prev.windows, identity)
     if (stillOpen.nonEmpty || frontier != Long.MinValue)
       state.update(IvState(frontier, stillOpen))
     if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
-    out.result().iterator
+    out.iterator
+  }
+
+  /** Wire row of the reorder-buffered path: [[IvEvent]] plus the
+    * event-time timestamp the watermark rides on.
+    */
+  case class IvEventT(key: Long, tUs: Long, side: Int, eventId: Long,
+                      endUs: Long, value: Double, ts: java.sql.Timestamp)
+
+  /** Pending (not-yet-released) event, key- and ts-column-free. */
+  case class IvPend(tUs: Long, side: Int, eventId: Long, endUs: Long,
+                    value: Double)
+
+  case class IvOrderedState(frontierUs: Long, releasedUs: Long,
+                            windows: Array[IvWindow], pending: Array[IvPend])
+
+  private val pendOrder: Ordering[IvPend] =
+    Ordering.by(p => (p.tUs, p.side, p.eventId))
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def processKeyOrdered(lateAcc: Option[org.apache.spark.util.LongAccumulator])(
+      key: Long, rows: Iterator[IvEventT],
+      state: GroupState[IvOrderedState]): Iterator[IvMatch] = {
+    val wmMs = state.getCurrentWatermarkMs()
+    val wmU  = Reorder.wmUs(wmMs)
+    val prev = state.getOption
+      .getOrElse(IvOrderedState(Long.MinValue, Long.MinValue, Array.empty, Array.empty))
+    val incoming = rows.map(e => IvPend(e.tUs, e.side, e.eventId, e.endUs, e.value)).toSeq
+    val (ready, still, nLate) = Reorder.release(
+      prev.pending.toSeq, incoming, prev.releasedUs, wmU, (p: IvPend) => p.tUs)(pendOrder)
+    if (nLate > 0) {
+      lateAcc.foreach(_.add(nLate.toLong))
+      log.warn(s"intervalJoinStreamOrdered key=$key dropped $nLate event(s) behind " +
+        s"the watermark frontier (${prev.releasedUs} us) — beyond the configured delay")
+    }
+    // windows additionally close at the watermark: every future released
+    // point has t > wm, so end <= wm can never match again
+    val (out, frontier, stillOpen) = runMachine(key,
+      ready.map(p => IvEvent(key, p.tUs, p.side, p.eventId, p.endUs, p.value)),
+      prev.frontierUs, prev.windows, f => math.max(f, wmU))
+    state.update(IvOrderedState(frontier, math.max(prev.releasedUs, wmU),
+      stillOpen, still.toArray))
+    if (still.nonEmpty)
+      state.setTimeoutTimestamp(Reorder.nextTimeoutMs(still.map(_.tUs).min, wmMs))
+    out.iterator
+  }
+
+  /** [[intervalJoinStream]] behind a bounded event-time reorder buffer
+    * (see [[Reorder]]): tolerates ANY disorder — across micro-batches
+    * included — up to `delayMs` of event time, by buffering each event in
+    * keyed state until the watermark passes it and only then feeding it,
+    * in full (ts, side, id) order, to the unchanged interval machine.
+    * Output equals the batch operator under any delivery order/batching
+    * within the delay; events later than the delay are dropped loudly
+    * (Spark's watermark filter counts them in `numRowsDroppedByWatermark`;
+    * `lateAcc` nets any residual per-key-frontier stragglers — see
+    * [[Reorder]]). Emission trails the feed by ~`delayMs`.
+    */
+  def intervalJoinStreamOrdered(points: DataFrame, windows: DataFrame,
+                                delayMs: Long,
+                                lateAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[IvMatch] = {
+    require(delayMs > 0, s"intervalJoinStreamOrdered needs delayMs > 0, got $delayMs")
+    import points.sparkSession.implicits._
+    implicit val stateEnc: Encoder[IvOrderedState] = Encoders.product[IvOrderedState]
+    val u = points.select(col("key").cast("long").as("key"),
+        col("t_us").cast("long").as("tUs"), lit(1).as("side"),
+        col("event_id").cast("long").as("eventId"),
+        lit(0L).as("endUs"), lit(0.0).as("value"))
+      .unionByName(windows.select(col("key").cast("long").as("key"),
+        col("start_us").cast("long").as("tUs"), lit(0).as("side"),
+        lit(-1L).as("eventId"), col("end_us").cast("long").as("endUs"),
+        col("value").cast("double").as("value")))
+      .withColumn("ts", timestamp_micros(col("tUs")))
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .as[IvEventT]
+    u.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processKeyOrdered(lateAcc))
   }
 
   /** Join a streaming point frame `(event_id, key, t_us)` against a

@@ -71,3 +71,22 @@ class StreamingQuantileRocksDbSpec extends StreamingQuantileSpec {
   override protected def stateStoreProvider: Option[String] =
     Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }
+
+/** [[StreamingReorderSpec]] under RocksDB state storage — the ordered
+  * variants' pending-buffer arrays (Array[AsofPend] etc.) round-trip
+  * through UnsafeRow here, including across the checkpoint restart with
+  * events still pending in the reorder buffer.
+  */
+class StreamingReorderRocksDbSpec extends StreamingReorderSpec {
+  override protected def stateStoreProvider: Option[String] =
+    Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}
+
+/** [[CorpusRelationalStreamSpec]] under RocksDB state storage — the
+  * corpus-replay lock for the relational asof/interval streams (verdict
+  * r11 item 8).
+  */
+class CorpusRelationalStreamRocksDbSpec extends CorpusRelationalStreamSpec {
+  override protected def stateStoreProvider: Option[String] =
+    Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}
