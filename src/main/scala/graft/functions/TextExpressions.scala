@@ -189,8 +189,15 @@ object SimHash64 {
   *   4. `(?is)<style[^>]*>.*?</style[^>]*>` → '' (style blocks)
   *   5. remaining `<[^>]*>` → ' ' (tags separate words, counting
   *      `(?i)<a[ \t\n\r\f>]` anchors along the way)
-  *   6. entity decode, non-recursive single pass: &lt; &gt; &quot; &apos;
-  *      &#39; &nbsp;(→space) &amp; — unknown entities pass through
+  *   6. entity decode, non-recursive single pass: the fixed table (&lt;
+  *      &gt; &quot; &apos; &#39; &nbsp;(→space) &amp;) plus NUMERIC
+  *      character references `&#NNN;` / `&#xHH;` for BMP non-surrogate
+  *      code points (1..0xFFFF \ 0xD800..0xDFFF; ≤6 decimal / ≤5 hex
+  *      digits) — unknown, malformed, astral, surrogate, or NUL refs pass
+  *      through as literal text. The chain spells this stage as ONE
+  *      split-on-'&' + per-part transform (not a per-entity replace
+  *      fold), so fixed and numeric rules share a single left-to-right
+  *      pass on both engines
   *   7. whitespace-collapse + trim
   *
   * `title` is the raw inner text of the first `(?is)<title[^>]*>(.*?)
@@ -264,7 +271,10 @@ case class HtmlExtract(html: Expression)
           }
           e += 1
         }
-        if (!matched) { raw.append('&'); i += 1 }
+        if (!matched) {
+          val adv = numericRef(s, i, raw)
+          if (adv > 0) i += adv else { raw.append('&'); i += 1 }
+        }
       } else { raw.append(c); i += 1 }
     }
     // whitespace collapse + trim (chain step 7; \s there is the RE2 class,
@@ -294,6 +304,40 @@ object HtmlExtract {
   private val entities: Array[(String, Char)] = Array(
     "&lt;" -> '<', "&gt;" -> '>', "&quot;" -> '"', "&apos;" -> '\'',
     "&#39;" -> '\'', "&nbsp;" -> ' ', "&amp;" -> '&')
+
+  /** Numeric character reference at `s(i) == '&'`: `&#NNN;` (1-6 decimal
+    * digits) or `&#xHH;`/`&#XHH;` (1-5 hex digits), decoded iff the code
+    * point is BMP and not a surrogate (1..0xFFFF \ 0xD800..0xDFFF) —
+    * astral-plane refs, the surrogate range, NUL, overlong digit runs, and
+    * anything malformed pass through as literal text, exactly like the
+    * chain's failed regex. Returns chars consumed (0 = no reference here);
+    * appends the decoded char on success. Single pass: the decoded char is
+    * never rescanned, matching the split-on-'&' chain stage.
+    */
+  private def numericRef(s: String, i: Int, raw: java.lang.StringBuilder): Int = {
+    val n = s.length
+    if (i + 1 >= n || s.charAt(i + 1) != '#') return 0
+    val hex = i + 2 < n && (s.charAt(i + 2) == 'x' || s.charAt(i + 2) == 'X')
+    val d0 = if (hex) i + 3 else i + 2
+    val maxDigits = if (hex) 5 else 6
+    // ASCII-only digit classes, exactly the chain's [0-9] / [0-9a-fA-F]
+    // (Character.digit would also accept Unicode digits the regex rejects)
+    def digit(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (hex && c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (hex && c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    var j = d0
+    var code = 0
+    while (j < n && j - d0 < maxDigits && digit(s.charAt(j)) >= 0) {
+      code = code * (if (hex) 16 else 10) + digit(s.charAt(j))
+      j += 1
+    }
+    if (j == d0 || j >= n || s.charAt(j) != ';') return 0
+    if (code < 1 || code > 0xFFFF || (code >= 0xD800 && code <= 0xDFFF)) return 0
+    raw.append(code.toChar)
+    j + 1 - i
+  }
 
   /** The RE2/Java-common `\s` subset used by the chain's `[ \t\n\r\f>]`
     * link anchor and `\s+` collapse (no \x0B — RE2 excludes it).

@@ -665,8 +665,9 @@ object TextAnalysis {
     * [[graft.functions.HtmlExtract]] — the definitional contract the native
     * kernel must match byte-for-byte (see the kernel's scaladoc for the
     * stage list), retained as the in-test differential oracle exactly like
-    * span_corrupt's HOF fold. Every stage is a codegen'd built-in, so this
-    * also IS the portable spelling an external SQL engine replays.
+    * span_corrupt's HOF fold. Every stage is a built-in (regex stages
+    * codegen'd; the entity stage a split + transform HOF), so this also IS
+    * the portable spelling an external SQL engine replays.
     *
     * Returns struct(title, text, n_links).
     */
@@ -681,9 +682,37 @@ object TextAnalysis {
     val nLinks = size(regexp_extract_all(s4,
       lit("(?i)<a[ \\t\\n\\r\\f>]"), lit(0))).cast("long")
     val tagless = regexp_replace(s4, "<[^>]*>", " ")
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&apos;" -> "'", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(tagless) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    // entity decode as ONE left-to-right pass: split on '&' and transform
+    // each part (which lost its leading '&') — the fixed table first, then
+    // numeric character references, else the '&' is restored verbatim.
+    // A per-entity replace fold cannot host the numeric rule: whichever of
+    // the two rule sets ran second would rescan the first's output
+    // ('&amp;#38;' double-decoding class), where the kernel reads each '&'
+    // exactly once. BMP non-surrogate bound as in the kernel; the decoded
+    // char comes from hex→unhex→UTF-16BE (Spark's chr() is latin-1-bounded,
+    // this is codepoint-exact for the whole BMP; DuckDB replays with chr()).
+    val parts = split(tagless, "&", -1)
+    val fixed = Seq("lt;" -> "<", "gt;" -> ">", "quot;" -> "\"",
+      "apos;" -> "'", "#39;" -> "'", "nbsp;" -> " ", "amp;" -> "&")
+    def decodePart(p: Column): Column = {
+      val dec = regexp_extract(p, "^#([0-9]{1,6});", 1)
+      val hx  = regexp_extract(p, "^#[xX]([0-9a-fA-F]{1,5});", 1)
+      val code = when(dec =!= "", dec.cast("int"))
+        .when(hx =!= "", conv(hx, 16, 10).cast("int"))
+        .otherwise(lit(-1))
+      val skip = when(dec =!= "", length(dec) + 2).otherwise(length(hx) + 3)
+      val numeric = when(
+        code >= 1 && code <= 0xFFFF && !(code >= 0xD800 && code <= 0xDFFF),
+        concat(decode(unhex(lpad(hex(code), 4, "0")), "UTF-16BE"),
+          p.substr(skip + 1, length(p))))
+      fixed.foldRight(numeric.otherwise(concat(lit("&"), p))) { case ((e, r), el) =>
+        when(startswith(p, lit(e)),
+          concat(lit(r), p.substr(lit(e.length + 1), length(p)))).otherwise(el)
+      }
+    }
+    val decoded = concat(element_at(parts, 1),
+      array_join(transform(slice(parts, lit(2), greatest(size(parts) - 1, lit(0))),
+        decodePart(_)), ""))
     val text = trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
     struct(
       regexp_extract(html, "(?is)<title[^>]*>(.*?)</title[^>]*>", 1)

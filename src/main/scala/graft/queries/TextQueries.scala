@@ -145,7 +145,11 @@ object TextQueries {
         lit("</title><style>p { color: #333; }</style></head><body><h1>Doc "),
         docId,
         lit("</h1><p>"), linked,
-        lit(" &lt;b&gt; &amp; &quot;q&quot;&nbsp;&#39;s&#39;</p>" +
+        lit(" &lt;b&gt; &amp; &quot;q&quot;&nbsp;&#39;s&#39;" +
+          // numeric character references: valid decimal + hex (incl.
+          // uppercase X), then the pass-through classes — out-of-range,
+          // surrogate, NUL, overlong hex, empty, and a bare '&#'
+          " &#246;&#xE9;&#X2013; &#999999;&#xD800;&#0;&#x110000;bad&#x;&#</p>" +
           "<script type=\"text/javascript\">var d = "), docId,
         lit(";</script></body></html>"))
       graft.operators.TextAnalysis.extractContent(
@@ -510,7 +514,11 @@ object TextQueries {
     // Replays the planted-HTML build, then the kernel's defining regex
     // chain stage by stage (comments → head → script → style → tag→space +
     // anchor count → entity decode → collapse). The [ \t\n\r\f] class is
-    // the RE2/Java common \s subset the kernel pins.
+    // the RE2/Java common \s subset the kernel pins. The entity stage is
+    // the chain's single left-to-right pass: split on '&', transform each
+    // part through the fixed table then the BMP-bounded numeric-reference
+    // rules (chr() here, hex→unhex→UTF-16BE on the Spark side), restore
+    // the '&' verbatim otherwise.
     "html_extract" ->
       """WITH h AS (SELECT doc_id,
         |    '<html><!-- docid ' || CAST(doc_id AS VARCHAR)
@@ -520,7 +528,7 @@ object TextQueries {
         |    || '</h1><p>'
         |    || regexp_replace(coalesce(text, ''), 'join',
         |         '<a href="https://ex.com/join">join</a>', 'g')
-        |    || ' &lt;b&gt; &amp; &quot;q&quot;&nbsp;&#39;s&#39;</p><script type="text/javascript">var d = '
+        |    || ' &lt;b&gt; &amp; &quot;q&quot;&nbsp;&#39;s&#39; &#246;&#xE9;&#X2013; &#999999;&#xD800;&#0;&#x110000;bad&#x;&#</p><script type="text/javascript">var d = '
         |    || CAST(doc_id AS VARCHAR) || ';</script></body></html>' AS html
         |  FROM documents),
         |s1 AS (SELECT doc_id, html,
@@ -538,10 +546,32 @@ object TextQueries {
         |      FROM s4),
         |e AS (SELECT doc_id, title, n_links,
         |        trim(regexp_replace(
-        |          replace(replace(replace(replace(replace(replace(replace(x,
-        |            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |            '&apos;', ''''), '&#39;', ''''), '&nbsp;', ' '),
-        |            '&amp;', '&'),
+        |          string_split(x, '&')[1] ||
+        |          array_to_string(list_transform(string_split(x, '&')[2:], p ->
+        |            CASE
+        |              WHEN starts_with(p, 'lt;')   THEN '<' || p[4:]
+        |              WHEN starts_with(p, 'gt;')   THEN '>' || p[4:]
+        |              WHEN starts_with(p, 'quot;') THEN '"' || p[6:]
+        |              WHEN starts_with(p, 'apos;') THEN '''' || p[6:]
+        |              WHEN starts_with(p, '#39;')  THEN '''' || p[5:]
+        |              WHEN starts_with(p, 'nbsp;') THEN ' ' || p[6:]
+        |              WHEN starts_with(p, 'amp;')  THEN '&' || p[5:]
+        |              WHEN regexp_extract(p, '^#([0-9]{1,6});', 1) <> ''
+        |                   AND CAST(regexp_extract(p, '^#([0-9]{1,6});', 1) AS BIGINT)
+        |                       BETWEEN 1 AND 65535
+        |                   AND CAST(regexp_extract(p, '^#([0-9]{1,6});', 1) AS BIGINT)
+        |                       NOT BETWEEN 55296 AND 57343
+        |                THEN chr(CAST(regexp_extract(p, '^#([0-9]{1,6});', 1) AS INT))
+        |                     || p[len(regexp_extract(p, '^#([0-9]{1,6});', 1)) + 3:]
+        |              WHEN regexp_extract(p, '^#[xX]([0-9a-fA-F]{1,5});', 1) <> ''
+        |                   AND CAST('0x' || regexp_extract(p, '^#[xX]([0-9a-fA-F]{1,5});', 1) AS BIGINT)
+        |                       BETWEEN 1 AND 65535
+        |                   AND CAST('0x' || regexp_extract(p, '^#[xX]([0-9a-fA-F]{1,5});', 1) AS BIGINT)
+        |                       NOT BETWEEN 55296 AND 57343
+        |                THEN chr(CAST('0x' || regexp_extract(p, '^#[xX]([0-9a-fA-F]{1,5});', 1) AS INT))
+        |                     || p[len(regexp_extract(p, '^#[xX]([0-9a-fA-F]{1,5});', 1)) + 4:]
+        |              ELSE '&' || p
+        |            END), ''),
         |          '[ \t\n\r\f]+', ' ', 'g')) AS text
         |      FROM t)
         |SELECT doc_id, title, n_links,

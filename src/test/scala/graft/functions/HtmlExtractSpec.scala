@@ -84,13 +84,45 @@ class HtmlExtractSpec extends SparkSpec {
     assert(kernel(scriptFirst) == chain(scriptFirst))
   }
 
+  /** Numeric character references: the decode window is BMP non-surrogate
+    * (1..0xFFFF \ D800..DFFF); everything else passes through as literal
+    * text. Each case asserts the exact kernel output AND kernel == chain
+    * (which replays in DuckDB with chr()).
+    */
+  test("numeric character references: decode window and pass-through classes") {
+    val cases = Seq(
+      "a &#246; b"     -> "a ö b",      // decimal BMP
+      "a &#xE9; b"     -> "a é b",      // hex BMP
+      "a &#X2013; b"   -> "a – b",      // uppercase X
+      "&#65;&#x42;"    -> "AB",              // adjacent refs, no separators
+      "&#0246;"        -> "ö",          // leading zeros count as digits
+      "&#999999;"      -> "&#999999;",       // > 0xFFFF: literal
+      "&#xD800; &#xDFFF;" -> "&#xD800; &#xDFFF;", // surrogates: literal
+      "&#0;"           -> "&#0;",            // NUL: literal
+      "&#x110000;"     -> "&#x110000;",      // 6 hex digits: overlong, literal
+      "&#1114112;"     -> "&#1114112;",      // 7 decimal digits: overlong, literal
+      "&#x;"           -> "&#x;",            // no digits
+      "&#12"           -> "&#12",            // no ';'
+      "&#38;lt;"       -> "&lt;",            // decoded '&' is NOT rescanned
+      "&amp;#38;"      -> "&#38;")           // fixed-table '&' not rescanned either
+    for ((in, out) <- cases) {
+      assert(kernel(in) == (("", out, 0L)), s"input: $in")
+      assert(kernel(in) == chain(in), s"chain diverged on: $in")
+    }
+  }
+
   test("randomized assembly differential: kernel == chain") {
     val rnd = new Random(47)
     // stray '<' immediately before a removable block is the documented
     // out-of-scope divergence (chain removes blocks before the tag stage,
     // the kernel reads in document order) — keep fuzz text '<'-free; bare
     // brackets are covered by the hand cases where order cannot differ
-    val words = Seq("alpha", "beta", "&amp;", "&lt;x&gt;", "&bad;", "7 > 6")
+    val words = Seq("alpha", "beta", "&amp;", "&lt;x&gt;", "&bad;", "7 > 6",
+      // numeric character references: valid decimal/hex and every
+      // pass-through class (out-of-range, surrogate, NUL, overlong,
+      // missing digits, missing ';', decode-then-literal tails)
+      "&#246;", "&#xE9;", "&#X2013;", "&#65;Z", "&#999999;", "&#xD800;",
+      "&#0;", "&#x110000;", "&#x;", "&#", "&#38;lt;", "&amp;#38;", "&#12")
     val pieces = Seq(
       () => words(rnd.nextInt(words.size)),
       () => s"<!-- ${words(rnd.nextInt(words.size))} -->",
@@ -110,6 +142,40 @@ class HtmlExtractSpec extends SparkSpec {
         TextAnalysis.htmlExtractRelational(col("h")).as("c"))
       .as[((String, String, Long), (String, String, Long))].collect()
     both.zip(docs).foreach { case ((k, c), d) => assert(k == c, s"input: $d") }
+  }
+
+  test("SQL functions html_extract / span_corrupt are registered via GraftExtensions") {
+    // html_extract: 1-arg struct round-trip matches the Column kernel
+    val viaSql = spark.sql(
+      "SELECT html_extract('<title>T</title><p>a &#246; <a href=\"/x\">l</a></p>') AS e")
+      .select("e.title", "e.text", "e.n_links")
+      .as[(String, String, Long)].head()
+    assert(viaSql == kernel("<title>T</title><p>a &#246; <a href=\"/x\">l</a></p>"))
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT html_extract('a', 'b')").collect()
+    }
+    assert(e1.getMessage.contains("html_extract"), e1.getMessage)
+
+    // span_corrupt: the maskPct argument must be a foldable INT literal
+    val viaSql2 = spark.sql(
+      "SELECT span_corrupt(split('a b c d e f g h', ' '), 7L, 30) AS s")
+      .select("s.n_masked").as[Long].head()
+    val viaCol = Seq((7L, "a b c d e f g h")).toDF("doc_id", "text")
+      .select(SpanCorrupt.spanCorrupt(
+        split(col("text"), " "), col("doc_id"), 30).as("s"))
+      .select("s.n_masked").as[Long].head()
+    assert(viaSql2 == viaCol)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT span_corrupt(split('a b', ' '), 1L)").collect()
+    }
+    assert(e2.getMessage.contains("span_corrupt"), e2.getMessage)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      // non-foldable maskPct: a column reference cannot configure the kernel
+      spark.sql(
+        "SELECT span_corrupt(split('a b', ' '), 1L, CAST(id AS INT)) FROM range(1)")
+        .collect()
+    }
+    assert(e3.getMessage.contains("span_corrupt"), e3.getMessage)
   }
 
   test("plan: extractContent is a pure narrow map — zero exchanges") {
