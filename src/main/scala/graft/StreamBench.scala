@@ -306,6 +306,22 @@ object StreamBench {
         } finally q.stop()
       }
 
+      // Count-Min sketch: ≤ depth × width counter cells per group; values
+      // drawn from a domain >> width so every cell fills — bytes/key is
+      // capped at the (4 × 256)-cell grid regardless of value cardinality
+      locally {
+        val ms = MemoryStream[(String, Long)]
+        val q = streaming.StreamingSketch
+          .cmsStream(ms.toDF().toDF("group", "value"), depth = 4, width = 256)
+          .writeStream.format("noop").outputMode("update").start()
+        try {
+          (0 until n).map(i => (s"g${i % nKeys}", (i * 7919 % 100000).toLong))
+            .grouped(n / chunks + 1)
+            .foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+          report("cms_stream", nKeys, q)
+        } finally q.stop()
+      }
+
       // CUSUM: two longs per key, the flattest possible ladder
       locally {
         val ms = MemoryStream[(Long, Long, Long, Long)]

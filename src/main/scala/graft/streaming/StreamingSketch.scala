@@ -48,6 +48,77 @@ object StreamingSketch {
     Iterator.single(emit(k, group, merged))
   }
 
+  // ------------------------------------------------- Count-Min stream
+
+  /** Wire row for the CMS stream: one (row, bucket) cell hit per depth
+    * row per value — the same salted md5 bucket expression as the batch
+    * sketch, computed BEFORE groupByKey so the raw value never enters
+    * state or the shuffle.
+    */
+  case class CellHit(group: String, cell: Long)
+
+  /** Touched cells as parallel arrays sorted by cell id (= row * width +
+    * bucket); counts only ever grow. Bounded by depth x width per group.
+    */
+  case class CmsState(cells: Array[Long], cnts: Array[Long])
+
+  case class CmsCell(group: String, row: Int, bucket: Long, cnt: Long)
+
+  private def processCms(width: Int)(
+      group: String, rows: Iterator[CellHit],
+      state: GroupState[CmsState]): Iterator[CmsCell] = {
+    val prev = state.getOption.getOrElse(CmsState(Array.empty, Array.empty))
+    val incr = new scala.collection.mutable.HashMap[Long, Long]()
+    rows.foreach(h => incr.update(h.cell, incr.getOrElse(h.cell, 0L) + 1L))
+    if (incr.isEmpty) return Iterator.empty
+    val merged = new scala.collection.mutable.TreeMap[Long, Long]()
+    var i = 0
+    while (i < prev.cells.length) { merged.update(prev.cells(i), prev.cnts(i)); i += 1 }
+    incr.foreach { case (c, n) => merged.update(c, merged.getOrElse(c, 0L) + n) }
+    val arr = merged.toArray
+    state.update(CmsState(arr.map(_._1), arr.map(_._2)))
+    // emit only the cells this batch touched, with their REFRESHED totals:
+    // counts are monotone, so the latest (max) emission per cell IS the
+    // current sketch — no downstream merge pass needed
+    incr.keysIterator.toSeq.sorted.iterator.map { c =>
+      CmsCell(group, (c / width).toInt, c % width, merged(c))
+    }
+  }
+
+  /** Streaming Count-Min sketch — the continuous counterpart of
+    * [[graft.operators.Sketches.cmsSketch]]: per group, keyed state holds
+    * the touched counter cells (≤ depth × width longs — the easiest state
+    * shape of the streaming family), and each micro-batch emits the
+    * refreshed (row, bucket, cnt) cells it touched (update semantics).
+    *
+    * Counting is additive, NOT idempotent (re-delivery counts again —
+    * same caveat as the batch sketch's merge), but it IS order- and
+    * batching-independent: the stream state after any prefix equals the
+    * batch `cmsSketch` over that prefix under any chunking or disorder.
+    * Because counts only grow, the last emission per (group, row, bucket)
+    * is the current sketch relation — parquet it and `cmsEstimate`
+    * replays point queries against it unchanged.
+    *
+    * `df` must expose a string `group` column and a `value` column.
+    */
+  def cmsStream(df: DataFrame, depth: Int = 4, width: Int = 1024): Dataset[CmsCell] = {
+    require(depth >= 1 && depth <= 16, s"need 1 <= depth <= 16, got $depth")
+    require(width >= 2 && width <= (1 << 20), s"bad width $width")
+    import df.sparkSession.implicits._
+    implicit val stateEnc: Encoder[CmsState] = Encoders.product[CmsState]
+    df.select(col("group").cast("string").as("group"),
+        col("value").cast("string").as("_v"))
+      .filter(col("_v").isNotNull)
+      .select(col("group"), explode(array((0 until depth).map { d =>
+        (lit(d.toLong) * width +
+          graft.operators.Sketches.cmsHash(col("_v"), d, width)).as(s"_c$d")
+      }: _*)).as("cell"))
+      .as[CellHit]
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(processCms(width))
+  }
+
   /** `df` must expose a string `group` column and a `value` column; emits
     * one refreshed [[KmvEstimate]] per touched group per micro-batch.
     */

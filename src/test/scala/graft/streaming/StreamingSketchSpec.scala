@@ -94,6 +94,112 @@ class StreamingSketchSpec extends SparkSpec
     }
   }
 
+  /** CMS: max (= latest, counts are monotone) emission per (group, row,
+    * bucket) must equal the batch sketch relation over the prefix, under
+    * any chunking AND any delivery order (addition commutes).
+    */
+  private def batchCms(rows: Seq[(String, Long)], depth: Int, width: Int) =
+    rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      Sketches.cmsSketch(rs.map(_._2).toDF("value"), col("value"),
+          depth, width)
+        .as[(Int, Long, Long)].collect()
+        .map { case (r, b, c) => (g, r, b) -> c }.toSeq
+    }.toMap
+
+  test("cms stream equals the batch sketch across chunkings and disorder") {
+    val rng = new Random(19)
+    val depth = 4
+    val width = 64
+    val rows = Seq.tabulate(3000) { _ =>
+      (s"g${rng.nextInt(3)}", rng.nextInt(500).toLong)
+    }
+    val want = batchCms(rows, depth, width)
+    implicit val sqlCtx = spark.sqlContext
+    for ((chunks, shuffled) <- Seq((1, false), (7, false), (7, true), (19, true))) {
+      val feed = if (shuffled) rng.shuffle(rows) else rows
+      val ms = MemoryStream[(String, Long)]
+      val q = StreamingSketch.cmsStream(
+          ms.toDF().toDF("group", "value"), depth, width)
+        .writeStream.format("memory").queryName("cms_out")
+        .outputMode("update").start()
+      try {
+        feed.grouped(feed.size / chunks + 1).foreach { c =>
+          ms.addData(c: _*); q.processAllAvailable()
+        }
+        val got = spark.table("cms_out")
+          .groupBy("group", "row", "bucket")
+          .agg(max("cnt").as("cnt"))
+          .as[(String, Int, Long, Long)].collect()
+          .map(r => (r._1, r._2, r._3) -> r._4).toMap
+        assert(got == want, s"chunks=$chunks shuffled=$shuffled")
+      } finally {
+        q.stop()
+        spark.sql("DROP TABLE IF EXISTS cms_out")
+      }
+    }
+  }
+
+  test("cms state survives a query restart through the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new Random(29)
+    val depth = 4
+    val width = 64
+    val rows = Seq.tabulate(800)(_ => (s"g${rng.nextInt(2)}", rng.nextInt(300).toLong))
+    val want = batchCms(rows, depth, width)
+    val (firstHalf, secondHalf) = rows.splitAt(400)
+
+    val ckpt = java.nio.file.Files.createTempDirectory("cms-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cms-out").toString
+    val ms = MemoryStream[(String, Long)]
+    // update-mode emissions need an update-capable durable sink:
+    // foreachBatch appends each micro-batch's rows (parquet itself only
+    // accepts Append); max-per-cell over all emissions is still the sketch
+    def start() = StreamingSketch.cmsStream(
+        ms.toDF().toDF("group", "value"), depth, width)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          StreamingSketch.CmsCell], _: Long) =>
+        df.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt).outputMode("update").start()
+
+    val q1 = start()
+    ms.addData(firstHalf: _*); q1.processAllAvailable(); q1.stop()
+    val q2 = start()
+    ms.addData(secondHalf: _*); q2.processAllAvailable()
+    try {
+      val got = spark.read.parquet(outDir)
+        .groupBy("group", "row", "bucket").agg(max("cnt").as("cnt"))
+        .as[(String, Int, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3) -> r._4).toMap
+      // lost counter state would restart the second half's cells at zero
+      assert(got == want)
+    } finally q2.stop()
+  }
+
+  test("cms null values are excluded; sketch cells replay cmsEstimate") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val q = StreamingSketch.cmsStream(
+        ms.toDF().toDF("group", "value"), depth = 4, width = 64)
+      .writeStream.format("memory").queryName("cms_null")
+      .outputMode("update").start()
+    try {
+      ms.addData(("g", "a"), ("g", null), ("g", "b"), ("g", "a"), ("g", null))
+      q.processAllAvailable()
+      val sketch = spark.table("cms_null")
+        .groupBy("row", "bucket").agg(max("cnt").as("cnt"))
+      val est = Sketches.cmsEstimate(sketch,
+          Seq("a", "b", "z").toDF("v"), "v", depth = 4, width = 64)
+        .as[(String, Long)].collect().toMap
+      assert(est("a") == 2L && est("b") == 1L)
+      assert(est("z") <= 1L) // never-seen: 0 unless a collision overcounts
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS cms_null")
+    }
+  }
+
   test("duplicate re-delivery does not move the estimate") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq.tabulate(500)(i => ("g", (i % 200).toLong))
