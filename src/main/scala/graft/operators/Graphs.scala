@@ -27,48 +27,70 @@ import org.apache.spark.sql.functions._
   * Scale shape: each iteration is one join of the rank relation against
   * the edge list plus one map-side-combinable sum — the canonical
   * distributed-PageRank plan. Every iteration's rank relation goes
-  * through an EAGER `localCheckpoint`: without the barrier, K iterations
-  * compound into a 2^K lineage and the driver re-plans the whole history
-  * each step; checkpoint blocks from earlier iterations are reclaimed by
-  * the ContextCleaner as their references drop, so nothing leaks across
-  * calls (the clusterAssign persist-scope stance). localCheckpoint is not
-  * executor-loss-tolerant — a production run on a lossy cluster should
-  * set a reliable checkpoint dir and swap in `checkpoint()`. The one-row
-  * dangling aggregate rides a broadcast crossJoin (the one-row-aggregate
-  * pattern), never a driver collect.
+  * through an EAGER barrier: without it, K iterations compound into a 2^K
+  * lineage and the driver re-plans the whole history each step. The
+  * barrier is `localCheckpoint` by default (fast, blocks reclaimed by the
+  * ContextCleaner as references drop — the clusterAssign persist-scope
+  * stance) but NOT executor-loss-tolerant; a production run on a lossy
+  * cluster passes `checkpointDir` to swap in reliable `checkpoint()`
+  * against that fault-tolerant path. The one-row dangling aggregate rides
+  * a broadcast crossJoin (the one-row-aggregate pattern), never a driver
+  * collect.
   */
 object Graphs {
 
   /** `edges` must expose BIGINT (src, dst) columns; self-loops and
     * duplicate edges are honored as given (dedup upstream if unwanted).
     * Nodes = distinct src ∪ dst. Returns (node, rank) with Σ rank ≈ scale.
+    *
+    * Knobs beyond the update rule:
+    *  - `tol` > 0 enables convergence early-exit: iteration stops once
+    *    max |Δrank| ≤ tol (integer compare in `scale` units, so the
+    *    stopping rule is as engine-portable as the ranks; costs one extra
+    *    map-side-combinable aggregate per iteration). The default 0 runs
+    *    exactly `iters` passes — the oracle-replayed configuration.
+    *  - `checkpointDir`: when set, per-iteration barriers use reliable
+    *    `checkpoint()` into that directory (executor-loss-tolerant)
+    *    instead of `localCheckpoint`.
     */
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85,
-               scale: Long = 1000000000L): DataFrame = {
+               scale: Long = 1000000000L, tol: Long = 0L,
+               checkpointDir: Option[String] = None): DataFrame =
+    pageRankRun(edges, iters, dampingPct, scale, tol, checkpointDir)._1
+
+  /** [[pageRank]] returning (ranks, iterations actually run) — the count
+    * an operator logs/emits when the `tol` early-exit fires.
+    */
+  def pageRankRun(edges: DataFrame, iters: Int, dampingPct: Int = 85,
+                  scale: Long = 1000000000L, tol: Long = 0L,
+                  checkpointDir: Option[String] = None): (DataFrame, Int) = {
     require(iters >= 1 && iters <= 100, s"need 1 <= iters <= 100, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"need 0 <= dampingPct <= 100, got $dampingPct")
+    require(tol >= 0L, s"need tol >= 0, got $tol")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def barrier(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+    val nodes = barrier(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val n = math.max(nodes.count(), 1L)
     val init = scale / n
-    val withDeg = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")),
-      "src").localCheckpoint()
-    val degNodes = withDeg.select(col("src").as("node")).distinct()
-      .localCheckpoint()
-    var ranks = nodes.select(col("node"), lit(init).as("rank"))
-      .localCheckpoint()
-    (1 to iters).foreach { _ =>
+    val withDeg = barrier(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
+    val degNodes = barrier(withDeg.select(col("src").as("node")).distinct())
+    var ranks = barrier(nodes.select(col("node"), lit(init).as("rank")))
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val contrib = withDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div deg")).as("inflow"))
       val dangling = ranks.join(degNodes, Seq("node"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("_dang"))
-      ranks = nodes
+      val next = barrier(nodes
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         // BIGINT casts on every literal: ANSI mode overflows INT at
@@ -76,9 +98,18 @@ object Graphs {
         .select(col("node"), expr(
           s"((cast(${100L - dampingPct} as bigint) * cast($init as bigint)) + " +
             s"cast($dampingPct as bigint) * (coalesce(inflow, cast(0 as bigint)) + " +
-            s"_dang div cast($n as bigint))) div 100").as("rank"))
-        .localCheckpoint()
+            s"_dang div cast($n as bigint))) div 100").as("rank")))
+      if (tol > 0L) {
+        // max |Δrank|: one join on the barriered relations + one aggregate;
+        // both sides cover the same node set, so an inner join is total
+        val delta = next.join(ranks.withColumnRenamed("rank", "_prev"), "node")
+          .agg(max(abs(col("rank") - col("_prev"))).as("d"))
+          .head().getLong(0)
+        converged = delta <= tol
+      }
+      ranks = next
+      it += 1
     }
-    ranks
+    (ranks, it)
   }
 }

@@ -71,4 +71,41 @@ class GraphsSpec extends SparkSpec {
     // 300 edges over 10 ppb-scale iterations the loss is tiny
     assert(total <= scale && total > scale - 100000L, s"total=$total")
   }
+
+  test("tol early-exit: stops before the budget, ranks frozen at the fixpoint") {
+    val rnd = new Random(67)
+    val edges = (0 until 400).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)).distinct
+    val df = edges.toDF("src", "dst")
+    // integer fixed-point iterates REACH an exact fixpoint (Δ = 0); a
+    // 100-iteration budget with tol=1 must stop well short of it
+    val (ranks, ran) = Graphs.pageRankRun(df, iters = 100, tol = 1L)
+    assert(ran < 100, s"never converged in 100 iterations")
+    val got = ranks.as[(Long, Long)].collect().toMap
+    // the early-exit result is within tol of the replica run to the same
+    // iteration count, and running the replica further moves nothing by
+    // more than tol per step at the stop point
+    val atStop = replica(edges, ran)
+    got.foreach { case (v, r) => assert(math.abs(r - atStop(v)) <= 1L, s"node $v") }
+    // default config (tol = 0) still runs exactly `iters` passes
+    val (_, ranFixed) = Graphs.pageRankRun(df, iters = 4)
+    assert(ranFixed == 4)
+  }
+
+  test("reliable-checkpoint knob produces identical ranks") {
+    val rnd = new Random(71)
+    val edges = (0 until 200).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).distinct
+    val dir = java.nio.file.Files.createTempDirectory("pr-ckpt").toString
+    val df = edges.toDF("src", "dst")
+    val local = Graphs.pageRank(df, 6).as[(Long, Long)].collect().toMap
+    val reliable = Graphs.pageRank(df, 6, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    assert(local == replica(edges, 6))
+    // the reliable path actually wrote RDD checkpoint data
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "checkpoint dir is empty — reliable path did not engage")
+  }
 }
