@@ -3,7 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Mergeable cardinality sketches.
+/** Mergeable sketches: KMV (distinct cardinality), Count-Min (frequency),
+  * Bloom (membership) — each as an explicit, portable, engine-replayable
+  * relation.
   *
   * KMV (k-minimum-values) distinct-count estimation: hash every value to a
   * uniform 48-bit integer, keep only the k smallest distinct hashes per
@@ -132,6 +134,74 @@ object Sketches {
   def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("row"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
+
+  // ------------------------------------------------- Bloom filter
+
+  /** Bloom membership filter (Bloom, CACM 1970) — the MEMBERSHIP sibling
+    * of KMV (distinct) and CMS (frequency): `nHashes` salted positions in
+    * an `nBits` bit array per value; a probe is "maybe present" iff every
+    * position is set. Never a false negative; false positives at the
+    * classic (1 - e^(-kn/m))^k rate — and DETERMINISTIC here, because the
+    * positions come from the same salted md5 family as [[cmsHash]], so an
+    * external engine replays even the false positives bit-for-bit.
+    *
+    * Same portable-relation stance as the other sketches: the filter IS a
+    * (word_idx, bits) relation of the NONZERO 64-bit words — parquet-
+    * persistable, engine-replayable, mergeable by pure `bit_or` (which is
+    * also idempotent: re-adding a value is a no-op, unlike CMS counting).
+    * Exchange is ≤ nBits/64 word cells of one map-side-combinable
+    * aggregate regardless of corpus size. This is the crawl-pipeline
+    * "seen URL" structure: yesterday's filter unions today's batch, and
+    * the frontier probe never ships the URL text anywhere — only word
+    * indexes and masks.
+    */
+  def bloomSketch(df: DataFrame, valueExpr: Column, nBits: Int = 1 << 16,
+                  nHashes: Int = 4): DataFrame = {
+    require(nHashes >= 1 && nHashes <= 16, s"need 1 <= nHashes <= 16, got $nHashes")
+    // the filter relation is DISTRIBUTED (<= nBits/64 word rows), so the
+    // cap is generous: 2^30 bits = 16M word rows ~ 1% FP at ~10^8 values;
+    // the streaming variant keeps a tighter cap (whole filter per group)
+    require(nBits >= 64 && nBits <= (1 << 30) && nBits % 64 == 0,
+      s"need 64 <= nBits <= 2^30, multiple of 64; got $nBits")
+    df.select(valueExpr.cast("string").as("_v"))
+      .filter(col("_v").isNotNull)
+      .select(explode(array((0 until nHashes).map(d =>
+        cmsHash(col("_v"), d, nBits)): _*)).as("_pos"))
+      .select(expr("_pos div 64").as("word_idx"),
+        expr("shiftleft(1L, cast(_pos % 64 as int))").as("_m"))
+      .groupBy(col("word_idx"))
+      .agg(bit_or(col("_m")).as("bits"))
+  }
+
+  /** Merge filters built with the SAME (nBits, nHashes, salt family):
+    * words OR cell-wise. Idempotent — merging a filter with itself (or
+    * re-adding any already-present value) changes nothing.
+    */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("word_idx"))
+      .agg(bit_or(col("bits")).as("bits"))
+
+  /** Membership-probe a (small, broadcastable) relation exposing
+    * `valueCol` against a filter relation: `maybe_present` is true iff
+    * every one of the value's `nHashes` bits is set (never a false
+    * negative; false positives deterministic).
+    */
+  def bloomProbe(sketch: DataFrame, probes: DataFrame, valueCol: String,
+                 nBits: Int = 1 << 16, nHashes: Int = 4): DataFrame = {
+    val cells = probes
+      .select(col(valueCol), col(valueCol).cast("string").as("_v"))
+      .select(col(valueCol) +: (0 until nHashes).map(d =>
+        cmsHash(col("_v"), d, nBits).as(s"_p$d")): _*)
+      .select(col(valueCol), explode(array((0 until nHashes).map(d =>
+        col(s"_p$d")): _*)).as("_pos"))
+      .select(col(valueCol), expr("_pos div 64").as("word_idx"),
+        expr("shiftleft(1L, cast(_pos % 64 as int))").as("_m"))
+    cells.join(sketch, Seq("word_idx"), "left")
+      .groupBy(col(valueCol))
+      .agg((min(when((coalesce(col("bits"), lit(0L))
+          .bitwiseAND(col("_m"))) === col("_m"), 1).otherwise(0)) === 1)
+        .as("maybe_present"))
+  }
 
   /** Point-estimate frequencies for a (small, broadcastable) probe
     * relation exposing `valueCol`: min over the depth counters, 0 for a

@@ -232,6 +232,27 @@ object RelationalQueries {
         .join(exact, "user_id")
     },
 
+    // Bloom membership filter over the event users — the crawl-pipeline
+    // "seen" gate as a portable (word_idx, bits) relation. Probes every
+    // present user plus 40 planted ABSENT ids: present probes must all
+    // read true (never-false-negative), absent ones read the
+    // deterministic salted-hash verdict the oracle replays bit-for-bit
+    // (false positives included, were the fill rate ever to produce one).
+    "sketch_bloom" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val filter = graft.operators.Sketches.bloomSketch(
+        ev, col("user_id"), nBits = 65536, nHashes = 4)
+      val present = ev.select(col("user_id")).distinct()
+      val probes = present.unionByName(
+        s.range(1000000L, 1000040L).select(col("id").as("user_id")))
+      graft.operators.Sketches.bloomProbe(filter, probes, "user_id",
+          nBits = 65536, nHashes = 4)
+        .join(present.withColumn("truly_present", lit(true)),
+          Seq("user_id"), "left")
+        .select(col("user_id"), col("maybe_present"),
+          coalesce(col("truly_present"), lit(false)).as("truly_present"))
+    },
+
     // Link-graph PageRank over a planted deterministic doc→doc graph
     // (every doc links to (id·7+3)%N and (id·13+1)%N; every 50th doc is
     // DANGLING — no outlinks — so the uniform-redistribution correction is
@@ -426,6 +447,12 @@ object RelationalQueries {
     // same counter cells, same min-over-rows estimate.
     "sketch_cms" -> sketchCmsOracle,
 
+    // Bloom replay: same salted positions, same 64-bit word packing.
+    // Bit 63 needs a CASE: DuckDB's `<<` overflow-checks 1 << 63 where
+    // Spark's shiftleft wraps to Long.MinValue — the CASE emits that
+    // exact value, so word masks agree bit-for-bit.
+    "sketch_bloom" -> sketchBloomOracle,
+
     // The heap operator's contract IS row_number-with-total-order: the
     // (n_chars DESC, doc_id ASC) tiebreak makes the k survivors unique.
     "topk_group" ->
@@ -491,6 +518,38 @@ object RelationalQueries {
        |  max(pc.exact_n) AS exact_n
        |FROM pc LEFT JOIN sk s ON s.row = pc.row AND s.bucket = pc.bucket
        |GROUP BY pc.user_id""".stripMargin
+  }
+
+  /** Bloom oracle: salted positions via the digit-unpacked md5 prefix,
+    * packed into 64-bit words with a bit-63 CASE (DuckDB overflow-checks
+    * `1 << 63`; Spark wraps to Long.MinValue — the CASE emits exactly
+    * that), OR-folded per word, then the all-bits-set probe.
+    */
+  private lazy val sketchBloomOracle: String = {
+    val hv = hv48Expr
+    val mask =
+      """(CASE WHEN p % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |      ELSE CAST(1 AS BIGINT) << CAST(p % 64 AS INT) END)""".stripMargin
+    s"""WITH vals AS (SELECT DISTINCT user_id FROM events),
+       |pos0 AS (SELECT user_id, md5(dd.d || ':' || user_id::VARCHAR) AS hx
+       |    FROM vals CROSS JOIN (SELECT unnest(range(0, 4)) AS d) dd),
+       |pos AS (SELECT user_id, ($hv) % 65536 AS p FROM pos0),
+       |sk AS (SELECT p // 64 AS word_idx, bit_or($mask) AS bits
+       |       FROM pos GROUP BY 1),
+       |probes AS (SELECT user_id FROM vals
+       |           UNION ALL SELECT unnest(range(1000000, 1000040))),
+       |pp0 AS (SELECT probes.user_id,
+       |      md5(dd.d || ':' || probes.user_id::VARCHAR) AS hx
+       |    FROM probes CROSS JOIN (SELECT unnest(range(0, 4)) AS d) dd),
+       |pp AS (SELECT user_id, ($hv) % 65536 AS p FROM pp0),
+       |pc AS (SELECT user_id, p // 64 AS word_idx, $mask AS mask FROM pp),
+       |res AS (SELECT pc.user_id,
+       |      bool_and((coalesce(s.bits, 0) & pc.mask) = pc.mask) AS maybe_present
+       |    FROM pc LEFT JOIN sk s ON s.word_idx = pc.word_idx
+       |    GROUP BY pc.user_id)
+       |SELECT r.user_id, r.maybe_present,
+       |  (v.user_id IS NOT NULL) AS truly_present
+       |FROM res r LEFT JOIN vals v ON v.user_id = r.user_id""".stripMargin
   }
 
   /** PageRank replay: the planted edge build, then `iters` unrolled

@@ -119,6 +119,74 @@ object StreamingSketch {
         GroupStateTimeout.NoTimeout)(processCms(width))
   }
 
+  // ------------------------------------------------- Bloom stream
+
+  /** One (word_idx, mask) bit hit per hash per value. */
+  case class BitHit(group: String, word: Long, mask: Long)
+
+  /** Touched words as parallel arrays sorted by word index; bits only
+    * ever gain (OR). Bounded by nBits/64 longs per group.
+    */
+  case class BloomState(words: Array[Long], bits: Array[Long])
+
+  case class BloomWord(group: String, word_idx: Long, bits: Long)
+
+  private def processBloom(
+      group: String, rows: Iterator[BitHit],
+      state: GroupState[BloomState]): Iterator[BloomWord] = {
+    val incr = new scala.collection.mutable.HashMap[Long, Long]()
+    rows.foreach(h => incr.update(h.word, incr.getOrElse(h.word, 0L) | h.mask))
+    if (incr.isEmpty) return Iterator.empty
+    val prev = state.getOption.getOrElse(BloomState(Array.empty, Array.empty))
+    val merged = new scala.collection.mutable.TreeMap[Long, Long]()
+    var i = 0
+    while (i < prev.words.length) { merged.update(prev.words(i), prev.bits(i)); i += 1 }
+    // only words whose bits actually CHANGE are re-emitted: OR is
+    // idempotent, so a pure re-delivery emits nothing and state is
+    // untouched (no state-store write either)
+    val changed = incr.toSeq.sorted.flatMap { case (w, m) =>
+      val old = merged.getOrElse(w, 0L)
+      if ((old | m) != old) { merged.update(w, old | m); Some(w) } else None
+    }
+    if (changed.isEmpty) return Iterator.empty
+    val arr = merged.toArray
+    state.update(BloomState(arr.map(_._1), arr.map(_._2)))
+    changed.iterator.map(w => BloomWord(group, w, merged(w)))
+  }
+
+  /** Streaming Bloom filter — the continuous counterpart of
+    * [[graft.operators.Sketches.bloomSketch]]: per group, keyed state
+    * holds the touched 64-bit words (≤ nBits/64 longs), and each
+    * micro-batch emits the words it CHANGED (update semantics; bits only
+    * gain, so the latest emission per (group, word_idx) IS the filter and
+    * `bloomProbe` replays against it unchanged). OR is commutative AND
+    * idempotent, so stream == batch under any chunking, disorder, or
+    * duplicate re-delivery — the strongest delivery contract of the
+    * sketch family. The continuous crawl "seen URL" gate: each arriving
+    * batch both extends the filter and can be probed against the state
+    * built so far.
+    */
+  def bloomStream(df: DataFrame, nBits: Int = 1 << 16,
+                  nHashes: Int = 4): Dataset[BloomWord] = {
+    require(nHashes >= 1 && nHashes <= 16, s"need 1 <= nHashes <= 16, got $nHashes")
+    require(nBits >= 64 && nBits <= (1 << 26) && nBits % 64 == 0,
+      s"need 64 <= nBits <= 2^26, multiple of 64; got $nBits")
+    import df.sparkSession.implicits._
+    implicit val stateEnc: Encoder[BloomState] = Encoders.product[BloomState]
+    df.select(col("group").cast("string").as("group"),
+        col("value").cast("string").as("_v"))
+      .filter(col("_v").isNotNull)
+      .select(col("group"), explode(array((0 until nHashes).map { d =>
+        graft.operators.Sketches.cmsHash(col("_v"), d, nBits).as(s"_p$d")
+      }: _*)).as("_pos"))
+      .select(col("group"), expr("_pos div 64").as("word"),
+        expr("shiftleft(1L, cast(_pos % 64 as int))").as("mask"))
+      .as[BitHit]
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(processBloom)
+  }
+
   /** `df` must expose a string `group` column and a `value` column; emits
     * one refreshed [[KmvEstimate]] per touched group per micro-batch.
     */

@@ -134,4 +134,49 @@ class SketchesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString()
     assert(p.contains("partial_count"), s"must combine map-side:\n$p")
   }
+
+  test("Bloom: never a false negative; absent probes mostly reject at sane fill") {
+    val rng = new Random(73)
+    val present = (0 until 400).map(i => s"url-$i")
+    val absent = (0 until 200).map(i => s"miss-$i")
+    val filter = Sketches.bloomSketch(
+      present.toDF("v").repartition(5), col("v"), nBits = 65536, nHashes = 4)
+    val got = Sketches.bloomProbe(filter,
+        rng.shuffle(present ++ absent).toDF("v"), "v", nBits = 65536, nHashes = 4)
+      .as[(String, Boolean)].collect().toMap
+    present.foreach(v => assert(got(v), s"FALSE NEGATIVE on $v"))
+    // 1600 set bits of 65536: FP rate ~ (0.024)^4 ~ 3e-7 — demand < 5/200
+    assert(absent.count(got) < 5, s"implausible FP count ${absent.count(got)}")
+  }
+
+  test("Bloom merge law: OR of two filters == filter of the union; idempotent") {
+    val b1 = (0 until 300).map(i => s"a-$i")
+    val b2 = (150 until 450).map(i => s"a-$i") // overlaps b1
+    def words(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val f1 = Sketches.bloomSketch(b1.toDF("v"), col("v"), 4096, 4)
+    val f2 = Sketches.bloomSketch(b2.toDF("v"), col("v"), 4096, 4)
+    val merged = words(Sketches.bloomMerge(f1, f2))
+    assert(merged == words(
+      Sketches.bloomSketch((b1 ++ b2).toDF("v"), col("v"), 4096, 4)))
+    // idempotence: merging a filter with itself changes nothing
+    assert(words(Sketches.bloomMerge(f1, f1)) == words(f1))
+  }
+
+  test("Bloom words are partitioning-invariant and use bit 63") {
+    val vs = (0 until 2000).map(i => s"k-$i")
+    def words(parts: Int) = Sketches
+      .bloomSketch(vs.toDF("v").repartition(parts), col("v"), 1024, 4)
+      .as[(Long, Long)].collect().toSet
+    val w1 = words(1)
+    assert(w1 == words(7)) // bit_or commutes
+    // at 8000 positions over 1024 bits every word saturates, so bit 63
+    // (the Long.MinValue mask — the DuckDB-oracle CASE edge) is exercised
+    assert(w1.exists { case (_, bits) => bits < 0L }, "bit 63 never set")
+    // plan: the word aggregate combines map-side — the exchange carries
+    // word cells, never one row per (value, hash)
+    val p = Sketches.bloomSketch(vs.toDF("v").repartition(3), col("v"), 1024, 4)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("partial_bit_or"), s"must combine map-side:\n$p")
+  }
 }

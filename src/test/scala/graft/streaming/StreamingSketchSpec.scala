@@ -200,6 +200,70 @@ class StreamingSketchSpec extends SparkSpec
     }
   }
 
+  /** Bloom: latest (= max under OR-monotonicity) emission per
+    * (group, word_idx) must equal the batch filter over the prefix.
+    */
+  private def batchBloom(rows: Seq[(String, String)], nBits: Int, nHashes: Int) =
+    rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      Sketches.bloomSketch(rs.map(_._2).toDF("value"), col("value"),
+          nBits, nHashes)
+        .as[(Long, Long)].collect().map { case (w, b) => (g, w) -> b }.toSeq
+    }.toMap
+
+  test("bloom stream equals the batch filter across chunkings and disorder") {
+    val rng = new Random(31)
+    val rows = Seq.tabulate(2000)(_ => (s"g${rng.nextInt(3)}", s"u${rng.nextInt(600)}"))
+    val want = batchBloom(rows, 4096, 4)
+    implicit val sqlCtx = spark.sqlContext
+    for ((chunks, shuffled) <- Seq((1, false), (9, false), (9, true))) {
+      val feed = if (shuffled) rng.shuffle(rows) else rows
+      val ms = MemoryStream[(String, String)]
+      val q = StreamingSketch.bloomStream(
+          ms.toDF().toDF("group", "value"), nBits = 4096, nHashes = 4)
+        .writeStream.format("memory").queryName("bloom_out")
+        .outputMode("update").start()
+      try {
+        feed.grouped(feed.size / chunks + 1).foreach { c =>
+          ms.addData(c: _*); q.processAllAvailable()
+        }
+        // LAST emission per word, not max(): OR-monotone is not numeric
+        // max once bit 63 makes the long negative
+        val got = spark.table("bloom_out")
+          .withColumn("_i", monotonically_increasing_id())
+          .orderBy(col("_i").desc)
+          .as[(String, Long, Long, Long)].collect()
+          .groupBy(r => (r._1, r._2)).map { case (k, rs) => k -> rs.head._3 }
+        assert(got == want, s"chunks=$chunks shuffled=$shuffled")
+      } finally {
+        q.stop()
+        spark.sql("DROP TABLE IF EXISTS bloom_out")
+      }
+    }
+  }
+
+  test("bloom re-delivery is a no-op: nothing emitted, state untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq.tabulate(300)(i => ("g", s"u${i % 120}"))
+    val ms = MemoryStream[(String, String)]
+    val q = StreamingSketch.bloomStream(
+        ms.toDF().toDF("group", "value"), nBits = 4096, nHashes = 4)
+      .writeStream.format("memory").queryName("bloom_dup")
+      .outputMode("update").start()
+    try {
+      ms.addData(rows: _*); q.processAllAvailable()
+      val afterFirst = spark.table("bloom_dup").count()
+      assert(afterFirst > 0)
+      ms.addData(rows: _*); q.processAllAvailable() // full replay: OR no-op
+      assert(spark.table("bloom_dup").count() == afterFirst,
+        "a pure replay must emit nothing (idempotent OR)")
+      val prog = q.recentProgress.flatMap(_.stateOperators)
+      assert(prog.nonEmpty)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS bloom_dup")
+    }
+  }
+
   test("duplicate re-delivery does not move the estimate") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq.tabulate(500)(i => ("g", (i % 200).toLong))
