@@ -720,17 +720,25 @@ object TextAnalysis {
       text.as("text"), nLinks.as("n_links"))
   }
 
-  /** Outlink extraction — the crawl-frontier feeder: one row per
-    * double-quoted `href` on an anchor tag, in document order, each
+  /** Outlink extraction — the crawl-frontier feeder: one row per `href`
+    * on an anchor tag — double-quoted, single-quoted, or unquoted (real
+    * crawl HTML carries all three in volume) — in document order, each
     * canonicalized with [[canonicalizeUrl]] (relative/schemeless targets
     * ride the verbatim fallback, so distinct targets never merge).
     *
     * Contract (kept regex-narrow so any engine replays it): anchors are
-    * `(?i)<a[^>]*?href="..."` on the RAW input — links inside comments or
-    * scripts count; strip markup first (the [[extractContent]] chain) if
-    * frontier hygiene demands body-only links. Pure narrow map + explode:
-    * zero exchanges; the frontier rollup downstream is one
-    * map-side-combinable groupBy on the canonical string.
+    * `(?i)<a[^>]*?href=` followed by `"..."`, `'...'`, or a bare token up
+    * to the RE2/Java-common whitespace class or '>', on the RAW input —
+    * links inside comments or scripts count; strip markup first (the
+    * [[extractContent]] chain) if frontier hygiene demands body-only
+    * links. An unquoted token cannot contain quotes (excluded from its
+    * class), so the quote strip is a full-anchored paired match: exactly
+    * one strip applies, never a rescan ('"\'x\'"' keeps its inner
+    * quotes). `href=` with nothing after it does not match (the bare
+    * token needs one char), same as the failed-regex stance elsewhere.
+    * Pure narrow map + explode: zero exchanges; the frontier rollup
+    * downstream is one map-side-combinable groupBy on the canonical
+    * string.
     *
     * Output: (id, link_idx, href, canon_url).
     */
@@ -738,8 +746,16 @@ object TextAnalysis {
                htmlCol: String): org.apache.spark.sql.DataFrame =
     docs
       .select(col(idCol), posexplode(regexp_extract_all(col(htmlCol),
-        lit("(?i)<a[^>]*?href=\"([^\"]*)\""), lit(1)))
-        .as(Seq("link_idx", "href")))
+        lit("(?i)<a[^>]*?href=(\"[^\"]*\"|'[^']*'|[^\"' \\t\\n\\r\\f>]+)"),
+        lit(1)))
+        .as(Seq("link_idx", "_hr")))
+      .withColumn("href",
+        when(col("_hr").rlike("^\".*\"$"),
+          regexp_replace(col("_hr"), "^\"(.*)\"$", "$1"))
+          .when(col("_hr").rlike("^'.*'$"),
+            regexp_replace(col("_hr"), "^'(.*)'$", "$1"))
+          .otherwise(col("_hr")))
+      .drop("_hr")
       .withColumn("canon_url", canonicalizeUrl(col("href")))
 
   /** Main-content extraction over a corpus of raw HTML — the funnel's

@@ -160,16 +160,19 @@ object TextQueries {
     // Outlink extraction + crawl-frontier rollup. Plants one absolute
     // anchor per 'join' occurrence (host case noise + a utm param +
     // unsorted params — the canonicalizer must collapse five targets per
-    // id-class) and one RELATIVE anchor per document (exercises the
-    // schemeless verbatim fallback at driver level: /rel/0../rel/2 must
-    // stay three distinct frontier entries).
+    // id-class), one RELATIVE double-quoted anchor (schemeless verbatim
+    // fallback: /rel/0../rel/2 stay distinct frontier entries), one
+    // SINGLE-QUOTED anchor, and one UNQUOTED anchor terminated by
+    // whitespace — all three quoting shapes real crawl HTML ships.
     "html_links" -> { (s, d) =>
       val id = col("doc_id")
       val html = concat(
         regexp_replace(coalesce(col("text"), lit("")), lit("join"),
           concat(lit("<a href=\"https://Ex.com/j/"), (id % 5).cast("string"),
             lit("?utm_x=1&b=2&a=1\">join</a>"))),
-        lit("<a href=\"/rel/"), (id % 3).cast("string"), lit("\">rel</a>"))
+        lit("<a href=\"/rel/"), (id % 3).cast("string"), lit("\">rel</a>"),
+        lit("<a class=m href='/sq/"), (id % 2).cast("string"), lit("'>s</a>"),
+        lit("<a href=/uq/"), (id % 4).cast("string"), lit(" id=u>u</a>"))
       graft.operators.TextAnalysis.outlinks(
           Tables.documents(s, d).select(id, html.as("html")),
           "doc_id", "html")
@@ -476,11 +479,21 @@ object TextQueries {
         |    regexp_replace(coalesce(text, ''), 'join',
         |      '<a href="https://Ex.com/j/' || (doc_id % 5) ||
         |      '?utm_x=1&b=2&a=1">join</a>', 'g')
-        |    || '<a href="/rel/' || (doc_id % 3) || '">rel</a>' AS html
+        |    || '<a href="/rel/' || (doc_id % 3) || '">rel</a>'
+        |    || '<a class=m href=''/sq/' || (doc_id % 2) || '''>s</a>'
+        |    || '<a href=/uq/' || (doc_id % 4) || ' id=u>u</a>' AS html
         |  FROM documents),
-        |l AS (SELECT doc_id,
-        |    unnest(regexp_extract_all(html, '(?i)<a[^>]*?href="([^"]*)"', 1)) AS href
+        |l0 AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(html,
+        |      '(?i)<a[^>]*?href=("[^"]*"|''[^'']*''|[^"'' \t\n\r\f>]+)', 1)) AS hr
         |  FROM h),
+        |l AS (SELECT doc_id,
+        |    CASE WHEN regexp_matches(hr, '^".*"$')
+        |           THEN regexp_replace(hr, '^"(.*)"$', '\1')
+        |         WHEN regexp_matches(hr, '^''.*''$')
+        |           THEN regexp_replace(hr, '^''(.*)''$', '\1')
+        |         ELSE hr END AS href
+        |  FROM l0),
         |nf AS (SELECT doc_id, regexp_replace(href, '#.*$', '') AS u FROM l),
         |p AS (SELECT doc_id, u,
         |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,

@@ -76,7 +76,7 @@ class CurationOpsSpec extends SparkSpec {
 
   test("outlinks: document-order hrefs, canonicalized, relative kept verbatim") {
     val html = "<p>a</p><a href=\"HTTPS://WWW.Ex.COM:443/A?b=2&a=1&utm_s=x\">x</a>" +
-      " mid <A class='k' HREF=\"/rel/7#frag\">y</A><a name='no-href'>z</a>"
+      " mid <A class=\"k\" HREF=\"/rel/7#frag\">y</A><a name=\"no-href\">z</a>"
     val got = Seq((5L, html)).toDF("doc_id", "html")
     val rows = TextAnalysis.outlinks(got, "doc_id", "html")
       .select("link_idx", "href", "canon_url")
@@ -84,6 +84,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(
       (0, "HTTPS://WWW.Ex.COM:443/A?b=2&a=1&utm_s=x", "https://ex.com/A?a=1&b=2"),
       (1, "/rel/7#frag", "/rel/7"))) // fallback: fragment-stripped verbatim
+  }
+
+  test("outlinks: single-quoted and unquoted hrefs; paired-quote strip never rescans") {
+    val html = "<a href='/sq'>a</a>" +          // single-quoted
+      "<a class=m href=/uq>b</a>" +             // unquoted, '>'-terminated
+      "<a href=/ws next=1>c</a>" +              // unquoted, space-terminated
+      "<a href=\"'/dq'\">d</a>" +               // double-quoted, inner single
+      "<a href=''>e</a>" +                      // single-quoted empty
+      "<a href= >f</a>" +                       // empty unquoted: no match
+      "<a href='x\"y'>g</a>"                    // single-quoted, inner double
+    val rows = TextAnalysis.outlinks(
+        Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .select("link_idx", "href").as[(Int, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (0, "/sq"), (1, "/uq"), (2, "/ws"),
+      (3, "'/dq'"),  // ONE strip: the inner quotes are content
+      (4, ""), (5, "x\"y")))
   }
 
   // -------------------------------------------------------- span corrupt
