@@ -136,6 +136,57 @@ class CorpusRelationalStreamSpec extends SparkSpec
     }
   }
 
+  test("interval ordered over the events corpus: jittered cross-batch delivery == batch") {
+    val rnd = new Random(83)
+    val winLenUs = 30L * 60 * 1000000
+    val wins = events.filter(_._4 == "error")
+      .map(e => (e._2, e._3, e._3 + winLenUs, e._5))
+    val points = events.filter(_._4 != "error").map(e => (e._1, e._2, e._3))
+    val expected = IntervalJoin.intervalJoin(
+        points.toDF("event_id", "key", "t_us"),
+        wins.toDF("key", "start_us", "end_us", "value"),
+        Seq("key"), "t_us", "start_us", "end_us", bucketUs = winLenUs)
+      .select(col("event_id"), col("start_us"), col("value"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(expected.nonEmpty)
+
+    val delayMs = 600000L
+    val wire = points.map(p => (1, p._1, p._2, p._3, 0L, 0.0)) ++
+      wins.map(w => (0, -1L, w._1, w._2, w._3, w._4))
+    val arrival = wire.map(e => (e._4 + rnd.nextLong(480000000L + 1), e))
+      .sortBy(_._1).map(_._2)
+    val maxUs = wire.map(e => math.max(e._4, e._5)).max
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Int, Long, Long, Long, Long, Double)]
+    val all = ms.toDF().toDF("side", "event_id", "key", "a", "b", "value")
+    val q = StreamingInterval.intervalJoinStreamOrdered(
+        all.filter(col("side") === 1)
+          .select(col("event_id"), col("key"), col("a").as("t_us")),
+        all.filter(col("side") === 0)
+          .select(col("key"), col("a").as("start_us"),
+            col("b").as("end_us"), col("value")),
+        delayMs)
+      .writeStream.format("memory").queryName("corpus_iv_ord")
+      .outputMode("append").start()
+    try {
+      arrival.grouped(arrival.size / 9 + 1).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      ms.addData((1, -7L, 999L, maxUs + 100 * delayMs * 1000L, 0L, 0.0))
+      q.processAllAvailable()
+      ms.addData((1, -8L, 999L, maxUs + 200 * delayMs * 1000L, 0L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("corpus_iv_ord")
+        .filter(col("key") =!= 999L)
+        .select(col("event_id"), col("start_us"), col("value"))
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(got == expected)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS corpus_iv_ord")
+    }
+  }
+
   test("interval over the events corpus: stream == batch on an in-order chunked feed") {
     // windows: each error event opens a 30-minute incident window; points:
     // every non-error event, matched into any open window of its user
