@@ -202,6 +202,49 @@ object StreamBench {
           f"rate=${nEvents / sec / 1e3}%8.1fk events/s")
       } finally q.stop()
     }
+
+    // eighth shape: the REORDER-BUFFERED as-of join on a jitter-disordered
+    // feed — quantifies what the watermark-delay buffer costs over the
+    // in-order asof_stream above (state churn: every event writes the
+    // pending buffer once and is released ~delay later). One tagged
+    // source; ticks are 1 s of event time so a 5 s delay trails ~5 ticks
+    // of rows per key; jitter 4 s < delay, so nothing is droppable.
+    val ordBase = 1000000000000L
+    val ordWire: IndexedSeq[(Long, Long, Int, Long, Double)] =
+      (0 until nEvents).map { i =>
+        val t = ordBase + (i / nKeys).toLong * 1000000L
+        if (i % 10 == 0) ((i % nKeys).toLong, t, 0, -1L, ((i * 7919) % 200).toDouble)
+        else ((i % nKeys).toLong, t, 1, i.toLong, 0.0)
+      }
+    val ordArrival = {
+      val rnd = new scala.util.Random(41)
+      ordWire.map(e => (e._2 + rnd.nextLong(4000001L) * 1000L, e))
+        .sortBy(_._1).map(_._2)
+    }
+    (1 to 2).foreach { round =>
+      val ms = MemoryStream[(Long, Long, Int, Long, Double)]
+      val all = ms.toDF().toDF("key", "t_us", "side", "event_id", "value")
+      val joined = graft.streaming.StreamingAsof.asofJoinStreamOrdered(
+        all.filter(col("side") === 1).select("event_id", "key", "t_us"),
+        all.filter(col("side") === 0).select("key", "t_us", "value"),
+        delayMs = 5000L)
+      val q = joined.writeStream.format("noop").outputMode("append").start()
+      try {
+        val t0 = System.nanoTime()
+        ordArrival.grouped(nEvents / chunks + 1).foreach { chunk =>
+          ms.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+        val maxT = ordBase + (nEvents / nKeys).toLong * 1000000L
+        ms.addData((9999L, maxT + 600000000L, 1, -7L, 0.0)); q.processAllAvailable()
+        ms.addData((9999L, maxT + 900000000L, 1, -8L, 0.0)); q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(q.exception.isEmpty, s"asof_ordered failed: ${q.exception}")
+        println(f"[stream] asof_ordered    events=$nEvents%-8d keys=$nKeys%-5d " +
+          f"chunks=$chunks%-3d round=$round sec=$sec%7.2f " +
+          f"rate=${nEvents / sec / 1e3}%8.1fk events/s")
+      } finally q.stop()
+    }
     spark.stop()
   }
 
@@ -319,6 +362,21 @@ object StreamBench {
             .grouped(n / chunks + 1)
             .foreach { c => ms.addData(c: _*); q.processAllAvailable() }
           report("cms_stream", nKeys, q)
+        } finally q.stop()
+      }
+
+      // Bloom filter: ≤ nBits/64 words per group; 50 values × 4 hashes
+      // touch ~200 bits, so the word set saturates well under the cap
+      locally {
+        val ms = MemoryStream[(String, Long)]
+        val q = streaming.StreamingSketch
+          .bloomStream(ms.toDF().toDF("group", "value"), nBits = 16384, nHashes = 4)
+          .writeStream.format("noop").outputMode("update").start()
+        try {
+          (0 until n).map(i => (s"g${i % nKeys}", (i * 7919 % 100000).toLong))
+            .grouped(n / chunks + 1)
+            .foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+          report("bloom_stream", nKeys, q)
         } finally q.stop()
       }
 
