@@ -349,4 +349,38 @@ object Sampling {
         ltrim(col("_st").getField("inp")).as("input_text"),
         ltrim(col("_st").getField("tgt")).as("target_text"))
   }
+
+  /** Per-domain quota cap — the crawl-curation stage that keeps any one
+    * site from dominating the corpus (the C4/RefinedWeb per-host cap):
+    * at most `maxPerDomain` documents survive per domain, chosen by a
+    * DETERMINISTIC seeded md5 id-hash order — reproducible across
+    * reruns/retries and portable to any engine, never `rand()` (the
+    * [[stratifiedSample]]/[[holdoutSplit]] stance). Changing `seed`
+    * rotates which documents a crowded domain keeps; documents of
+    * under-cap domains always survive.
+    *
+    * `domain` = lowercased `www.`-stripped host of the canonicalized URL
+    * ([[graft.operators.TextAnalysis.canonicalizeUrl]]); schemeless/
+    * relative URLs have no host and share the '' domain, capped together
+    * (upstream frontier hygiene should have absolutized them).
+    *
+    * Scale shape: a narrow map derives (domain, hv), then selection runs
+    * on the [[graft.plans.GroupTopK]] bounded heaps — partial per-map-task
+    * heaps, so the one exchange carries ≤ domains × cap rows no matter
+    * the corpus size (never a global sort, never a full row_number).
+    *
+    * Output: the surviving rows of `docs` plus `domain`.
+    */
+  def domainCap(docs: DataFrame, idCol: String, urlCol: String,
+                maxPerDomain: Int, seed: String = "cap0"): DataFrame = {
+    require(maxPerDomain > 0, s"need maxPerDomain > 0, got $maxPerDomain")
+    val canon = graft.operators.TextAnalysis.canonicalizeUrl(col(urlCol))
+    val host = regexp_extract(canon, "^[a-z][a-z0-9+.\\-]*://([^/?#:]*)", 1)
+    val withDomain = docs
+      .withColumn("domain", host)
+      .withColumn("_hv", md5(concat(lit(s"$seed:"), col(idCol).cast("string"))))
+    graft.plans.GroupTopK.topK(withDomain, Seq("domain"),
+        Seq("_hv" -> true, idCol -> true), maxPerDomain)
+      .drop("_hv")
+  }
 }

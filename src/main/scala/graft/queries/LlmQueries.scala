@@ -183,6 +183,25 @@ object LlmQueries {
         rates = Map("en" -> 10, "es" -> 40, "de" -> 40, "fr" -> 40, "zh" -> 40))
     },
 
+    // Per-domain quota cap (the C4/RefinedWeb per-host cap): plants a URL
+    // per document — two absolute hosts with case/www/default-port noise
+    // the canonicalizer must collapse, plus a RELATIVE third that lands in
+    // the '' domain — and keeps at most 7 docs per domain by the seeded
+    // md5 order. Survivor identity is the hash lock: a wrong canon/host/
+    // order anywhere rotates the kept set.
+    "sample_domain_cap" -> { (s, d) =>
+      val id = col("doc_id")
+      val url = when(id % 3 === 0,
+          concat(lit("https://WWW.AlphaNews.com:443/a/"), id.cast("string")))
+        .when(id % 3 === 1,
+          concat(lit("http://beta-site.ORG/p?utm_x=1&b="), id.cast("string")))
+        .otherwise(concat(lit("/relative/"), id.cast("string")))
+      Sampling.domainCap(
+          Tables.documents(s, d).select(id, url.as("url")),
+          "doc_id", "url", maxPerDomain = 7)
+        .select(col("doc_id"), col("domain"))
+    },
+
     // T5-style span corruption: deterministic hash-masked spans,
     // <extra_id_k> sentinels, (input, target) digests — the denoising
     // objective's data prep as one narrow fold. 15% token mask rate.
@@ -851,6 +870,30 @@ object LlmQueries {
     "dedup_semantic_hot" -> dedupSemanticHotOracle,
 
     "split_assign" -> splitAssignOracle,
+
+    // Domain-cap replay: the planted URL build, the canonicalizer's own
+    // host derivation (lower, www-strip; '' when schemeless), then
+    // row_number over the seeded md5 order within each domain.
+    "sample_domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |           THEN 'https://WWW.AlphaNews.com:443/a/' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 3 = 1
+        |           THEN 'http://beta-site.ORG/p?utm_x=1&b=' || CAST(doc_id AS VARCHAR)
+        |         ELSE '/relative/' || CAST(doc_id AS VARCHAR) END AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    CASE WHEN regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1) = ''
+        |         THEN ''
+        |         ELSE regexp_replace(lower(regexp_extract(
+        |                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+        |                '^([^:]*)', 1)), '^www\.', '') END AS domain
+        |  FROM u),
+        |r AS (SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY md5('cap0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, domain FROM r WHERE rn <= 7""".stripMargin,
 
     // Incremental-dedup oracle: brute-force 3-gram jaccard restricted to
     // (batch, corpus) cross pairs — recall 1 transfers from dedup_minhash

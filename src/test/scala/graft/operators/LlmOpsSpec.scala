@@ -896,6 +896,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.forall { case (id, s) => grown(id) == s })
   }
 
+  test("domainCap keeps exactly the seeded-hash survivors, under-cap domains whole") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // 120 docs on a crowded host (case/www/default-port noise the
+    // canonicalizer collapses), 3 on a small one, 5 relative ('' domain)
+    val rows = (0L until 120L).map(i => (i,
+        s"https://WWW.Big.COM${if (i % 2 == 0) ":443" else ""}/p/$i")) ++
+      (200L until 203L).map(i => (i, s"http://small.org/$i")) ++
+      (300L until 305L).map(i => (i, s"/rel/$i"))
+    val got = Sampling.domainCap(rows.toDF("doc_id", "url"),
+        "doc_id", "url", maxPerDomain = 4, seed = "s1")
+      .select("doc_id", "domain").as[(Long, String)].collect().toMap
+    // JVM replica of the selection
+    def survivors(ids: Seq[Long]) =
+      ids.sortBy(i => (md5hex(s"s1:$i"), i)).take(4).toSet
+    assert(got.filter(_._2 == "big.com").keySet == survivors(0L until 120L))
+    assert(got.filter(_._2 == "small.org").keySet == Set(200L, 201L, 202L))
+    assert(got.filter(_._2 == "").keySet == survivors(300L until 305L))
+    assert(got.size == 4 + 3 + 4)
+    // a different seed rotates the crowded domain's survivors
+    val reseeded = Sampling.domainCap(rows.toDF("doc_id", "url"),
+        "doc_id", "url", maxPerDomain = 4, seed = "s2")
+      .select("doc_id", "domain").as[(Long, String)].collect().toMap
+    assert(reseeded.filter(_._2 == "big.com").keySet !=
+      got.filter(_._2 == "big.com").keySet)
+    // the heap plan, not a global sort: one exchange, no Sort over all rows
+    val p = Sampling.domainCap(rows.toDF("doc_id", "url"),
+        "doc_id", "url", 4).queryExecution.executedPlan.toString()
+    assert(p.contains("GroupTopK"), s"expected the bounded-heap node:\n$p")
+  }
+
   test("duplicateSpans + cutSpans match a brute-force JVM oracle on random corpora") {
     import spark.implicits._
     val n = 3
