@@ -29,7 +29,8 @@ object VolumeBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val mode = args.headOption.filter(Set("dedup", "vectors", "skew", "groupstats"))
+    val mode = args.headOption
+      .filter(Set("dedup", "vectors", "skew", "groupstats", "sketches"))
       .getOrElse("patterns")
     val rest = (if (mode == "patterns") args else args.drop(1)).toSeq.map(_.toInt)
 
@@ -42,10 +43,84 @@ object VolumeBench {
         if (rest.nonEmpty) rest else Seq(10, 60))
       case "groupstats" => runGroupStats(spark, sfDir, cpus.toInt,
         if (rest.nonEmpty) rest else Seq(1, 10, 100))
+      case "sketches" => runSketches(spark, sfDir, cpus.toInt,
+        if (rest.nonEmpty) rest else Seq(1, 10, 100))
       case _ => runPatterns(spark, sfDir, cpus.toInt,
         if (rest.nonEmpty) rest else Seq(1, 10, 60))
     }
     spark.stop()
+  }
+
+  /** Sketch-family structural ladder: the CMS / Bloom / KMV relations
+    * against the exact operators they stand in for (`groupBy(value)`
+    * count table; `distinct()` membership set), on a replicated
+    * high-cardinality value column. The sketches' OUTPUT (= exchange)
+    * must stay CONSTANT as the corpus grows Kx — depth x width cells,
+    * nBits/64 words, k survivors — while the exact tables grow with the
+    * distinct-value count; outputs differ semantically (estimate vs
+    * exact), so each rung asserts the structural bound plus estimator
+    * sanity (CMS never underestimates a probed count; Bloom never
+    * false-negatives a planted member) instead of a checksum.
+    */
+  private def runSketches(spark: SparkSession, sfDir: String, cpus: Int,
+                          factors: Seq[Int]): Unit = {
+    factors.foreach { f =>
+      val dir = s"/tmp/graft-volume/sk-x$f"
+      if (!new java.io.File(s"$dir/vals.parquet").exists()) {
+        Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"))
+          .withColumn("_rep", explode(lit((0 until f).toArray)))
+          // distinct-value cardinality grows with the corpus — the axis
+          // that breaks an exact table and leaves the sketches flat
+          .withColumn("v", col("user_id") + col("_rep") * 1000000L)
+          .drop("_rep")
+          .repartition(cpus)
+          .write.mode("overwrite").parquet(s"$dir/vals.parquet")
+      }
+      val base = spark.read.parquet(s"$dir/vals.parquet")
+      val rows = base.count()
+
+      val impls: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "cms" -> (() => graft.operators.Sketches.cmsSketch(
+          base, col("v"), depth = 4, width = 1024)),
+        "bloom" -> (() => graft.operators.Sketches.bloomSketch(
+          base, col("v"), nBits = 1 << 16, nHashes = 4)),
+        "kmv" -> (() => graft.operators.Sketches.kmvSurvivors(
+          base.withColumn("one", lit(1)), Seq("one"), col("v"), k = 256)),
+        "exact_counts" -> (() => base.groupBy(col("v"))
+          .agg(count(lit(1)).as("n"))),
+        "exact_distinct" -> (() => base.select(col("v")).distinct()))
+
+      impls.foreach { case (impl, mk) =>
+        (1 to 2).foreach { round =>
+          val t0 = System.nanoTime()
+          val df = if (impl == "kmv")
+            mk().drop("one")
+          else mk()
+          val n = df.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[sk] x$f%-3d rows=$rows%-9d $impl%-14s round=$round " +
+            f"out=$n%-8d sec=$sec%6.2f rate=${rows / sec / 1e3}%9.1fk rows/s")
+          spark.catalog.clearCache()
+        }
+      }
+
+      // estimator sanity at this rung: CMS >= exact on a probed slice;
+      // Bloom true for every planted member
+      val probes = base.select(col("v")).distinct().limit(50)
+      val est = graft.operators.Sketches.cmsEstimate(
+          graft.operators.Sketches.cmsSketch(base, col("v"), 4, 1024),
+          probes, "v", 4, 1024)
+        .join(base.groupBy(col("v")).agg(count(lit(1)).as("n")), "v")
+        .filter(col("cms_est") < col("n")).count()
+      require(est == 0L, s"CMS underestimated $est probes at x$f")
+      val fn = graft.operators.Sketches.bloomProbe(
+          graft.operators.Sketches.bloomSketch(base, col("v"), 1 << 16, 4),
+          probes, "v", 1 << 16, 4)
+        .filter(!col("maybe_present")).count()
+      require(fn == 0L, s"Bloom false-negatived $fn members at x$f")
+      println(f"[sk] x$f%-3d sanity: cms_underestimates=0 bloom_false_negatives=0")
+    }
   }
 
   private def runPatterns(spark: SparkSession, sfDir: String, cpus: Int,
