@@ -185,9 +185,18 @@ object Sketches {
     * `valueCol` against a filter relation: `maybe_present` is true iff
     * every one of the value's `nHashes` bits is set (never a false
     * negative; false positives deterministic).
+    *
+    * The filter relation is compacted (`bit_or` per word) before the
+    * probe, so DUPLICATE word rows are harmless — in particular, the raw
+    * emission log of [[graft.streaming.StreamingSketch.bloomStream]]
+    * (several monotone rows per word) probes correctly as-is; without the
+    * compaction a stale row's unset bit would enter the min and
+    * false-negative a present value. Multi-GROUP relations must still be
+    * filtered to one group first — compaction would OR groups together.
     */
   def bloomProbe(sketch: DataFrame, probes: DataFrame, valueCol: String,
                  nBits: Int = 1 << 16, nHashes: Int = 4): DataFrame = {
+    val compact = sketch.groupBy(col("word_idx")).agg(bit_or(col("bits")).as("bits"))
     val cells = probes
       .select(col(valueCol), col(valueCol).cast("string").as("_v"))
       .select(col(valueCol) +: (0 until nHashes).map(d =>
@@ -196,7 +205,7 @@ object Sketches {
         col(s"_p$d")): _*)).as("_pos"))
       .select(col(valueCol), expr("_pos div 64").as("word_idx"),
         expr("shiftleft(1L, cast(_pos % 64 as int))").as("_m"))
-    cells.join(sketch, Seq("word_idx"), "left")
+    cells.join(compact, Seq("word_idx"), "left")
       .groupBy(col(valueCol))
       .agg((min(when((coalesce(col("bits"), lit(0L))
           .bitwiseAND(col("_m"))) === col("_m"), 1).otherwise(0)) === 1)
@@ -206,9 +215,19 @@ object Sketches {
   /** Point-estimate frequencies for a (small, broadcastable) probe
     * relation exposing `valueCol`: min over the depth counters, 0 for a
     * value whose buckets were never touched.
+    *
+    * The sketch relation is compacted (`max(cnt)` per cell) before the
+    * probe: a no-op on a proper sketch (cells unique), and exactly right
+    * for the raw emission log of
+    * [[graft.streaming.StreamingSketch.cmsStream]] where several MONOTONE
+    * rows per cell exist and a stale lower count would otherwise undercut
+    * the never-underestimates guarantee. Distinct sketches to be SUMMED
+    * must still go through [[cmsMerge]] first — max is not addition.
     */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, valueCol: String,
                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    val compact = sketch.groupBy(col("row"), col("bucket"))
+      .agg(max(col("cnt")).as("cnt"))
     val cells = probes
       .select(col(valueCol), col(valueCol).cast("string").as("_v"))
       .select(col(valueCol) +: (0 until depth).map(d =>
@@ -218,7 +237,7 @@ object Sketches {
       }: _*)).as("_c"))
       .select(col(valueCol), col("_c.row").as("row"),
         col("_c.bucket").as("bucket"))
-    cells.join(sketch, Seq("row", "bucket"), "left")
+    cells.join(compact, Seq("row", "bucket"), "left")
       .groupBy(col(valueCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }

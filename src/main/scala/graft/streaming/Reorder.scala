@@ -65,4 +65,21 @@ object Reorder {
     */
   def nextTimeoutMs(pendingMinUs: Long, wmMs: Long): Long =
     math.max(wmMs + 1L, pendingMinUs / 1000L)
+
+  /** The released frontier after a batch: `wm - 1`, bumped to the max ts
+    * actually RELEASED this batch. In the steady state Spark's late
+    * filter is observed to drop arrivals at `ts <= wm` (equality
+    * included), so any row reaching the machine already sits strictly
+    * above both candidates and the exact edge is moot; the deliberate
+    * choices matter at the seams: after a RESTART the conservative
+    * `wm - 1` never brands an on-time replayed row late, and the
+    * released-max bump guarantees an equal-ts straggler can never slip
+    * in behind an already-released tie (the one ordering hazard a
+    * boundary admit could create).
+    */
+  def advance(frontierUs: Long, watermarkUs: Long, releasedMaxUs: Long): Long = {
+    val wmEdge =
+      if (watermarkUs == Long.MinValue) Long.MinValue else watermarkUs - 1L
+    math.max(frontierUs, math.max(wmEdge, releasedMaxUs))
+  }
 }

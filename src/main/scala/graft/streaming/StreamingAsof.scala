@@ -112,9 +112,10 @@ object StreamingAsof {
     val cur0 = if (prev.hasCur) Some(AsofState(prev.curTs, prev.curValue)) else None
     val (out, cur) = runMachine(key,
       ready.map(p => AsofEvent(key, p.tUs, p.side, p.eventId, p.value)), cur0)
+    val relMax = if (ready.isEmpty) Long.MinValue else ready.map(_.tUs).max
     state.update(AsofOrderedState(cur.isDefined,
       cur.map(_.tUs).getOrElse(0L), cur.map(_.value).getOrElse(0.0),
-      math.max(prev.frontierUs, wmU), still.toArray))
+      Reorder.advance(prev.frontierUs, wmU, relMax), still.toArray))
     if (still.nonEmpty)
       state.setTimeoutTimestamp(Reorder.nextTimeoutMs(still.map(_.tUs).min, wmMs))
     out.iterator

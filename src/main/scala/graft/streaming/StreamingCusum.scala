@@ -48,6 +48,17 @@ object StreamingCusum {
     (out.result(), st)
   }
 
+  /** Rebase the carried prefix sums so they stay bounded by the STATISTIC
+    * instead of drifting with the raw prefix: only `p - min(0, minP)` is
+    * ever observable, and `minP <= 0` always (it starts at 0 and only
+    * falls), so shifting both fields by `-minP` changes nothing emitted —
+    * `out' = (p - minP) - min(0, 0) = p - minP = out` — while a
+    * forever-running key with persistent drift no longer marches `p`
+    * toward Long overflow.
+    */
+  private def rebase(st: CusumState): CusumState =
+    CusumState(st.p - st.minP, 0L)
+
   private def processKey(slack: Long, ttlMs: Long)(
       key: Long, rows: Iterator[CusumEvent],
       state: GroupState[CusumState]): Iterator[CusumRow] = {
@@ -58,7 +69,7 @@ object StreamingCusum {
     val (out, st) = runMachine(slack, key,
       rows.toSeq.sortBy(e => (e.tUs, e.eventId)),
       state.getOption.getOrElse(CusumState(0L, 0L)))
-    state.update(st)
+    state.update(rebase(st))
     if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
     out.iterator
   }
@@ -98,8 +109,10 @@ object StreamingCusum {
     val (out, st) = runMachine(slack, key,
       ready.map(p => CusumEvent(key, p.tUs, p.eventId, p.x)),
       CusumState(prev.p, prev.minP))
-    state.update(CusumOrderedState(st.p, st.minP,
-      math.max(prev.frontierUs, wmU), still.toArray))
+    val relMax = if (ready.isEmpty) Long.MinValue else ready.map(_.tUs).max
+    val rb = rebase(st)
+    state.update(CusumOrderedState(rb.p, rb.minP,
+      Reorder.advance(prev.frontierUs, wmU, relMax), still.toArray))
     if (still.nonEmpty)
       state.setTimeoutTimestamp(Reorder.nextTimeoutMs(still.map(_.tUs).min, wmMs))
     out.iterator

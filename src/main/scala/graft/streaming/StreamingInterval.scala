@@ -126,8 +126,9 @@ object StreamingInterval {
     val (out, frontier, stillOpen) = runMachine(key,
       ready.map(p => IvEvent(key, p.tUs, p.side, p.eventId, p.endUs, p.value)),
       prev.frontierUs, prev.windows, f => math.max(f, wmU))
-    state.update(IvOrderedState(frontier, math.max(prev.releasedUs, wmU),
-      stillOpen, still.toArray))
+    val relMax = if (ready.isEmpty) Long.MinValue else ready.map(_.tUs).max
+    state.update(IvOrderedState(frontier,
+      Reorder.advance(prev.releasedUs, wmU, relMax), stillOpen, still.toArray))
     if (still.nonEmpty)
       state.setTimeoutTimestamp(Reorder.nextTimeoutMs(still.map(_.tUs).min, wmMs))
     out.iterator
@@ -143,6 +144,19 @@ object StreamingInterval {
     * (Spark's watermark filter counts them in `numRowsDroppedByWatermark`;
     * `lateAcc` nets any residual per-key-frontier stragglers — see
     * [[Reorder]]). Emission trails the feed by ~`delayMs`.
+    *
+    * WINDOW-LAG CONTRACT: window records ride the watermark at their
+    * START (stamping them at their end would let a long window
+    * fast-forward the global watermark past genuinely on-time points), so
+    * a window record must ARRIVE within `delayMs` of its start or the
+    * watermark filter drops the whole window — counted in
+    * `numRowsDroppedByWatermark`, never silent, but all of its matches go
+    * with it (spec-locked). Size `delayMs` to cover the window feed's
+    * publication lag, and accept that points pay the same delay in
+    * emission latency — the inherent single-watermark coupling. (The
+    * in-order [[intervalJoinStream]] does NOT have this constraint: it
+    * admits any window whose end is ahead of the point frontier — a feed
+    * whose windows publish late but in order may prefer it.)
     */
   def intervalJoinStreamOrdered(points: DataFrame, windows: DataFrame,
                                 delayMs: Long,

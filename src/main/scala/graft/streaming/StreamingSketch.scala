@@ -42,8 +42,22 @@ object StreamingSketch {
       group: String, rows: Iterator[HashedValue],
       state: GroupState[KmvState]): Iterator[KmvEstimate] = {
     val prev = state.getOption.map(_.hashes).getOrElse(Array.empty[Long])
-    val merged = (prev ++ rows.map(_.hv)).distinct.sorted.take(k)
-    if (merged.isEmpty) return Iterator.empty
+    // bounded k-element admission over the iterator — O(n log k) time,
+    // O(k) memory: a hot group delivering millions of rows in one
+    // micro-batch must not be buffered, distinct'ed, and fully sorted in
+    // the single task that owns it (the same reason the batch operator
+    // selects on GroupTopK's bounded heaps)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    prev.foreach(h => set.add(h))
+    rows.foreach { r =>
+      if (set.size < k) set.add(r.hv)
+      else if (r.hv < set.last && set.add(r.hv)) set.pollLast()
+    }
+    if (set.isEmpty) return Iterator.empty
+    val merged = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { merged(i) = it.next(); i += 1 }
     if (!java.util.Arrays.equals(prev, merged)) state.update(KmvState(merged))
     Iterator.single(emit(k, group, merged))
   }
@@ -64,6 +78,32 @@ object StreamingSketch {
 
   case class CmsCell(group: String, row: Int, bucket: Long, cnt: Long)
 
+  /** Linear merge of a SORTED (key, value) delta into sorted parallel
+    * state arrays — O(state + delta) with flat allocation, instead of
+    * rebuilding a TreeMap of the whole sketch per micro-batch (at the
+    * permitted maxima the state holds millions of cells; the delta is
+    * usually tiny). `combine` folds a delta into an existing value
+    * (addition for CMS, OR for Bloom); absent keys take the delta as-is.
+    */
+  private def mergeSorted(keys: Array[Long], vals: Array[Long],
+                          delta: Array[(Long, Long)],
+                          combine: (Long, Long) => Long): (Array[Long], Array[Long]) = {
+    val outK = new Array[Long](keys.length + delta.length)
+    val outV = new Array[Long](keys.length + delta.length)
+    var i = 0; var j = 0; var n = 0
+    while (i < keys.length || j < delta.length) {
+      if (j >= delta.length || (i < keys.length && keys(i) < delta(j)._1)) {
+        outK(n) = keys(i); outV(n) = vals(i); i += 1
+      } else if (i >= keys.length || delta(j)._1 < keys(i)) {
+        outK(n) = delta(j)._1; outV(n) = delta(j)._2; j += 1
+      } else {
+        outK(n) = keys(i); outV(n) = combine(vals(i), delta(j)._2); i += 1; j += 1
+      }
+      n += 1
+    }
+    (outK.take(n), outV.take(n))
+  }
+
   private def processCms(width: Int)(
       group: String, rows: Iterator[CellHit],
       state: GroupState[CmsState]): Iterator[CmsCell] = {
@@ -71,17 +111,15 @@ object StreamingSketch {
     val incr = new scala.collection.mutable.HashMap[Long, Long]()
     rows.foreach(h => incr.update(h.cell, incr.getOrElse(h.cell, 0L) + 1L))
     if (incr.isEmpty) return Iterator.empty
-    val merged = new scala.collection.mutable.TreeMap[Long, Long]()
-    var i = 0
-    while (i < prev.cells.length) { merged.update(prev.cells(i), prev.cnts(i)); i += 1 }
-    incr.foreach { case (c, n) => merged.update(c, merged.getOrElse(c, 0L) + n) }
-    val arr = merged.toArray
-    state.update(CmsState(arr.map(_._1), arr.map(_._2)))
+    val delta = incr.toArray.sortBy(_._1)
+    val (cells, cnts) = mergeSorted(prev.cells, prev.cnts, delta, _ + _)
+    state.update(CmsState(cells, cnts))
     // emit only the cells this batch touched, with their REFRESHED totals:
     // counts are monotone, so the latest (max) emission per cell IS the
     // current sketch — no downstream merge pass needed
-    incr.keysIterator.toSeq.sorted.iterator.map { c =>
-      CmsCell(group, (c / width).toInt, c % width, merged(c))
+    delta.iterator.map { case (c, _) =>
+      val ix = java.util.Arrays.binarySearch(cells, c)
+      CmsCell(group, (c / width).toInt, c % width, cnts(ix))
     }
   }
 
@@ -96,8 +134,9 @@ object StreamingSketch {
     * batching-independent: the stream state after any prefix equals the
     * batch `cmsSketch` over that prefix under any chunking or disorder.
     * Because counts only grow, the last emission per (group, row, bucket)
-    * is the current sketch relation — parquet it and `cmsEstimate`
-    * replays point queries against it unchanged.
+    * is the current sketch relation — parquet the emission log, filter to
+    * a group, and `cmsEstimate` replays point queries against it directly
+    * (the probe max-compacts stale lower rows away itself).
     *
     * `df` must expose a string `group` column and a `value` column.
     */
@@ -138,28 +177,30 @@ object StreamingSketch {
     rows.foreach(h => incr.update(h.word, incr.getOrElse(h.word, 0L) | h.mask))
     if (incr.isEmpty) return Iterator.empty
     val prev = state.getOption.getOrElse(BloomState(Array.empty, Array.empty))
-    val merged = new scala.collection.mutable.TreeMap[Long, Long]()
-    var i = 0
-    while (i < prev.words.length) { merged.update(prev.words(i), prev.bits(i)); i += 1 }
     // only words whose bits actually CHANGE are re-emitted: OR is
     // idempotent, so a pure re-delivery emits nothing and state is
     // untouched (no state-store write either)
-    val changed = incr.toSeq.sorted.flatMap { case (w, m) =>
-      val old = merged.getOrElse(w, 0L)
-      if ((old | m) != old) { merged.update(w, old | m); Some(w) } else None
+    val changed = incr.toArray.sortBy(_._1).filter { case (w, m) =>
+      val ix = java.util.Arrays.binarySearch(prev.words, w)
+      ix < 0 || (prev.bits(ix) | m) != prev.bits(ix)
     }
     if (changed.isEmpty) return Iterator.empty
-    val arr = merged.toArray
-    state.update(BloomState(arr.map(_._1), arr.map(_._2)))
-    changed.iterator.map(w => BloomWord(group, w, merged(w)))
+    val (words, bits) = mergeSorted(prev.words, prev.bits, changed, _ | _)
+    state.update(BloomState(words, bits))
+    changed.iterator.map { case (w, _) =>
+      val ix = java.util.Arrays.binarySearch(words, w)
+      BloomWord(group, w, bits(ix))
+    }
   }
 
   /** Streaming Bloom filter — the continuous counterpart of
     * [[graft.operators.Sketches.bloomSketch]]: per group, keyed state
     * holds the touched 64-bit words (≤ nBits/64 longs), and each
     * micro-batch emits the words it CHANGED (update semantics; bits only
-    * gain, so the latest emission per (group, word_idx) IS the filter and
-    * `bloomProbe` replays against it unchanged). OR is commutative AND
+    * gain, so the latest emission per (group, word_idx) IS the filter —
+    * parquet the emission log, filter to a group, and `bloomProbe`
+    * replays against it directly, OR-compacting stale rows away itself).
+    * OR is commutative AND
     * idempotent, so stream == batch under any chunking, disorder, or
     * duplicate re-delivery — the strongest delivery contract of the
     * sketch family. The continuous crawl "seen URL" gate: each arriving

@@ -260,6 +260,49 @@ class StreamingReorderSpec extends SparkSpec
     }
   }
 
+  test("interval ordered: the window-lag contract — a beyond-delay window drops LOUDLY") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Int, Long, Long, Long, Long, Double)]
+    val all = ms.toDF().toDF("side", "event_id", "key", "a", "b", "value")
+    val q = StreamingInterval.intervalJoinStreamOrdered(
+        all.filter(col("side") === 1)
+          .select(col("event_id"), col("key"), col("a").as("t_us")),
+        all.filter(col("side") === 0)
+          .select(col("key"), col("a").as("start_us"),
+            col("b").as("end_us"), col("value")),
+        delayMs)
+      .writeStream.format("memory").queryName("ivo_lag")
+      .outputMode("append").start()
+    def dropped: Long =
+      q.recentProgress.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    try {
+      val t0 = baseUs
+      val dUs = delayMs * 1000L
+      // points push the watermark far past t0
+      ms.addData((1, 1L, 1L, t0, 0L, 0.0)); q.processAllAvailable()
+      ms.addData((1, 2L, 1L, t0 + 10 * dUs, 0L, 0.0)); q.processAllAvailable()
+      assert(dropped == 0L)
+      // a LONG window stamped at t0 arrives more than delayMs after its
+      // start: the documented window-lag contract — window records ride
+      // the watermark at their START (stamping at end would fast-forward
+      // the watermark past on-time points), so this window is dropped
+      // WHOLESALE and counted; its would-be future matches go with it
+      ms.addData((0, -1L, 1L, t0, t0 + 1000L * dUs, 7.0))
+      q.processAllAvailable()
+      assert(dropped == 1L, "the lagged window must drop loudly, not silently")
+      ms.addData((1, 3L, 1L, t0 + 12 * dUs, 0L, 0.0)); q.processAllAvailable()
+      ms.addData((1, -7L, sentinelKey, t0 + 100L * dUs, 0L, 0.0))
+      q.processAllAvailable()
+      ms.addData((1, -8L, sentinelKey, t0 + 200L * dUs, 0L, 0.0))
+      q.processAllAvailable()
+      // no point ever matches the dropped window — documented, not silent
+      assert(spark.table("ivo_lag").count() == 0)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS ivo_lag")
+    }
+  }
+
   test("ordered cusum state survives a query restart through the checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new Random(73)

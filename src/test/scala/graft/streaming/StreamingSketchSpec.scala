@@ -241,6 +241,53 @@ class StreamingSketchSpec extends SparkSpec
     }
   }
 
+  test("raw emission logs probe correctly: stale rows are compacted by the probes") {
+    implicit val sqlCtx = spark.sqlContext
+    // two batches hitting overlapping words → the memory sink holds STALE
+    // rows (an earlier, lower/leaner emission per word) alongside the
+    // latest; bloomProbe/cmsEstimate must compact, not min over the stale
+    val b1 = (0 until 150).map(i => ("g", s"u$i"))
+    val b2 = (100 until 250).map(i => ("g", s"u$i"))
+    val msB = MemoryStream[(String, String)]
+    val qB = StreamingSketch.bloomStream(
+        msB.toDF().toDF("group", "value"), nBits = 2048, nHashes = 4)
+      .writeStream.format("memory").queryName("bloom_log")
+      .outputMode("update").start()
+    val msC = MemoryStream[(String, String)]
+    val qC = StreamingSketch.cmsStream(
+        msC.toDF().toDF("group", "value"), depth = 4, width = 64)
+      .writeStream.format("memory").queryName("cms_log")
+      .outputMode("update").start()
+    try {
+      msB.addData(b1: _*); qB.processAllAvailable()
+      msB.addData(b2: _*); qB.processAllAvailable()
+      msC.addData(b1: _*); qC.processAllAvailable()
+      msC.addData(b2: _*); qC.processAllAvailable()
+      val bloomLog = spark.table("bloom_log").select("word_idx", "bits")
+      // duplicates really exist, or the test proves nothing
+      assert(bloomLog.count() >
+        bloomLog.select("word_idx").distinct().count())
+      val probed = Sketches.bloomProbe(bloomLog,
+          (0 until 250).map(i => s"u$i").toDF("v"), "v",
+          nBits = 2048, nHashes = 4)
+        .as[(String, Boolean)].collect().toMap
+      assert(probed.values.forall(identity),
+        "stale emission rows caused a false negative")
+      val cmsLog = spark.table("cms_log").select("row", "bucket", "cnt")
+      val exact = (b1 ++ b2).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val est = Sketches.cmsEstimate(cmsLog,
+          exact.keys.toSeq.toDF("v"), "v", depth = 4, width = 64)
+        .as[(String, Long)].collect().toMap
+      exact.foreach { case (v, n) =>
+        assert(est(v) >= n, s"stale emission rows undercut CMS on $v")
+      }
+    } finally {
+      qB.stop(); qC.stop()
+      spark.sql("DROP TABLE IF EXISTS bloom_log")
+      spark.sql("DROP TABLE IF EXISTS cms_log")
+    }
+  }
+
   test("bloom re-delivery is a no-op: nothing emitted, state untouched") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq.tabulate(300)(i => ("g", s"u${i % 120}"))
