@@ -371,14 +371,27 @@ object Sampling {
     *
     * Output: the surviving rows of `docs` plus `domain`.
     */
+  /** Domain of a URL: lowercased, `www.`-stripped host of the
+    * canonicalized form; '' when schemeless/relative. Shared by the batch
+    * [[domainCap]] and the streaming sibling so both cap the SAME groups.
+    */
+  def urlDomain(url: Column): Column =
+    regexp_extract(graft.operators.TextAnalysis.canonicalizeUrl(url),
+      "^[a-z][a-z0-9+.\\-]*://([^/?#:]*)", 1)
+
+  /** The seeded selection hash: md5 hex of `seed:id` — a STRING order, so
+    * any engine (and the streaming sibling) re-derives the identical
+    * survivor set.
+    */
+  def capHash(id: Column, seed: String): Column =
+    md5(concat(lit(s"$seed:"), id.cast("string")))
+
   def domainCap(docs: DataFrame, idCol: String, urlCol: String,
                 maxPerDomain: Int, seed: String = "cap0"): DataFrame = {
     require(maxPerDomain > 0, s"need maxPerDomain > 0, got $maxPerDomain")
-    val canon = graft.operators.TextAnalysis.canonicalizeUrl(col(urlCol))
-    val host = regexp_extract(canon, "^[a-z][a-z0-9+.\\-]*://([^/?#:]*)", 1)
     val withDomain = docs
-      .withColumn("domain", host)
-      .withColumn("_hv", md5(concat(lit(s"$seed:"), col(idCol).cast("string"))))
+      .withColumn("domain", urlDomain(col(urlCol)))
+      .withColumn("_hv", capHash(col(idCol), seed))
     graft.plans.GroupTopK.topK(withDomain, Seq("domain"),
         Seq("_hv" -> true, idCol -> true), maxPerDomain)
       .drop("_hv")

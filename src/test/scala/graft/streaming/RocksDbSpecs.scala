@@ -90,3 +90,11 @@ class CorpusRelationalStreamRocksDbSpec extends CorpusRelationalStreamSpec {
   override protected def stateStoreProvider: Option[String] =
     Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }
+
+/** [[StreamingSampleSpec]] under RocksDB state storage — the (md5-hex
+  * string, id) survivor arrays round-trip through UnsafeRow here.
+  */
+class StreamingSampleRocksDbSpec extends StreamingSampleSpec {
+  override protected def stateStoreProvider: Option[String] =
+    Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}

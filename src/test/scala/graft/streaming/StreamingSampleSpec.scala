@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Sampling
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Streaming domain cap: the latest emitted survivor set per domain must
+  * equal the batch [[Sampling.domainCap]] over the prefix under any
+  * chunking, delivery order, or duplicate re-delivery (the survivor set
+  * is a pure function of the document set — the KMV stance).
+  */
+class StreamingSampleSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  protected def stateStoreProvider: Option[String] = None
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    stateStoreProvider.foreach(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
+
+  override protected def afterAll(): Unit = {
+    if (stateStoreProvider.isDefined)
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    super.afterAll()
+  }
+
+  import spark.implicits._
+
+  private val cap = 5
+
+  private def batchSurvivors(rows: Seq[(Long, String)]): Map[String, Set[Long]] =
+    Sampling.domainCap(rows.toDF("doc_id", "url"), "doc_id", "url", cap)
+      .select("domain", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).toSet }
+
+  /** Latest emission per domain from the update-mode memory sink: each
+    * emission writes the full ranked list (1..n in order), so reading a
+    * domain's rows newest-first, the final emission is the maximal
+    * descending-rank run (n, n-1, ..., 1) at the head.
+    */
+  private def latestStream(table: String): Map[String, Set[Long]] = {
+    val byDomain = spark.table(table)
+      .withColumn("_i", monotonically_increasing_id())
+      .orderBy(col("_i").desc)
+      .select("domain", "rank", "doc_id").as[(String, Int, Long)].collect()
+      .groupBy(_._1)
+    byDomain.map { case (d, rows) =>
+      val lastSet = scala.collection.mutable.Set.empty[Long]
+      var expect = rows.head._2
+      var i = 0
+      while (i < rows.length && rows(i)._2 == expect) {
+        lastSet += rows(i)._3; expect -= 1; i += 1
+      }
+      d -> lastSet.toSet
+    }
+  }
+
+  test("stream equals batch domainCap across chunkings, disorder, and replay") {
+    val rnd = new Random(89)
+    val hosts = Seq("https://a.com/p", "http://b.org/q", "/rel")
+    val rows = (0L until 400L).map(i => (i, s"${hosts(rnd.nextInt(3))}/$i"))
+    val want = batchSurvivors(rows)
+    implicit val sqlCtx = spark.sqlContext
+    for ((chunks, shuffled, replay) <- Seq((1, false, false), (7, true, false), (7, true, true))) {
+      val feed0 = if (shuffled) rnd.shuffle(rows) else rows
+      val feed = if (replay) feed0 ++ feed0.take(100) else feed0
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamingSample.domainCapStream(
+          ms.toDF().toDF("doc_id", "url"), "doc_id", "url", cap)
+        .writeStream.format("memory").queryName("cap_out")
+        .outputMode("update").start()
+      try {
+        feed.grouped(feed.size / chunks + 1).foreach { c =>
+          ms.addData(c: _*); q.processAllAvailable()
+        }
+        assert(latestStream("cap_out") == want,
+          s"chunks=$chunks shuffled=$shuffled replay=$replay")
+      } finally {
+        q.stop()
+        spark.sql("DROP TABLE IF EXISTS cap_out")
+      }
+    }
+  }
+
+  test("unchanged domains emit nothing; survivors persist across a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("cap-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cap-out").toString
+    val rows = (0L until 200L).map(i => (i, s"https://one.com/$i"))
+    val want = batchSurvivors(rows)
+    val (h1, h2) = rows.splitAt(100)
+    val ms = MemoryStream[(Long, String)]
+    def start() = StreamingSample.domainCapStream(
+        ms.toDF().toDF("doc_id", "url"), "doc_id", "url", cap)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingSample.Survivor],
+          bid: Long) =>
+        df.withColumn("_b", lit(bid)).write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt).outputMode("update").start()
+    val q1 = start()
+    ms.addData(h1: _*); q1.processAllAvailable()
+    // replaying the SAME docs must emit nothing (set function)
+    ms.addData(h1.take(50): _*); q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    ms.addData(h2: _*); q2.processAllAvailable()
+    try {
+      val log = spark.read.parquet(outDir)
+      val lastBatch = log.agg(max("_b")).as[Long].head()
+      val got = log.filter(col("_b") === lastBatch)
+        .select("doc_id").as[Long].collect().toSet
+      // survivors after everything == batch over everything (state kept
+      // the pre-restart survivors; a lost set would re-derive from h2 only)
+      assert(got == want("one.com"))
+      // the replay batch emitted no rows for the domain
+      val batches = log.select("_b").distinct().as[Long].collect().toSet
+      assert(batches.size == 2, s"replay must not emit: batches=$batches")
+    } finally q2.stop()
+  }
+}
