@@ -74,28 +74,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         requireArity("span_corrupt", 3, children)
         // maskPct is a constructor parameter, not a child: SQL callers
-        // must pass a foldable integer (the analyzer-time equivalent of
-        // the Column API's Int argument)
-        val pct = children(2) match {
-          case e if e.foldable && e.dataType ==
-              org.apache.spark.sql.types.IntegerType =>
-            e.eval() match {
-              case i: java.lang.Integer => i.intValue()
-              case other => throw new AnalysisException(
-                errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-                messageParameters = Map(
-                  "functionName" -> "`span_corrupt`",
-                  "expectedNum" -> "a non-null INT literal maskPct",
-                  "actualNum" -> String.valueOf(other),
-                  "docroot" -> "https://spark.apache.org/docs/latest"))
-            }
-          case _ => throw new AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        // must pass a foldable integral literal (the analyzer-time
+        // equivalent of the Column API's Int argument). Errors surface as
+        // DATATYPE_MISMATCH — a non-foldable or wrong-typed third argument
+        // is a type problem, not an arity one.
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val sqlExpr = s""""span_corrupt(${children.map(_.sql).mkString(", ")})""""
+        val pctExpr = children(2)
+        val integral = pctExpr.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        if (!integral)
+          throw new AnalysisException(
+            errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
             messageParameters = Map(
-              "functionName" -> "`span_corrupt`",
-              "expectedNum" -> "a foldable INT literal maskPct",
-              "actualNum" -> "a non-literal third argument",
-              "docroot" -> "https://spark.apache.org/docs/latest"))
+              "sqlExpr" -> sqlExpr,
+              "paramIndex" -> "third (maskPct)",
+              "requiredType" -> "\"INT\" (a foldable integral literal)",
+              "inputSql" -> s""""${pctExpr.sql}"""",
+              "inputType" -> s""""${pctExpr.dataType.sql}""""))
+        if (!pctExpr.foldable)
+          throw new AnalysisException(
+            errorClass = "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+            messageParameters = Map(
+              "sqlExpr" -> sqlExpr,
+              "inputName" -> "`maskPct`",
+              "inputType" -> "\"INT\"",
+              "inputExpr" -> s""""${pctExpr.sql}""""))
+        val pct = pctExpr.eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case b: java.lang.Byte    => b.intValue()
+          case s: java.lang.Short   => s.intValue()
+          case l: java.lang.Long
+              if l >= Int.MinValue && l <= Int.MaxValue => l.intValue()
+          case other => throw new AnalysisException(
+            errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
+            messageParameters = Map(
+              "sqlExpr" -> sqlExpr,
+              "paramIndex" -> "third (maskPct)",
+              "requiredType" -> "\"INT\" (a non-null int-range literal)",
+              "inputSql" -> s""""${String.valueOf(other)}"""",
+              "inputType" -> s""""${pctExpr.dataType.sql}""""))
         }
         SpanCorrupt(children(0), children(1), pct)
       }

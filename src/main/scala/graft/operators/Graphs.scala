@@ -101,9 +101,11 @@ object Graphs {
             s"_dang div cast($n as bigint))) div 100").as("rank")))
       if (tol > 0L) {
         // max |Δrank|: one join on the barriered relations + one aggregate;
-        // both sides cover the same node set, so an inner join is total
+        // both sides cover the same node set, so an inner join is total.
+        // coalesce guards the empty-graph case — max over zero rows is a
+        // single NULL row, which must read as converged (delta 0), not NPE.
         val delta = next.join(ranks.withColumnRenamed("rank", "_prev"), "node")
-          .agg(max(abs(col("rank") - col("_prev"))).as("d"))
+          .agg(coalesce(max(abs(col("rank") - col("_prev"))), lit(0L)).as("d"))
           .head().getLong(0)
         converged = delta <= tol
       }

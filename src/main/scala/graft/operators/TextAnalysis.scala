@@ -750,10 +750,14 @@ object TextAnalysis {
         lit(1)))
         .as(Seq("link_idx", "_hr")))
       .withColumn("href",
-        when(col("_hr").rlike("^\".*\"$"),
-          regexp_replace(col("_hr"), "^\"(.*)\"$", "$1"))
-          .when(col("_hr").rlike("^'.*'$"),
-            regexp_replace(col("_hr"), "^'(.*)'$", "$1"))
+        // (?s): the extraction classes "[^"]*" / '[^']*' admit newlines,
+        // so the paired strip must cross them too — without DOTALL a
+        // multi-line quoted href would fall through both branches and
+        // keep its literal quotes (polluting canon_url downstream)
+        when(col("_hr").rlike("(?s)^\".*\"$"),
+          regexp_replace(col("_hr"), "(?s)^\"(.*)\"$", "$1"))
+          .when(col("_hr").rlike("(?s)^'.*'$"),
+            regexp_replace(col("_hr"), "(?s)^'(.*)'$", "$1"))
           .otherwise(col("_hr")))
       .drop("_hr")
       .withColumn("canon_url", canonicalizeUrl(col("href")))

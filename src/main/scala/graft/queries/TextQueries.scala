@@ -172,7 +172,11 @@ object TextQueries {
             lit("?utm_x=1&b=2&a=1\">join</a>"))),
         lit("<a href=\"/rel/"), (id % 3).cast("string"), lit("\">rel</a>"),
         lit("<a class=m href='/sq/"), (id % 2).cast("string"), lit("'>s</a>"),
-        lit("<a href=/uq/"), (id % 4).cast("string"), lit(" id=u>u</a>"))
+        lit("<a href=/uq/"), (id % 4).cast("string"), lit(" id=u>u</a>"),
+        // a quoted href WITH an embedded newline: the "[^"]*" class admits
+        // it, so the (?s) paired strip must still fire (pre-fix, the strip
+        // fell through and the literal quotes polluted canon_url)
+        lit("<a href=\"/nl/"), (id % 2).cast("string"), lit("\n2\">n</a>"))
       graft.operators.TextAnalysis.outlinks(
           Tables.documents(s, d).select(id, html.as("html")),
           "doc_id", "html")
@@ -481,17 +485,18 @@ object TextQueries {
         |      '?utm_x=1&b=2&a=1">join</a>', 'g')
         |    || '<a href="/rel/' || (doc_id % 3) || '">rel</a>'
         |    || '<a class=m href=''/sq/' || (doc_id % 2) || '''>s</a>'
-        |    || '<a href=/uq/' || (doc_id % 4) || ' id=u>u</a>' AS html
+        |    || '<a href=/uq/' || (doc_id % 4) || ' id=u>u</a>'
+        |    || '<a href="/nl/' || (doc_id % 2) || chr(10) || '2">n</a>' AS html
         |  FROM documents),
         |l0 AS (SELECT doc_id,
         |    unnest(regexp_extract_all(html,
         |      '(?i)<a[^>]*?href=("[^"]*"|''[^'']*''|[^"'' \t\n\r\f>]+)', 1)) AS hr
         |  FROM h),
         |l AS (SELECT doc_id,
-        |    CASE WHEN regexp_matches(hr, '^".*"$')
-        |           THEN regexp_replace(hr, '^"(.*)"$', '\1')
-        |         WHEN regexp_matches(hr, '^''.*''$')
-        |           THEN regexp_replace(hr, '^''(.*)''$', '\1')
+        |    CASE WHEN regexp_matches(hr, '(?s)^".*"$')
+        |           THEN regexp_replace(hr, '(?s)^"(.*)"$', '\1')
+        |         WHEN regexp_matches(hr, '(?s)^''.*''$')
+        |           THEN regexp_replace(hr, '(?s)^''(.*)''$', '\1')
         |         ELSE hr END AS href
         |  FROM l0),
         |nf AS (SELECT doc_id, regexp_replace(href, '#.*$', '') AS u FROM l),

@@ -47,16 +47,63 @@ object Reorder {
     * `ready` = events at or before the watermark, sorted by `ord` (the
     * operator's event-time order — ties resolved exactly as its
     * intra-batch sort does); `stillPending` = events the watermark has
-    * not passed yet; `nLate` = incoming events at or behind the released
-    * frontier, which are dropped (the late-event policy above).
+    * not passed yet, ALSO sorted by `ord`; `nLate` = incoming events at
+    * or behind the released frontier, which are dropped (the late-event
+    * policy above).
+    *
+    * `ord` MUST order by `tsUs` first (every caller's ordering is
+    * (ts, side, id)) — that makes the watermark split a PREFIX of the
+    * merged sequence, so the whole release is one O(m log m) sort of the
+    * m incoming events plus an O(n + m) merge with the n already-sorted
+    * pending events, instead of re-sorting the union per touched key per
+    * batch (the measured ~40% ordered-path overhead this replaced). The
+    * returned stillPending is what callers persist, so the sorted
+    * invariant self-maintains; a buffer restored from a checkpoint
+    * written by an older version is detected unsorted in one scan and
+    * sorted once.
     */
   def release[E](pending: Seq[E], incoming: Seq[E], frontierUs: Long,
                  watermarkUs: Long, tsUs: E => Long)
                 (implicit ord: Ordering[E]): (Seq[E], Seq[E], Int) = {
     val fresh = incoming.filter(e => tsUs(e) > frontierUs)
     val nLate = incoming.size - fresh.size
-    val (ready, still) = (pending ++ fresh).partition(e => tsUs(e) <= watermarkUs)
-    (ready.sorted, still, nLate)
+    val pendSorted = if (isSorted(pending)) pending else pending.sorted
+    val merged = mergeSorted(pendSorted, fresh.sorted)
+    val cut = {
+      val i = merged.indexWhere(e => tsUs(e) > watermarkUs)
+      if (i < 0) merged.size else i
+    }
+    (merged.take(cut), merged.drop(cut), nLate)
+  }
+
+  private def isSorted[E](xs: Seq[E])(implicit ord: Ordering[E]): Boolean = {
+    val it = xs.iterator
+    if (!it.hasNext) return true
+    var prev = it.next()
+    while (it.hasNext) {
+      val cur = it.next()
+      if (ord.gt(prev, cur)) return false
+      prev = cur
+    }
+    true
+  }
+
+  /** Linear two-pointer merge of two `ord`-sorted sequences; ties take
+    * from `a` first (stable — `a` is the older pending buffer, and the
+    * per-event ordering is total anyway since ids are distinct).
+    */
+  def mergeSorted[E](a: Seq[E], b: Seq[E])(implicit ord: Ordering[E]): Seq[E] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new scala.collection.mutable.ArrayBuffer[E](a.size + b.size)
+    val ai = a.iterator.buffered
+    val bi = b.iterator.buffered
+    while (ai.hasNext && bi.hasNext) {
+      if (ord.lteq(ai.head, bi.head)) out += ai.next() else out += bi.next()
+    }
+    while (ai.hasNext) out += ai.next()
+    while (bi.hasNext) out += bi.next()
+    out.toSeq
   }
 
   /** Wake-up for the earliest still-pending event, clamped above the
@@ -65,6 +112,15 @@ object Reorder {
     */
   def nextTimeoutMs(pendingMinUs: Long, wmMs: Long): Long =
     math.max(wmMs + 1L, pendingMinUs / 1000L)
+
+  /** Idle-reclaim wake-up: `idleTtlMs` of EVENT time past the current
+    * watermark. Set only when the pending buffer is empty; a timed-out
+    * invocation that still finds nothing pending removes the key's state
+    * (the ordered analog of the in-order paths' ttlMs). Every data batch
+    * re-arms one of the two timers, so the idle timer slides with traffic.
+    */
+  def idleTimeoutMs(wmMs: Long, idleTtlMs: Long): Long =
+    math.max(wmMs, 0L) + math.max(idleTtlMs, 1L)
 
   /** The released frontier after a batch: `wm - 1`, bumped to the max ts
     * actually RELEASED this batch. In the steady state Spark's late

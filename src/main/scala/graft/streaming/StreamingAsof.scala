@@ -94,13 +94,21 @@ object StreamingAsof {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  private def processKeyOrdered(lateAcc: Option[org.apache.spark.util.LongAccumulator])(
+  private def processKeyOrdered(lateAcc: Option[org.apache.spark.util.LongAccumulator],
+                                idleTtlMs: Long)(
       key: Long, rows: Iterator[AsofEventT],
       state: GroupState[AsofOrderedState]): Iterator[AsofJoined] = {
     val wmMs = state.getCurrentWatermarkMs()
     val wmU  = Reorder.wmUs(wmMs)
     val prev = state.getOption
       .getOrElse(AsofOrderedState(hasCur = false, 0L, 0.0, Long.MinValue, Array.empty))
+    // idle-TTL reclaim: a timed-out wake-up with nothing pending is the
+    // idle timer firing (pending wake-ups always have a buffer) — drop the
+    // key's state entirely, mirroring the in-order path's ttlMs contract
+    if (state.hasTimedOut && prev.pending.isEmpty) {
+      state.remove()
+      return Iterator.empty
+    }
     val incoming = rows.map(e => AsofPend(e.tUs, e.side, e.eventId, e.value)).toSeq
     val (ready, still, nLate) = Reorder.release(
       prev.pending.toSeq, incoming, prev.frontierUs, wmU, (p: AsofPend) => p.tUs)(pendOrder)
@@ -109,6 +117,14 @@ object StreamingAsof {
       log.warn(s"asofJoinStreamOrdered key=$key dropped $nLate event(s) behind " +
         s"the watermark frontier (${prev.frontierUs} us) — beyond the configured delay")
     }
+    // skip-write: nothing released and nothing admitted (every incoming
+    // row was frontier-late) leaves machine, frontier, and buffer exactly
+    // as stored — rewriting the state row would be pure churn. Timed-out
+    // wake-ups never take this path (a pending wake always releases; an
+    // idle wake returned above).
+    if (!state.hasTimedOut && ready.isEmpty &&
+        ready.size + still.size == prev.pending.length)
+      return Iterator.empty
     val cur0 = if (prev.hasCur) Some(AsofState(prev.curTs, prev.curValue)) else None
     val (out, cur) = runMachine(key,
       ready.map(p => AsofEvent(key, p.tUs, p.side, p.eventId, p.value)), cur0)
@@ -118,6 +134,8 @@ object StreamingAsof {
       Reorder.advance(prev.frontierUs, wmU, relMax), still.toArray))
     if (still.nonEmpty)
       state.setTimeoutTimestamp(Reorder.nextTimeoutMs(still.map(_.tUs).min, wmMs))
+    else if (idleTtlMs > 0)
+      state.setTimeoutTimestamp(Reorder.idleTimeoutMs(wmMs, idleTtlMs))
     out.iterator
   }
 
@@ -132,10 +150,19 @@ object StreamingAsof {
     * `lateAcc` nets any residual per-key-frontier stragglers — see
     * [[Reorder]]) — never silently mis-joined. Emission waits
     * for the watermark, so results trail the feed by ~`delayMs`.
+    *
+    * `idleTtlMs` > 0 reclaims state for keys with no pending events and no
+    * traffic for that much EVENT time past the watermark (the ordered
+    * analog of [[asofJoinStream]]'s ttlMs — without it, a churning key
+    * space grows state without bound). The tradeoff is the same as the
+    * in-order TTL: a probe arriving after its key expired re-starts from
+    * empty state (no setpoint), so size the TTL above the longest
+    * plausible per-key silence.
     */
   def asofJoinStreamOrdered(probes: DataFrame, setpoints: DataFrame,
                             delayMs: Long,
-                            lateAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+                            lateAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+                            idleTtlMs: Long = 0L)
       : Dataset[AsofJoined] = {
     require(delayMs > 0, s"asofJoinStreamOrdered needs delayMs > 0, got $delayMs")
     import probes.sparkSession.implicits._
@@ -151,7 +178,7 @@ object StreamingAsof {
       .as[AsofEventT]
     u.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        processKeyOrdered(lateAcc))
+        processKeyOrdered(lateAcc, idleTtlMs))
   }
 
   /** Join a streaming probe frame `(event_id, key, t_us)` against a

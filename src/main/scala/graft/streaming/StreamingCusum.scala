@@ -91,13 +91,20 @@ object StreamingCusum {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private def processKeyOrdered(slack: Long,
-      lateAcc: Option[org.apache.spark.util.LongAccumulator])(
+      lateAcc: Option[org.apache.spark.util.LongAccumulator],
+      idleTtlMs: Long)(
       key: Long, rows: Iterator[CusumEventT],
       state: GroupState[CusumOrderedState]): Iterator[CusumRow] = {
     val wmMs = state.getCurrentWatermarkMs()
     val wmU  = Reorder.wmUs(wmMs)
     val prev = state.getOption
       .getOrElse(CusumOrderedState(0L, 0L, Long.MinValue, Array.empty))
+    // idle-TTL reclaim (see Reorder.idleTimeoutMs): timed-out + nothing
+    // pending = the idle timer — drop the key's state entirely
+    if (state.hasTimedOut && prev.pending.isEmpty) {
+      state.remove()
+      return Iterator.empty
+    }
     val incoming = rows.map(e => CusumPend(e.tUs, e.eventId, e.x)).toSeq
     val (ready, still, nLate) = Reorder.release(
       prev.pending.toSeq, incoming, prev.frontierUs, wmU, (p: CusumPend) => p.tUs)(pendOrder)
@@ -106,6 +113,10 @@ object StreamingCusum {
       log.warn(s"cusumStreamOrdered key=$key dropped $nLate event(s) behind " +
         s"the watermark frontier (${prev.frontierUs} us) — beyond the configured delay")
     }
+    // skip-write: nothing released, nothing admitted — state is unchanged
+    if (!state.hasTimedOut && ready.isEmpty &&
+        ready.size + still.size == prev.pending.length)
+      return Iterator.empty
     val (out, st) = runMachine(slack, key,
       ready.map(p => CusumEvent(key, p.tUs, p.eventId, p.x)),
       CusumState(prev.p, prev.minP))
@@ -115,6 +126,8 @@ object StreamingCusum {
       Reorder.advance(prev.frontierUs, wmU, relMax), still.toArray))
     if (still.nonEmpty)
       state.setTimeoutTimestamp(Reorder.nextTimeoutMs(still.map(_.tUs).min, wmMs))
+    else if (idleTtlMs > 0)
+      state.setTimeoutTimestamp(Reorder.idleTimeoutMs(wmMs, idleTtlMs))
     out.iterator
   }
 
@@ -127,9 +140,15 @@ object StreamingCusum {
     * (Spark's watermark filter counts them in `numRowsDroppedByWatermark`;
     * `lateAcc` nets any residual per-key-frontier stragglers — see
     * [[Reorder]]); emission trails the feed by ~`delayMs`.
+    *
+    * `idleTtlMs` > 0 reclaims state for keys with nothing pending and no
+    * traffic for that much event time past the watermark (see
+    * [[Reorder.idleTimeoutMs]]); an expired key's statistic restarts from
+    * 0 on its next event — the same contract as the in-order ttlMs.
     */
   def cusumStreamOrdered(df: DataFrame, slack: Long, delayMs: Long,
-                         lateAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+                         lateAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+                         idleTtlMs: Long = 0L)
       : Dataset[CusumRow] = {
     require(delayMs > 0, s"cusumStreamOrdered needs delayMs > 0, got $delayMs")
     import df.sparkSession.implicits._
@@ -143,7 +162,7 @@ object StreamingCusum {
       .as[CusumEventT]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        processKeyOrdered(slack, lateAcc))
+        processKeyOrdered(slack, lateAcc, idleTtlMs))
   }
 
   /** `df` must expose (key, t_us, event_id, x); emits every event with its

@@ -106,13 +106,20 @@ object StreamingInterval {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  private def processKeyOrdered(lateAcc: Option[org.apache.spark.util.LongAccumulator])(
+  private def processKeyOrdered(lateAcc: Option[org.apache.spark.util.LongAccumulator],
+                                idleTtlMs: Long)(
       key: Long, rows: Iterator[IvEventT],
       state: GroupState[IvOrderedState]): Iterator[IvMatch] = {
     val wmMs = state.getCurrentWatermarkMs()
     val wmU  = Reorder.wmUs(wmMs)
     val prev = state.getOption
       .getOrElse(IvOrderedState(Long.MinValue, Long.MinValue, Array.empty, Array.empty))
+    // idle-TTL reclaim (see Reorder.idleTimeoutMs): timed-out + nothing
+    // pending = the idle timer — drop the key's state entirely
+    if (state.hasTimedOut && prev.pending.isEmpty) {
+      state.remove()
+      return Iterator.empty
+    }
     val incoming = rows.map(e => IvPend(e.tUs, e.side, e.eventId, e.endUs, e.value)).toSeq
     val (ready, still, nLate) = Reorder.release(
       prev.pending.toSeq, incoming, prev.releasedUs, wmU, (p: IvPend) => p.tUs)(pendOrder)
@@ -121,6 +128,12 @@ object StreamingInterval {
       log.warn(s"intervalJoinStreamOrdered key=$key dropped $nLate event(s) behind " +
         s"the watermark frontier (${prev.releasedUs} us) — beyond the configured delay")
     }
+    // skip-write: nothing released, nothing admitted — state is unchanged
+    // (the wm-close prune below only fires on released traffic; an idle
+    // key's open windows are reaped by the idle TTL, not per-batch churn)
+    if (!state.hasTimedOut && ready.isEmpty &&
+        ready.size + still.size == prev.pending.length)
+      return Iterator.empty
     // windows additionally close at the watermark: every future released
     // point has t > wm, so end <= wm can never match again
     val (out, frontier, stillOpen) = runMachine(key,
@@ -131,6 +144,8 @@ object StreamingInterval {
       Reorder.advance(prev.releasedUs, wmU, relMax), stillOpen, still.toArray))
     if (still.nonEmpty)
       state.setTimeoutTimestamp(Reorder.nextTimeoutMs(still.map(_.tUs).min, wmMs))
+    else if (idleTtlMs > 0)
+      state.setTimeoutTimestamp(Reorder.idleTimeoutMs(wmMs, idleTtlMs))
     out.iterator
   }
 
@@ -148,37 +163,68 @@ object StreamingInterval {
     * WINDOW-LAG CONTRACT: window records ride the watermark at their
     * START (stamping them at their end would let a long window
     * fast-forward the global watermark past genuinely on-time points), so
-    * a window record must ARRIVE within `delayMs` of its start or the
-    * watermark filter drops the whole window — counted in
-    * `numRowsDroppedByWatermark`, never silent, but all of its matches go
-    * with it (spec-locked). Size `delayMs` to cover the window feed's
-    * publication lag, and accept that points pay the same delay in
-    * emission latency — the inherent single-watermark coupling. (The
-    * in-order [[intervalJoinStream]] does NOT have this constraint: it
-    * admits any window whose end is ahead of the point frontier — a feed
-    * whose windows publish late but in order may prefer it.)
+    * with the default single delay a window record must ARRIVE within
+    * `delayMs` of its start or the watermark filter drops the whole
+    * window — counted in `numRowsDroppedByWatermark`, never silent, but
+    * all of its matches go with it (spec-locked). For window feeds that
+    * publish LATER than the point feed (the common shape: a window closes
+    * before it is written), set `windowDelayMs` — typically
+    * `delayMs + maxWindowLen` — and the window side carries its own
+    * watermark: the global watermark is the MIN of the two sides
+    * (Spark's multipleWatermarkPolicy default), so a window arriving up
+    * to `windowDelayMs` after its start is admitted, at the price of
+    * point emission trailing by up to `windowDelayMs` when the window
+    * feed lags — the inherent single-global-watermark coupling, now a
+    * knob instead of a wall. (The in-order [[intervalJoinStream]] does
+    * NOT have this constraint: it admits any window whose end is ahead
+    * of the point frontier — a feed whose windows publish late but in
+    * order may prefer it.)
+    *
+    * `idleTtlMs` > 0 reclaims state for keys with no pending events and
+    * no traffic for that much event time past the watermark (see
+    * [[Reorder.idleTimeoutMs]]); open windows of an expired key are
+    * dropped with it, so size the TTL above the longest window.
     */
   def intervalJoinStreamOrdered(points: DataFrame, windows: DataFrame,
                                 delayMs: Long,
-                                lateAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+                                lateAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+                                idleTtlMs: Long = 0L,
+                                windowDelayMs: Long = 0L)
       : Dataset[IvMatch] = {
     require(delayMs > 0, s"intervalJoinStreamOrdered needs delayMs > 0, got $delayMs")
     import points.sparkSession.implicits._
     implicit val stateEnc: Encoder[IvOrderedState] = Encoders.product[IvOrderedState]
-    val u = points.select(col("key").cast("long").as("key"),
+    val p = points.select(col("key").cast("long").as("key"),
         col("t_us").cast("long").as("tUs"), lit(1).as("side"),
         col("event_id").cast("long").as("eventId"),
         lit(0L).as("endUs"), lit(0.0).as("value"))
-      .unionByName(windows.select(col("key").cast("long").as("key"),
+    val w = windows.select(col("key").cast("long").as("key"),
         col("start_us").cast("long").as("tUs"), lit(0).as("side"),
         lit(-1L).as("eventId"), col("end_us").cast("long").as("endUs"),
-        col("value").cast("double").as("value")))
-      .withColumn("ts", timestamp_micros(col("tUs")))
-      .withWatermark("ts", s"$delayMs milliseconds")
-      .as[IvEventT]
+        col("value").cast("double").as("value"))
+    // Default: ONE watermark over the union — either side's progress
+    // advances it (an idle window feed never stalls points). With
+    // windowDelayMs set, each side carries its own watermark node and the
+    // global watermark is their MIN: the window side may lag by
+    // windowDelayMs without its records being branded late, and the
+    // documented price is that points wait on the slower side — including
+    // at stream start, where no points release until the FIRST window
+    // batch establishes the window-side watermark.
+    val u =
+      if (windowDelayMs > 0)
+        p.withColumn("ts", timestamp_micros(col("tUs")))
+          .withWatermark("ts", s"$delayMs milliseconds")
+          .unionByName(w.withColumn("ts", timestamp_micros(col("tUs")))
+            .withWatermark("ts", s"$windowDelayMs milliseconds"))
+          .as[IvEventT]
+      else
+        p.unionByName(w)
+          .withColumn("ts", timestamp_micros(col("tUs")))
+          .withWatermark("ts", s"$delayMs milliseconds")
+          .as[IvEventT]
     u.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        processKeyOrdered(lateAcc))
+        processKeyOrdered(lateAcc, idleTtlMs))
   }
 
   /** Join a streaming point frame `(event_id, key, t_us)` against a

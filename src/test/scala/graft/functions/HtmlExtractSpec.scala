@@ -165,17 +165,36 @@ class HtmlExtractSpec extends SparkSpec {
         split(col("text"), " "), col("doc_id"), 30).as("s"))
       .select("s.n_masked").as[Long].head()
     assert(viaSql2 == viaCol)
+    // widened integral literals configure the kernel identically (a LONG
+    // or SMALLINT literal is the same maskPct, not an arity error)
+    val viaLong = spark.sql(
+      "SELECT span_corrupt(split('a b c d e f g h', ' '), 7L, 30L) AS s")
+      .select("s.n_masked").as[Long].head()
+    val viaShort = spark.sql(
+      "SELECT span_corrupt(split('a b c d e f g h', ' '), 7L, CAST(30 AS SMALLINT)) AS s")
+      .select("s.n_masked").as[Long].head()
+    assert(viaLong == viaCol && viaShort == viaCol)
     val e2 = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT span_corrupt(split('a b', ' '), 1L)").collect()
     }
     assert(e2.getMessage.contains("span_corrupt"), e2.getMessage)
     val e3 = intercept[org.apache.spark.sql.AnalysisException] {
-      // non-foldable maskPct: a column reference cannot configure the kernel
+      // non-foldable maskPct: a column reference cannot configure the
+      // kernel — reported as a DATATYPE_MISMATCH (a type problem), not a
+      // wrong-number-of-arguments one
       spark.sql(
         "SELECT span_corrupt(split('a b', ' '), 1L, CAST(id AS INT)) FROM range(1)")
         .collect()
     }
     assert(e3.getMessage.contains("span_corrupt"), e3.getMessage)
+    assert(e3.getCondition != null && e3.getCondition.startsWith("DATATYPE_MISMATCH"),
+      s"expected a type-oriented error class, got ${e3.getCondition}")
+    val e4 = intercept[org.apache.spark.sql.AnalysisException] {
+      // wrong TYPE: a string literal is a type mismatch, same class
+      spark.sql("SELECT span_corrupt(split('a b', ' '), 1L, 'x')").collect()
+    }
+    assert(e4.getCondition != null && e4.getCondition.startsWith("DATATYPE_MISMATCH"),
+      s"expected a type-oriented error class, got ${e4.getCondition}")
   }
 
   test("plan: extractContent is a pure narrow map — zero exchanges") {

@@ -103,6 +103,18 @@ class CurationOpsSpec extends SparkSpec {
       (4, ""), (5, "x\"y")))
   }
 
+  test("outlinks: a quoted href spanning a newline still strips its quotes (DOTALL)") {
+    // the extraction classes "[^"]*" / '[^']*' admit newlines, so the
+    // paired strip must too — without (?s) these fell through both strip
+    // branches and kept their literal quotes
+    val html = "<a href=\"/nl\na\">x</a><a href='/nl\nb'>y</a>" +
+      "<a href=\"/tail\n\">z</a>" // quoted href ENDING in a newline
+    val rows = TextAnalysis.outlinks(
+        Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .select("link_idx", "href").as[(Int, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((0, "/nl\na"), (1, "/nl\nb"), (2, "/tail\n")))
+  }
+
   // -------------------------------------------------------- span corrupt
 
   /** Parse '<extra_id_k> tok…' runs out of a target stream. */

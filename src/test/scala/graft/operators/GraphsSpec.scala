@@ -92,6 +92,18 @@ class GraphsSpec extends SparkSpec {
     assert(ranFixed == 4)
   }
 
+  test("tol on an EMPTY edge relation converges to the empty rank relation, no NPE") {
+    // max over zero rows is one all-NULL row; the convergence probe must
+    // read it as delta 0 (converged), matching the tol=0 path's empty
+    // result, instead of throwing from getLong on the null
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val (ranks, ran) = Graphs.pageRankRun(empty, iters = 5, tol = 1L)
+    assert(ranks.count() == 0L)
+    assert(ran <= 1, s"an empty graph must converge immediately, ran $ran")
+    val (ranksFixed, _) = Graphs.pageRankRun(empty, iters = 5)
+    assert(ranksFixed.count() == 0L)
+  }
+
   test("reliable-checkpoint knob produces identical ranks") {
     val rnd = new Random(71)
     val edges = (0 until 200).map(_ =>

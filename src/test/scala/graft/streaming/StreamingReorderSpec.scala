@@ -303,6 +303,168 @@ class StreamingReorderSpec extends SparkSpec
     }
   }
 
+  test("interval ordered: windowDelayMs admits a window arriving near its END, == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dUs = delayMs * 1000L
+    val t0 = baseUs
+    // three real windows; w1 is the LAGGED one — it arrives in a batch
+    // AFTER points have pushed the point-side watermark past its start
+    // (the single-delay contract drops it wholesale — the test above
+    // locks that); with windowDelayMs = 10x delay the window side rides
+    // its own watermark and the global (min) watermark stays behind, so
+    // w1 is admitted and its match with p2 emits, equal to batch
+    val wins = Seq(
+      (1L, t0, t0 + 1 * dUs, 1.0),
+      (1L, t0 + 2 * dUs, t0 + 7 * dUs, 7.0),
+      (1L, t0 + 20 * dUs, t0 + 21 * dUs, 9.0))
+    val points = Seq((1L, 1L, t0), (2L, 1L, t0 + 6 * dUs), (3L, 1L, t0 + 20 * dUs))
+    val expected = IntervalJoin.intervalJoin(
+        points.toDF("event_id", "key", "t_us"),
+        wins.toDF("key", "start_us", "end_us", "value"),
+        Seq("key"), "t_us", "start_us", "end_us", bucketUs = 64000L)
+      .select(col("event_id"), col("start_us"), col("value"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(expected.size == 3, s"bad fixture: $expected") // p1->w0, p2->w1, p3->w2
+
+    val lateAcc = spark.sparkContext.longAccumulator("ivo_wlag_late")
+    val ms = MemoryStream[(Int, Long, Long, Long, Long, Double)]
+    val all = ms.toDF().toDF("side", "event_id", "key", "a", "b", "value")
+    val q = StreamingInterval.intervalJoinStreamOrdered(
+        all.filter(col("side") === 1)
+          .select(col("event_id"), col("key"), col("a").as("t_us")),
+        all.filter(col("side") === 0)
+          .select(col("key"), col("a").as("start_us"),
+            col("b").as("end_us"), col("value")),
+        delayMs, Some(lateAcc), windowDelayMs = 10 * delayMs)
+      .writeStream.format("memory").queryName("ivo_wlag")
+      .outputMode("append").start()
+    def dropped: Long =
+      q.recentProgress.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    try {
+      // batch 1: w0 + both early points — the point side watermark runs
+      // ahead of w1's start from here on
+      ms.addData((0, -1L, 1L, wins(0)._2, wins(0)._3, wins(0)._4),
+        (1, 1L, 1L, points(0)._3, 0L, 0.0), (1, 2L, 1L, points(1)._3, 0L, 0.0))
+      q.processAllAvailable()
+      // batch 2: the lagged window w1, > delayMs of event time behind the
+      // point frontier but within windowDelayMs of the window frontier
+      ms.addData((0, -1L, 1L, wins(1)._2, wins(1)._3, wins(1)._4))
+      q.processAllAvailable()
+      assert(dropped == 0L, "windowDelayMs must admit the lagged window")
+      // batch 3: advance BOTH sides past everything real
+      ms.addData((0, -1L, 1L, wins(2)._2, wins(2)._3, wins(2)._4),
+        (1, 3L, 1L, points(2)._3, 0L, 0.0))
+      q.processAllAvailable()
+      // flush: sentinel traffic on both sides, twice (timeout convention)
+      Seq(100L, 200L, 300L).foreach { k =>
+        ms.addData((1, -7L - k, sentinelKey, t0 + k * dUs, 0L, 0.0),
+          (0, -1L, sentinelKey, t0 + k * dUs, t0 + k * dUs + 1000L, 0.0))
+        q.processAllAvailable()
+      }
+      val got = spark.table("ivo_wlag")
+        .filter(col("key") =!= sentinelKey)
+        .select(col("event_id"), col("start_us"), col("value"))
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(got == expected,
+        s"stream != batch under window lag: got=$got expected=$expected")
+      assert(dropped == 0L && lateAcc.value == 0L)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS ivo_wlag")
+    }
+  }
+
+  /** Run the asof idle-TTL scenario; returns probe id 2's answer. */
+  private def asofIdleScenario(idleTtlMs: Long, name: String): (Option[Long], Option[Double]) = {
+    implicit val sqlCtx = spark.sqlContext
+    val dUs = delayMs * 1000L
+    val t0 = baseUs
+    val ms = MemoryStream[(Long, Long, Int, Long, Double)]
+    val all = ms.toDF().toDF("key", "t_us", "side", "event_id", "value")
+    val q = StreamingAsof.asofJoinStreamOrdered(
+        all.filter(col("side") === 1).select("event_id", "key", "t_us"),
+        all.filter(col("side") === 0).select("key", "t_us", "value"),
+        delayMs, None, idleTtlMs = idleTtlMs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // key 1: setpoint then a probe answered from it
+      ms.addData((1L, t0, 0, -1L, 5.5), (1L, t0 + 1000L, 1, 1L, 0.0))
+      q.processAllAvailable()
+      // sentinel traffic marches the watermark far past t0 + idleTtl —
+      // several batches so the idle timer (armed once key 1 drained) fires
+      Seq(10L, 30L, 40L).foreach { k =>
+        ms.addData((sentinelKey, t0 + k * dUs, 1, -7L - k, 0.0))
+        q.processAllAvailable()
+      }
+      // probe id 2 for key 1, on time w.r.t. the current watermark
+      ms.addData((1L, t0 + 50 * dUs, 1, 2L, 0.0))
+      q.processAllAvailable()
+      Seq(60L, 70L).foreach { k =>
+        ms.addData((sentinelKey, t0 + k * dUs, 1, -7L - k, 0.0))
+        q.processAllAvailable()
+      }
+      val rows = spark.table(name)
+        .filter(col("event_id") === 2L)
+        .select("asof_ts", "asof_value")
+        .as[(Option[Long], Option[Double])].collect()
+      assert(rows.length == 1, s"probe 2 emitted ${rows.length} rows")
+      rows.head
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+
+  test("asof ordered: idleTtlMs reclaims an idle key's state; 0 keeps it forever") {
+    // with the TTL, key 1 idles past 2s of event time -> state (the
+    // carried setpoint) is removed, and the later probe restarts from
+    // empty state: NULL answer — the documented TTL tradeoff
+    assert(asofIdleScenario(idleTtlMs = 2000L, "asof_ttl_on") == ((None, None)))
+    // without it, the setpoint survives any silence
+    assert(asofIdleScenario(idleTtlMs = 0L, "asof_ttl_off") ==
+      ((Some(baseUs), Some(5.5))))
+  }
+
+  test("cusum ordered: idleTtlMs restarts an expired key's statistic from zero") {
+    implicit val sqlCtx = spark.sqlContext
+    val dUs = delayMs * 1000L
+    val t0 = baseUs
+    val slack = 0L
+    def run(idleTtlMs: Long, name: String): Long = {
+      val ms = MemoryStream[(Long, Long, Long, Long)]
+      val q = StreamingCusum.cusumStreamOrdered(
+          ms.toDF().toDF("key", "t_us", "event_id", "x"), slack, delayMs,
+          None, idleTtlMs = idleTtlMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        ms.addData((1L, t0, 1L, 40L)) // statistic 40 once released
+        q.processAllAvailable()
+        Seq(10L, 30L, 40L).foreach { k =>
+          ms.addData((sentinelKey, t0 + k * dUs, -7L - k, 0L))
+          q.processAllAvailable()
+        }
+        ms.addData((1L, t0 + 50 * dUs, 2L, 2L))
+        q.processAllAvailable()
+        Seq(60L, 70L).foreach { k =>
+          ms.addData((sentinelKey, t0 + k * dUs, -7L - k, 0L))
+          q.processAllAvailable()
+        }
+        val got = spark.table(name).filter(col("event_id") === 2L)
+          .select("cusum").as[Long].collect()
+        assert(got.length == 1)
+        got.head
+      } finally {
+        q.stop()
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+      }
+    }
+    assert(run(2000L, "cusum_ttl_on") == 2L,   // expired: restarts at 0 + 2
+      "expired key must restart its statistic")
+    assert(run(0L, "cusum_ttl_off") == 42L)    // kept: 40 carried + 2
+  }
+
   test("ordered cusum state survives a query restart through the checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new Random(73)
