@@ -163,7 +163,8 @@ object StreamBench {
         require(q.exception.isEmpty, s"asof_stream failed: ${q.exception}")
         println(f"[stream] asof_stream     events=$nEvents%-8d keys=$nKeys%-5d " +
           f"chunks=$chunks%-3d round=$round sec=$sec%7.2f " +
-          f"rate=${nEvents / sec / 1e3}%8.1fk events/s")
+          f"rate=${nEvents / sec / 1e3}%8.1fk events/s " +
+          f"batches=${Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)}")
       } finally q.stop()
     }
 
@@ -242,7 +243,8 @@ object StreamBench {
         require(q.exception.isEmpty, s"asof_ordered failed: ${q.exception}")
         println(f"[stream] asof_ordered    events=$nEvents%-8d keys=$nKeys%-5d " +
           f"chunks=$chunks%-3d round=$round sec=$sec%7.2f " +
-          f"rate=${nEvents / sec / 1e3}%8.1fk events/s")
+          f"rate=${nEvents / sec / 1e3}%8.1fk events/s " +
+          f"batches=${Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)}")
       } finally q.stop()
     }
     spark.stop()

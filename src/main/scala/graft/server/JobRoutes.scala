@@ -26,6 +26,14 @@ import scala.util.{Failure, Success, Try}
   *   POST /patterns/validate     → per-pattern {pattern, success, context}
   *   GET  /metainfo/getVersion   → engine version map
   *
+  * Beyond the reference (which has no streaming-curation surface), the
+  * same server exposes [[CurationService]] when one is supplied:
+  *
+  *   POST /streamjob/submit          → start a curation pipeline
+  *   GET  /streamjob/:uuid/status    → per-step progress
+  *   GET|POST /streamjob/:uuid/stop  → stop (checkpoints kept; resubmit resumes)
+  *   GET  /streamjob/overview        → all curation jobs
+  *
   * Error shape mirrors the reference's FailureResponse: 400 with
   * `{"errorCode": 4006, "message": "No such job."}` for unknown uuids.
   *
@@ -33,7 +41,8 @@ import scala.util.{Failure, Success, Try}
   * incident rows travel through the configured sinks, never through HTTP,
   * exactly like the reference.
   */
-final class JobRoutes(svc: JobService, port: Int = 0) {
+final class JobRoutes(svc: JobService, port: Int = 0,
+                      curation: Option[CurationService] = None) {
 
   import JobRoutes._
   import JobService._
@@ -109,6 +118,35 @@ final class JobRoutes(svc: JobService, port: Int = 0) {
         case ("GET", List("metainfo", "getVersion")) =>
           (200, Json.Obj.of("graft" -> Json.Str("0.5.0"),
             "scala" -> Json.Str(scala.util.Properties.versionNumberString)))
+        case ("POST", List("streamjob", "submit")) =>
+          withCuration { cur =>
+            val req = readCurationRequest(new String(
+              ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+            cur.submit(req) match {
+              case Right(uuid) =>
+                (200, Json.Obj.of("status" ->
+                  Json.Str(s"Streaming job $uuid started.")))
+              case Left(errors) =>
+                (400, Json.Obj.of("errorCode" -> Json.Num(4001),
+                  "message" -> Json.Str("Invalid streaming job."),
+                  "errors" -> Json.Arr(errors.map(Json.Str))))
+            }
+          }
+        case ("GET", List("streamjob", uuid, "status")) =>
+          withCuration { cur =>
+            cur.status(uuid) match {
+              case Some(info) => (200, writeCurationInfo(info))
+              case None       => (400, noSuchJob)
+            }
+          }
+        case ("GET" | "POST", List("streamjob", uuid, "stop")) =>
+          withCuration { cur =>
+            if (cur.stop(uuid))
+              (200, Json.Obj.of("message" -> Json.Str(s"Streaming job $uuid stopped.")))
+            else (400, noSuchJob)
+          }
+        case ("GET", List("streamjob", "overview")) =>
+          withCuration { cur => (200, Json.Arr(cur.overview.map(writeCurationInfo))) }
         case _ => (404, Json.Obj.of("errorCode" -> Json.Num(4004),
           "message" -> Json.Str("No such route.")))
       }
@@ -131,6 +169,13 @@ final class JobRoutes(svc: JobService, port: Int = 0) {
 
   private def noSuchJob: Json.Value =
     Json.Obj.of("errorCode" -> Json.Num(4006), "message" -> Json.Str("No such job."))
+
+  private def withCuration(f: CurationService => (Int, Json.Value)): (Int, Json.Value) =
+    curation match {
+      case Some(cur) => f(cur)
+      case None => (404, Json.Obj.of("errorCode" -> Json.Num(4004),
+        "message" -> Json.Str("Streaming jobs are not enabled on this server.")))
+    }
 }
 
 /** JSON codecs for the request/response domain. Field names follow the
@@ -234,6 +279,61 @@ object JobRoutes {
       userName = o.get("userName").map(_.asStr),
       password = o.get("password").map(_.asStr))
   }
+
+  def readCurationRequest(body: String): CurationService.CurationRequest = {
+    import CurationService._
+    val o = Json.parse(body) match {
+      case obj: Json.Obj => obj
+      case other         => throw Json.ParseError(s"expected object, got $other")
+    }
+    val src = o("source") match {
+      case s: Json.Obj => FileSourceConf(
+        format = s("format").asStr,
+        path = s("path").asStr,
+        schemaDdl = s("schema").asStr,
+        maxFilesPerTrigger = s.get("maxFilesPerTrigger").map(_.asNum.toInt))
+      case other => throw Json.ParseError(s"expected source, got $other")
+    }
+    val steps = o("steps").asArr.map {
+      case s: Json.Obj => s("type").asStr match {
+        case "bloom_seen" => BloomSeenStep(
+          name = s("name").asStr, table = s("table").asStr,
+          urlCol = s("urlCol").asStr,
+          nBits = s.get("nBits").map(_.asNum.toInt).getOrElse(1 << 16),
+          nHashes = s.get("nHashes").map(_.asNum.toInt).getOrElse(4))
+        case "domain_cap" => DomainCapStep(
+          name = s("name").asStr, table = s("table").asStr,
+          idCol = s("idCol").asStr, urlCol = s("urlCol").asStr,
+          cap = s("cap").asNum.toInt,
+          seed = s.get("seed").map(_.asStr).getOrElse("cap0"))
+        case "kmv_distinct" => KmvDistinctStep(
+          name = s("name").asStr, table = s("table").asStr,
+          groupCol = s("groupCol").asStr, valueCol = s("valueCol").asStr,
+          k = s.get("k").map(_.asNum.toInt).getOrElse(256))
+        case other => throw Json.ParseError(s"unknown step type '$other'")
+      }
+      case other => throw Json.ParseError(s"expected step, got $other")
+    }
+    CurationRequest(
+      uuid = o("uuid").asStr,
+      source = src,
+      jdbcUrl = o("jdbcUrl").asStr,
+      driverName = o("driverName").asStr,
+      steps = steps,
+      userName = o.get("userName").map(_.asStr),
+      password = o.get("password").map(_.asStr))
+  }
+
+  def writeCurationInfo(i: CurationService.CurationInfo): Json.Value =
+    Json.Obj.of(
+      "uuid" -> Json.Str(i.uuid),
+      "status" -> Json.Str(i.status),
+      "steps" -> Json.Arr(i.steps.map(s => Json.Obj(Seq[(String, Json.Value)](
+        "name" -> Json.Str(s.name),
+        "active" -> Json.Bool(s.active),
+        "batchId" -> Json.Num(s.batchId.toDouble),
+        "inputRows" -> Json.Num(s.inputRows.toDouble)) ++
+        s.error.map(e => "error" -> (Json.Str(e): Json.Value))))))
 
   // ------------------------------------------------------------- writers
 

@@ -179,4 +179,70 @@ class JobRoutesSpec extends SparkSpec {
       }
     } finally { routes.close(); svc.shutdown() }
   }
+
+  test("streaming-curation pipeline over HTTP: submit bloom+cap, status, stop") {
+    val inDir = java.nio.file.Files.createTempDirectory("curhttp-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("curhttp-ck").toString
+    (0 until 30).map(i =>
+        (i.toLong, s"https://${Seq("x.com", "y.org")(i % 2)}/d/$i"))
+      .toDF("doc_id", "url").coalesce(1).write.mode("append").parquet(inDir)
+
+    val svc = new JobService(spark)
+    val cur = new CurationService(spark, ckpt)
+    val routes = new JobRoutes(svc, port = 0, curation = Some(cur))
+    val base = s"http://localhost:${routes.boundPort}"
+    try {
+      val body =
+        s"""{
+           |  "uuid": "curhttp-1",
+           |  "source": {"format": "parquet", "path": "$inDir",
+           |             "schema": "doc_id BIGINT, url STRING"},
+           |  "jdbcUrl": "$url", "driverName": "$driver",
+           |  "steps": [
+           |    {"type": "bloom_seen", "name": "bloom", "table": "curhttp_bloom",
+           |     "urlCol": "url", "nBits": 1024},
+           |    {"type": "domain_cap", "name": "cap", "table": "curhttp_cap",
+           |     "idCol": "doc_id", "urlCol": "url", "cap": 4, "seed": "h1"},
+           |    {"type": "kmv_distinct", "name": "kmv", "table": "curhttp_kmv",
+           |     "groupCol": "url", "valueCol": "doc_id", "k": 8}
+           |  ]
+           |}""".stripMargin
+      val sub = post(base, "/streamjob/submit", body)
+      assert(sub.statusCode() == 200, sub.body())
+      cur.awaitIdle("curhttp-1")
+
+      val st = Json.parse(get(base, "/streamjob/curhttp-1/status").body()).asObj
+      assert(st("status").asStr == "Running", st)
+      val steps = st("steps").asArr.map(_.asObj)
+      assert(steps.map(_("name").asStr).toSet == Set("bloom", "cap", "kmv"))
+      assert(steps.forall(_("inputRows").asNum == 30.0), st)
+      // the sink tables exist and carry rows
+      Seq("curhttp_bloom", "curhttp_cap", "curhttp_kmv").foreach { t =>
+        val n = spark.read.format("jdbc").option("url", url)
+          .option("dbtable", t).option("driver", driver).load().count()
+        assert(n > 0, s"$t is empty")
+      }
+      // overview lists it; unknown uuid is a 400; bad step type a 400
+      assert(get(base, "/streamjob/overview").body().contains("curhttp-1"))
+      assert(get(base, "/streamjob/nope/status").statusCode() == 400)
+      assert(post(base, "/streamjob/submit",
+        body.replace("domain_cap", "mystery_op")
+          .replace("curhttp-1", "curhttp-bad")).statusCode() == 400)
+
+      val stop = get(base, "/streamjob/curhttp-1/stop")
+      assert(stop.statusCode() == 200, stop.body())
+      assert(Json.parse(get(base, "/streamjob/curhttp-1/status").body())
+        .asObj("status").asStr == "Stopped")
+    } finally { routes.close(); cur.shutdown(); svc.shutdown() }
+  }
+
+  test("streaming-curation routes answer 404 when the server has no curation service") {
+    val svc = new JobService(spark)
+    val routes = new JobRoutes(svc, port = 0)
+    val base = s"http://localhost:${routes.boundPort}"
+    try {
+      val r = get(base, "/streamjob/overview")
+      assert(r.statusCode() == 404 && r.body().contains("not enabled"), r.body())
+    } finally { routes.close(); svc.shutdown() }
+  }
 }
