@@ -334,15 +334,19 @@ object LlmQueries {
     },
 
     // The over-cap exact-signature fallback under load: every 5th document
-    // becomes identical boilerplate (a 100-doc group whose every band
-    // bucket blows past cap 20 — at production scale this branch runs
-    // constantly on licence blocks and shared headers). The boilerplate
-    // pairs must come out of the exact-signature group (jaccard 1.0, pair
-    // count exactly C(100,2)) while the untouched near-dup pairs still
-    // arrive through the light banding path.
+    // (bounded to doc_id < 5000, so the planted group is FIXTURE-sized —
+    // identical at sf <= 0.1 where all ids are < 5000, and capped at 1000
+    // members above it: an UNBOUNDED plant would make the row's cost the
+    // C(n/5, 2) pair OUTPUT instead of the fallback path under test)
+    // becomes identical boilerplate, a group whose every band bucket blows
+    // past cap 20 — at production scale this branch runs constantly on
+    // licence blocks and shared headers. The boilerplate pairs must come
+    // out of the exact-signature group (jaccard 1.0, pair count exactly
+    // C(group, 2)) while the untouched near-dup pairs still arrive
+    // through the light banding path.
     "dedup_minhash_hot" -> { (s, d) =>
       val planted = Tables.documents(s, d).select(col("doc_id"),
-        when(col("doc_id") % 5 === 0, lit(boilerText))
+        when(col("doc_id") % 5 === 0 && col("doc_id") < 5000, lit(boilerText))
           .otherwise(col("text")).as("text"))
       TextDedup.minhashDuplicates(planted, "doc_id", "text", bucketCap = 20)
     },
@@ -844,7 +848,7 @@ object LlmQueries {
     // sequence with the corpus).
     "dedup_minhash_hot" ->
       s"""WITH d AS (SELECT doc_id,
-         |             CASE WHEN doc_id % 5 = 0 THEN '$boilerText'
+         |             CASE WHEN doc_id % 5 = 0 AND doc_id < 5000 THEN '$boilerText'
          |                  ELSE text END AS text
          |           FROM documents),
          |w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM d),
@@ -857,13 +861,16 @@ object LlmQueries {
          |         round(len(list_intersect(a.grams, b.grams))::DOUBLE /
          |               len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
          |  FROM sh a JOIN sh b
-         |    ON a.doc_id < b.doc_id AND a.doc_id % 5 <> 0 AND b.doc_id % 5 <> 0
+         |    ON a.doc_id < b.doc_id
+         |   AND NOT (a.doc_id % 5 = 0 AND a.doc_id < 5000)
+         |   AND NOT (b.doc_id % 5 = 0 AND b.doc_id < 5000)
          |  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
          |        len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5),
          |heavy AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0::DOUBLE AS jaccard
          |  FROM sh a JOIN sh b
-         |    ON a.doc_id < b.doc_id AND a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+         |    ON a.doc_id < b.doc_id AND a.doc_id % 5 = 0 AND a.doc_id < 5000
+         |   AND b.doc_id % 5 = 0 AND b.doc_id < 5000
          |  WHERE list_sort(a.grams) = list_sort(b.grams))
          |SELECT * FROM light UNION ALL SELECT * FROM heavy""".stripMargin,
 

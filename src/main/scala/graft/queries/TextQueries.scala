@@ -34,12 +34,17 @@ object TextQueries {
 
     // Corpus rollup by (lang, source): the partition-pruning shape a crawl
     // pipeline uses to budget per-language shards.
+    // avg is integer-quantized to centi-chars: `round(avg(bigint), 2)` can
+    // land EXACTLY on a .005 tie (sum 99189 / 360 docs = 275.525 — hit at
+    // the sf1 sweep), where Spark rounds the decimal string (275.53) and
+    // DuckDB the binary double (275.52). `(100*sum) div count` is integer
+    // end to end — bit-stable on any engine, the text_lm stance.
     "text_by_lang" -> { (s, d) =>
       Tables.documents(s, d)
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
-          round(avg(col("n_chars")), 2).as("avg_chars"))
+          expr("(100 * sum(n_chars)) div count(1)").as("avg_centichars"))
     },
 
     // Intra-document repetition (duplicated bigram fraction): the cheap
@@ -299,7 +304,7 @@ object TextQueries {
     "text_by_lang" ->
       """SELECT lang, source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        | round(avg(n_chars), 2) AS avg_chars
+        | CAST(sum(n_chars) * 100 // count(*) AS BIGINT) AS avg_centichars
         |FROM documents GROUP BY lang, source""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w

@@ -144,6 +144,102 @@ class HtmlExtractSpec extends SparkSpec {
     both.zip(docs).foreach { case ((k, c), d) => assert(k == c, s"input: $d") }
   }
 
+  /** Independent replica of the kernel's DOCUMENT-ORDER contract for the
+    * interleaved-block fuzz below: at each '<', comments win, then
+    * whichever removable block opens here is skipped to ITS OWN close
+    * marker (regardless of what opens inside it), else the bare-tag rule.
+    * Deliberately not the chain — the chain's global stage order
+    * legitimately diverges when block tags cross (the documented class);
+    * this replica pins what the kernel MUST do on those inputs.
+    */
+  private def docOrderReplica(s: String): (String, String, Long) = {
+    val n = s.length
+    def idxCi(pat: String, from: Int): Int = {
+      var i = math.max(from, 0)
+      while (i <= n - pat.length) {
+        if (s.regionMatches(true, i, pat, 0, pat.length)) return i
+        i += 1
+      }
+      -1
+    }
+    val title = {
+      val o = idxCi("<title", 0)
+      if (o < 0) "" else {
+        val gt = s.indexOf('>', o + 6)
+        if (gt < 0) "" else {
+          val c = idxCi("</title", gt + 1)
+          if (c < 0 || s.indexOf('>', c + 7) < 0) "" else s.substring(gt + 1, c)
+        }
+      }
+    }
+    val raw = new StringBuilder
+    var nLinks = 0L
+    var i = 0
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+    def skipBlock(close: String): Unit = {
+      val gt = s.indexOf('>', i)
+      if (gt < 0) { raw += '<'; i += 1 }
+      else {
+        val c = idxCi(close, gt + 1)
+        val end = if (c < 0) -1 else s.indexOf('>', c + close.length)
+        if (end >= 0) i = end + 1 else { raw += ' '; i = gt + 1 }
+      }
+    }
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val j = s.indexOf("-->", i + 4)
+          if (j < 0) { raw += '<'; i += 1 } else i = j + 3
+        } else if (s.regionMatches(true, i, "<script", 0, 7)) skipBlock("</script")
+        else if (s.regionMatches(true, i, "<style", 0, 6)) skipBlock("</style")
+        else if (s.regionMatches(true, i, "<head", 0, 5)) skipBlock("</head")
+        else {
+          if (i + 2 < n && (s.charAt(i + 1) == 'a' || s.charAt(i + 1) == 'A') &&
+              (isWs(s.charAt(i + 2)) || s.charAt(i + 2) == '>')) nLinks += 1
+          val j = s.indexOf('>', i)
+          if (j < 0) { raw += '<'; i += 1 } else { raw += ' '; i = j + 1 }
+        }
+      } else { raw += c; i += 1 }
+    }
+    val out = new StringBuilder
+    var pending = false
+    raw.foreach { c =>
+      if (isWs(c)) pending = out.nonEmpty
+      else { if (pending) out += ' '; pending = false; out += c }
+    }
+    (title, out.toString, nLinks)
+  }
+
+  test("interleaved-block fuzz: kernel follows the document-order contract") {
+    val rnd = new Random(53)
+    // open and close tags drawn INDEPENDENTLY, so generated documents are
+    // full of crossing, nested, duplicate, and unclosed removable blocks —
+    // the class the well-nested assembly fuzz above never produces
+    val pieces: Seq[() => String] = Seq(
+      () => Seq("alpha", "beta", "gamma7", "x y")(rnd.nextInt(4)),
+      () => Seq("<script>", "<script type='t'>", "<SCRIPT>")(rnd.nextInt(3)),
+      () => Seq("</script>", "</ScRiPt >", "</script")(rnd.nextInt(3)),
+      () => Seq("<style>", "<style media=all>")(rnd.nextInt(2)),
+      () => Seq("</style>", "</STYLE>")(rnd.nextInt(2)),
+      () => Seq("<head>", "<HEAD lang=en>")(rnd.nextInt(2)),
+      () => Seq("</head>", "</head >")(rnd.nextInt(2)),
+      () => Seq("<title>", "</title>")(rnd.nextInt(2)),
+      () => Seq("<a href='/l'>", "<a>", "</a>", "<p>", "</p>")(rnd.nextInt(5)),
+      () => Seq("<!--", "-->", "\n \t")(rnd.nextInt(3)))
+    var crossing = 0
+    (0 until 400).foreach { trial =>
+      val doc = Seq.fill(1 + rnd.nextInt(14))(
+        pieces(rnd.nextInt(pieces.size))()).mkString(" ")
+      val k = kernel(doc)
+      assert(k == docOrderReplica(doc), s"trial $trial input: $doc")
+      if (k != chain(doc)) crossing += 1 // documented divergence class
+    }
+    // the generator must actually exercise the divergence class (crossing
+    // blocks), or this fuzz proves nothing beyond the well-nested one
+    assert(crossing > 0, "no interleaved-divergence documents generated")
+  }
+
   test("SQL functions html_extract / span_corrupt are registered via GraftExtensions") {
     // html_extract: 1-arg struct round-trip matches the Column kernel
     val viaSql = spark.sql(
