@@ -212,6 +212,131 @@ object Sketches {
         .as("maybe_present"))
   }
 
+  // ------------------------------------------------- HyperLogLog
+
+  /** HyperLogLog distinct-cardinality sketch (Flajolet, Fusy, Gandouet &
+    * Meunier, AofA 2007) — the FIXED-MEMORY sibling of [[kmvSurvivors]]:
+    * where KMV keeps k value hashes per group (and doubles as a distinct
+    * sample), HLL keeps exactly m = 2^p one-byte registers per group, ever.
+    * Register index = top p bits of the 48-bit md5 value hash; register
+    * value = max over values of (leading zeros of the remaining (48−p)-bit
+    * field + 1).
+    *
+    * Same portable-relation stance as the other sketches: the sketch IS a
+    * (group..., reg, max_rank) relation — parquet-persistable,
+    * engine-replayable (the rank is `width+1 − length(bin(remainder))`,
+    * identical in Spark and DuckDB), and mergeable by per-register MAX,
+    * which is commutative, associative AND idempotent — the Bloom-grade
+    * delivery contract (re-adding any value is a no-op; CMS counting is
+    * not). Exchange is ≤ groups × m register rows of one map-side-
+    * combinable aggregate regardless of corpus size.
+    *
+    * Standard error ≈ 1.04/√m (p = 8 → ~6.5%); use KMV when a distinct
+    * SAMPLE or exact small counts matter, HLL when the fixed m-byte state
+    * bound does (billions of groups, or the streaming sibling's per-key
+    * state).
+    */
+  def hllHash(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** Build the register relation: (group cols..., reg, max_rank), ≤ m rows
+    * per group. Null values are excluded (count(DISTINCT x) semantics).
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueExpr: Column,
+                   p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"need 4 <= p <= 16, got $p")
+    val rem = 48 - p // width of the rank field below the register index
+    val g = groupCols.map(col)
+    df.select(g :+ hllHash(valueExpr).as("_h"): _*)
+      .filter(col("_h").isNotNull)
+      .select(g :+ expr(s"_h div ${1L << rem}").as("reg")
+        :+ (col("_h") % (1L << rem)).as("_r"): _*)
+      // rank = leading zeros + 1 in the rem-bit field: bin() renders
+      // without leading zeros in both Spark and DuckDB, so the bit length
+      // of a nonzero remainder is length(bin(r)); the all-zeros remainder
+      // ranks rem+1 (bin(0) = "0" would be off by one — hence the CASE)
+      .withColumn("rank",
+        when(col("_r") === 0, lit(rem + 1))
+          .otherwise(lit(rem + 1) - length(bin(col("_r")))).cast("int"))
+      .groupBy(g :+ col("reg"): _*)
+      .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** Merge register relations built with the SAME p: per-register MAX.
+    * Idempotent — merging a sketch with itself changes nothing.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols.map(col) :+ col("reg")): _*)
+      .agg(max(col("max_rank")).as("max_rank"))
+
+  /** The standard HLL bias constant α_m, in parts-per-million (integer, so
+    * the estimate arithmetic stays engine-exact).
+    */
+  def hllAlphaPpm(m: Int): Long =
+    if (m <= 16) 673000L
+    else if (m <= 32) 697000L
+    else if (m <= 64) 709000L
+    else math.floor(721300.0 / (1.0 + 1.079 / m)).toLong
+
+  /** Raw-estimate a register relation (see [[hllRegisters]]): per group,
+    * `hll_est = α_m · m² / Σ_j 2^(−M_j)` with empty registers contributing
+    * 2^0 — computed ENTIRELY in integers: every 2^(−M_j) term is scaled by
+    * 2^(rem+1) (exact — ranks are ≤ rem+1), the sum is an exact BIGINT,
+    * and the final division is one truncating integral divide of a
+    * DECIMAL(38,0) constant numerator. Bit-stable across engines,
+    * partitionings and retries.
+    *
+    * The input is max-compacted per register first, so the raw emission
+    * log of [[graft.streaming.StreamingSketch.hllStream]] (several
+    * monotone rows per register) estimates correctly as-is — same stance
+    * as [[cmsEstimate]]/[[bloomProbe]]. Output: group cols, `n_regs`
+    * (registers hit; m − n_regs is the linear-counting zero count),
+    * `sum_scaled`, `hll_est`.
+    *
+    * This is the RAW estimator (no small-range linear-counting or bias
+    * correction) so the arithmetic stays integer-exact; see
+    * [[hllCorrected]] for the production estimate.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+                  p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"need 4 <= p <= 16, got $p")
+    val m = 1 << p
+    val rem = 48 - p
+    val g = groupCols.map(col)
+    val numerator = (BigInt(hllAlphaPpm(m)) * m * m) << (rem + 1)
+    registers
+      .groupBy(g :+ col("reg"): _*)
+      .agg(max(col("max_rank")).as("max_rank"))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr(s"shiftleft(1L, ${rem + 1} - max_rank)")).as("_filled"))
+      .withColumn("sum_scaled",
+        col("_filled") + (lit(m.toLong) - col("n_regs")) * lit(1L << (rem + 1)))
+      // the divisor is widened to DECIMAL before the ppm scale-up:
+      // sum_scaled can reach m · 2^(rem+1) (≈ 2^50 at p = 8), so
+      // 1000000 · sum_scaled overflows BIGINT on both engines
+      .withColumn("hll_est",
+        expr(s"cast('$numerator' as decimal(38,0)) div " +
+          "(1000000 * cast(sum_scaled as decimal(38,0)))"))
+      .drop("_filled")
+  }
+
+  /** Production estimate on top of [[hllEstimate]]: applies the standard
+    * small-range correction — when empty registers exist and the raw
+    * estimate is below 2.5·m, linear counting `m · ln(m / zeros)` is the
+    * better estimator (Flajolet et al. §4). The correction is a DOUBLE
+    * (ln is not engine-exact), which is why it lives outside the
+    * hash-verifiable raw relation.
+    */
+  def hllCorrected(estimates: DataFrame, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    estimates.withColumn("est_corrected",
+      when(col("n_regs") < m && col("hll_est") <= lit(2.5 * m),
+        round(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - col("n_regs")))))
+        .otherwise(col("hll_est")).cast("long"))
+  }
+
   /** Point-estimate frequencies for a (small, broadcastable) probe
     * relation exposing `valueCol`: min over the depth counters, 0 for a
     * value whose buckets were never touched.

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical ranked retrieval (BM25) and rank fusion (RRF) — the text side of
+  * the similarity-search family ([[VectorOps]] is the vector side; a hybrid
+  * retrieval pipeline runs both and fuses with [[rrfFuse]]).
+  *
+  * BM25 (Robertson & Sparck Jones probabilistic relevance framework; the
+  * Okapi BM25 form): for query terms Q over a corpus of N documents with
+  * average length avgdl,
+  *
+  *   score(d, Q) = Σ_{t∈Q}  idf(t) · tf(t,d)·(k1+1) /
+  *                          (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+  *   idf(t)      = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )
+  *
+  * with the standard k1 = 1.2, b = 0.75.
+  *
+  * Scale shape (the whole point of doing this relationally): the corpus scan
+  * tokenizes NARROW and filters to the |Q| query terms BEFORE anything
+  * shuffles, so the one (doc, term) aggregation exchanges only matching
+  * postings — never the corpus vocabulary; df and the global (N, Σ|d|)
+  * statistics are tiny aggregates broadcast back onto the postings; the
+  * final top-k is a `TakeOrderedAndProject` (bounded heap per partition,
+  * k rows to the driver-side sort), never a global sort. Nothing in the
+  * plan holds per-vocabulary state, so a 100 TB corpus costs one scan plus
+  * an exchange proportional to the query's posting lists.
+  *
+  * Two scoring paths:
+  *  - [[bm25TopK]] — IEEE-double scoring, the production path.
+  *  - [[bm25TopKPortable]] — engine-portable integer scoring for
+  *    cross-engine verification and deterministic re-ranking: idf is
+  *    quantized once per query term (`floor(ln(·) · idfScale)` — the scale
+  *    is a power of two, so the multiply is EXACT and the only cross-engine
+  *    freedom is the last ulp of `ln` landing exactly on a grid point),
+  *    and the tf ratio is cleared of fractions by multiplying numerator
+  *    and denominator by 10·T (T = Σ|d|): with k1 = 6/5 and b = 3/4,
+  *
+  *      tf·(k1+1) / (tf + k1(1−b+b·dl·N/T))  =  22·T·tf / (10·T·tf + 3·T + 9·dl·N)
+  *
+  *    — integers end to end, one truncating division per (doc, term), an
+  *    exact integer sum per doc. Long headroom: idfScale·22·T·tf_max must
+  *    stay below 2^63 — with the defaults that is corpora to ~3·10^9
+  *    tokens; past that, lower `idfScale` (the production path has no such
+  *    bound).
+  */
+object TextRank {
+
+  /** Tokens as the corpus conventions define them: lower-cased,
+    * single-space split (the `documents` table is single-spaced; mirror of
+    * the DuckDB `string_split(lower(text), ' ')` the oracles use).
+    */
+  private def tokens(textCol: Column): Column = split(lower(textCol), " ")
+
+  /** (doc_id, dl, term, tf) postings restricted to `queryTerms`, plus the
+    * broadcast one-row corpus stats (n_docs, total_len) and per-term df.
+    * Shared plumbing of both scoring paths.
+    */
+  private def queryPostings(docs: DataFrame, idCol: String, textCol: String,
+                            queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    // filter to the query terms BEFORE the exchange: the shuffle carries
+    // only the |Q| posting lists, never the corpus vocabulary
+    val matched = base
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = matched.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    matched.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+  }
+
+  /** Standard double-precision BM25 top-k: (doc_id, score, rank), rank by
+    * (score desc, doc_id) so ties are deterministic. The production path —
+    * no Long-headroom bound, scores are the textbook values.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val p = queryPostings(docs, idCol, textCol, queryTerms)
+    val idf = log(
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val avgdl = col("total_len").cast("double") / col("n_docs")
+    val contrib = idf * (col("tf").cast("double") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    p.select(col("doc_id"), contrib.as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("int"))
+  }
+
+  /** Engine-portable integer BM25 top-k (see object doc): (doc_id,
+    * score_scaled, rank). `score_scaled` ≈ score · idfScale; the ranking is
+    * the BM25 ranking up to idf quantization. idfScale must be a power of
+    * two so the idf multiply stays exact.
+    */
+  def bm25TopKPortable(docs: DataFrame, idCol: String, textCol: String,
+                       queryTerms: Seq[String], k: Int,
+                       idfScale: Long = 1L << 20): DataFrame = {
+    require(idfScale > 0 && (idfScale & (idfScale - 1)) == 0,
+      s"idfScale must be a power of two, got $idfScale")
+    val p = queryPostings(docs, idCol, textCol, queryTerms)
+    // idf quantized: the ratio is a correctly-rounded IEEE division of
+    // exact integers, ln's last ulp is absorbed by the floor except on
+    // exact grid points, and the 2^n scale multiply is exact
+    val idfQ = floor(log(
+      (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)).cast("double") /
+        (lit(2L) * col("df") + lit(1L)) + lit(1.0)) * idfScale.toDouble)
+      .cast("long")
+    val contrib = expr(
+      "(_idf_q * 22 * total_len * tf) div " +
+        "(10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)")
+    p.withColumn("_idf_q", idfQ)
+      .select(col("doc_id"), contrib.as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_scaled").desc, col("doc_id"))).cast("int"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009): fuse
+    * any number of rankings of the same id space by
+    * `score(id) = Σ_lists 1/(rrfK + rank)` — the standard hybrid-retrieval
+    * combiner (lexical BM25 list + vector ANN list), robust to incomparable
+    * underlying scores because only RANKS enter.
+    *
+    * Contributions are scaled integers — `scale div (rrfK + rank)` — so the
+    * fused score is an exact integer sum: bit-stable across engines,
+    * partitionings and retries (the corpusFamiliarity stance), and monotone
+    * in each rank exactly like the real-valued form for any two ids whose
+    * contribution sets differ by more than the (sub-integer) truncation.
+    * With the default scale = 10^9 the truncation is < 1 part in 10^7 of
+    * the smallest possible contribution at rrfK = 60 and k ≤ 1000.
+    *
+    * Each input must expose `keyCols` (the fused identity — e.g. qid + id
+    * for a multi-query fusion, id alone for one query) and an integer
+    * `rankCol` (1-based). An id absent from a list simply contributes
+    * nothing for that list — the standard RRF treatment. Output: keyCols,
+    * `rrf_score`, `n_lists` (how many lists ranked the id).
+    *
+    * Scale shape: the union of k·lists rank rows (ids + small ints only —
+    * no payloads) into ONE map-side-combinable aggregation.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], keyCols: Seq[String],
+              rankCol: String = "rank", rrfK: Int = 60,
+              scale: Long = 1000000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(rrfK >= 0, s"rrfK must be nonnegative, got $rrfK")
+    val slim = rankings.map { r =>
+      r.select(keyCols.map(col) :+
+        expr(s"$scale div ($rrfK + cast($rankCol as bigint))").as("_c"): _*)
+    }
+    slim.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_c")).as("rrf_score"), count(lit(1)).as("n_lists"))
+  }
+}

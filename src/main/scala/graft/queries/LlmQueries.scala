@@ -360,7 +360,45 @@ object LlmQueries {
     "dedup_semantic_hot" -> { (s, d) =>
       VectorOps.semanticDuplicates(Tables.embeddings(s, d), "vec_id",
         "embedding", threshold = 0.4, clusterCap = 25)
+    },
+
+    // BM25 ranked retrieval — the LEXICAL side of the similarity-search
+    // family (ann_* is the vector side): top-20 documents for a three-term
+    // query mixing one rare term ('dup', df ~5% of docs — high idf
+    // dominates) with two common ones. The portable integer scoring path
+    // (quantized idf, fraction-cleared tf ratio, exact BIGINT sums) is the
+    // hash-verifiable twin of the production double path; the plan
+    // tokenizes narrow, filters to the 3 posting lists BEFORE the one
+    // (doc, term) exchange, broadcasts the tiny df/corpus stats, and
+    // top-ks on TakeOrderedAndProject.
+    "text_bm25" -> { (s, d) =>
+      graft.operators.TextRank.bm25TopKPortable(Tables.documents(s, d),
+        "doc_id", "text", bm25Query, k = 20)
+    },
+
+    // Hybrid retrieval: the BM25 lexical ranking over documents fused with
+    // the exact-cosine vector ranking against a fixed query embedding
+    // (vec 0), by reciprocal-rank fusion — scaled-integer contributions
+    // `1e9 div (60 + rank)` so the fused score is an exact BIGINT sum.
+    // Ids ranked by only one list get one contribution (at sf0.1 docs
+    // 2000+ have no embedding — the real-world asymmetric-coverage shape).
+    "hybrid_rrf" -> { (s, d) =>
+      val lex = graft.operators.TextRank.bm25TopKPortable(
+        Tables.documents(s, d), "doc_id", "text", bm25Query, k = 50)
+        .select(col("doc_id").as("id"), col("rank"))
+      val e = Tables.embeddings(s, d)
+      val sem = VectorOps.bruteForceTopK(e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", e, "vec_id", "embedding", k = 50)
+        .select(col("nid").as("id"), col("rank"))
+      val fused = graft.operators.TextRank.rrfFuse(Seq(lex, sem), Seq("id"))
+      fused.orderBy(col("rrf_score").desc, col("id")).limit(10)
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("rrf_score").desc, col("id"))).cast("int"))
     })
+
+  /** Fixed query for the retrieval rows: one rare + two common terms. */
+  private[queries] val bm25Query: Seq[String] = Seq("dup", "vector", "merge")
 
   /** Planted boilerplate for [[queries dedup_minhash_hot]]: fixed text with
     * enough words for a nontrivial 3-gram set; shares no 3-word sequence
@@ -876,6 +914,10 @@ object LlmQueries {
 
     "dedup_semantic_hot" -> dedupSemanticHotOracle,
 
+    "text_bm25" -> textBm25Oracle,
+
+    "hybrid_rrf" -> hybridRrfOracle,
+
     "split_assign" -> splitAssignOracle,
 
     // Domain-cap replay: the planted URL build, the canonicalizer's own
@@ -1220,6 +1262,82 @@ object LlmQueries {
        |          JOIN m y ON y.vec_id = cand.old_id
        |WHERE round(list_sum([x.v[i]*y.v[i] for i in range(1, len(x.v)+1)]) /
        |            (x.nrm*y.nrm), 6) >= 0.45""".stripMargin
+
+  /** BM25 portable-scoring replay (see
+    * [[graft.operators.TextRank.bm25TopKPortable]]): whitespace tokens,
+    * postings restricted to the query terms, idf quantized
+    * `floor(ln((2N−2df+1)/(2df+1) + 1) · 2^20)` (the 2^20 multiply is
+    * exact; the int/int division is correctly rounded IEEE on both
+    * engines), tf ratio cleared of fractions by 10·T, one truncating
+    * division per posting (`//` == Spark's `div` on these nonnegative
+    * values), exact BIGINT sums. Returns the scored-docs CTE chain ending
+    * in relation `co(doc_id, score_scaled)`.
+    */
+  private def bm25Ctes: String = {
+    val terms = bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH d0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |            FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM d0),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+       |t AS (SELECT doc_id, dl, unnest(w) AS term FROM dl),
+       |mt AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM t WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |        FROM mt GROUP BY term),
+       |sc AS (SELECT mt.doc_id,
+       |         CAST(floor(ln((2 * st.n_docs - 2 * dfr.df + 1)::DOUBLE /
+       |                       (2 * dfr.df + 1) + 1) * 1048576) AS BIGINT)
+       |           AS idf_q,
+       |         mt.tf, mt.dl, st.n_docs, st.total_len
+       |       FROM mt JOIN dfr ON dfr.term = mt.term CROSS JOIN st),
+       |co AS (SELECT doc_id,
+       |         CAST(sum((idf_q * 22 * total_len * tf) //
+       |                  (10 * total_len * tf + 3 * total_len +
+       |                   9 * dl * n_docs)) AS BIGINT) AS score_scaled
+       |       FROM sc GROUP BY doc_id)""".stripMargin
+  }
+
+  private lazy val textBm25Oracle: String =
+    s"""$bm25Ctes
+       |SELECT doc_id, score_scaled, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (ORDER BY score_scaled DESC, doc_id)
+       |    AS rank
+       |  FROM co)
+       |WHERE rank <= 20""".stripMargin
+
+  /** RRF fusion replay: the BM25 top-50 and the exact-cosine top-50
+    * against vec 0, each contributing `1e9 // (60 + rank)`, summed as
+    * exact BIGINTs, final top-10 by (rrf_score desc, id).
+    */
+  private lazy val hybridRrfOracle: String =
+    s"""$bm25Ctes,
+       |lex AS (SELECT doc_id AS id, rank FROM (
+       |    SELECT doc_id, row_number() OVER
+       |        (ORDER BY score_scaled DESC, doc_id) AS rank FROM co)
+       |  WHERE rank <= 50),
+       |nv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |mv AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+       |       FROM nv),
+       |qv AS (SELECT * FROM mv WHERE vec_id = 0),
+       |sscore AS (SELECT c.vec_id AS id,
+       |    round(list_sum([qv.v[i]*c.v[i] for i in range(1, len(qv.v)+1)]) /
+       |          (qv.nrm*c.nrm), 6) AS sim
+       |  FROM qv JOIN mv c ON c.vec_id <> 0),
+       |sem AS (SELECT id, rank FROM (
+       |    SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rank
+       |    FROM sscore)
+       |  WHERE rank <= 50),
+       |allr AS (SELECT id, 1000000000 // (60 + rank) AS c FROM lex
+       |         UNION ALL
+       |         SELECT id, 1000000000 // (60 + rank) FROM sem),
+       |f AS (SELECT id, CAST(sum(c) AS BIGINT) AS rrf_score,
+       |        CAST(count(*) AS BIGINT) AS n_lists
+       |      FROM allr GROUP BY id)
+       |SELECT id, rrf_score, n_lists, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, id) AS rank
+       |  FROM f)
+       |WHERE rank <= 10""".stripMargin
 
   private lazy val annLshOracle: String = {
     val planes = VectorOps.hyperplanes(tables = 32, bits = 4, dim = 64)

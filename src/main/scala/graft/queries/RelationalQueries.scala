@@ -253,6 +253,27 @@ object RelationalQueries {
           coalesce(col("truly_present"), lit(false)).as("truly_present"))
     },
 
+    // HyperLogLog distinct sketch — the FIXED-MEMORY sibling of
+    // sketch_distinct over the same user-day value: 256 one-byte registers
+    // per event_type (vs KMV's 64 hashes), merge = idempotent per-register
+    // MAX. The raw integer-exact estimator (scaled power-of-two sum, one
+    // DECIMAL(38,0) integral divide) is hash-locked against the exact
+    // distinct count; every group fills all 256 registers at sf0.01+, so
+    // the harmonic-mean estimator (not the sparse tail) is exercised.
+    "sketch_hll" -> { (s, d) =>
+      val userDay = expr(
+        "concat(cast(user_id as string), ':', " +
+          "cast(unix_micros(ts) div 86400000000 as string))")
+      val ev = Tables.events(s, d)
+      val regs = graft.operators.Sketches.hllRegisters(
+        ev, Seq("event_type"), userDay, p = 8)
+      val est = graft.operators.Sketches.hllEstimate(
+        regs, Seq("event_type"), p = 8)
+      val exact = ev.select(col("event_type"), userDay.as("_v")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("exact_distinct"))
+      est.join(exact, "event_type")
+    },
+
     // Link-graph PageRank over a planted deterministic doc→doc graph
     // (every doc links to (id·7+3)%N and (id·13+1)%N; every 50th doc is
     // DANGLING — no outlinks — so the uniform-redistribution correction is
@@ -452,6 +473,7 @@ object RelationalQueries {
     // Spark's shiftleft wraps to Long.MinValue — the CASE emits that
     // exact value, so word masks agree bit-for-bit.
     "sketch_bloom" -> sketchBloomOracle,
+    "sketch_hll" -> sketchHllOracle,
 
     // The heap operator's contract IS row_number-with-total-order: the
     // (n_chars DESC, doc_id ASC) tiebreak makes the k survivors unique.
@@ -550,6 +572,47 @@ object RelationalQueries {
        |SELECT r.user_id, r.maybe_present,
        |  (v.user_id IS NOT NULL) AS truly_present
        |FROM res r LEFT JOIN vals v ON v.user_id = r.user_id""".stripMargin
+  }
+
+  /** HLL oracle: the raw 48-bit md5 prefix (no +1 — [[hv48Expr]] as-is),
+    * top 8 bits the register, rank = 41 − bit length of the 40-bit
+    * remainder (bin() renders without leading zeros in both engines;
+    * all-zeros ranks 41 via the CASE), per-register MAX, then the
+    * integer-exact scaled harmonic sum and the HUGEINT integral divide —
+    * numerator = α_ppm(256) · 256² · 2^41, the same constant
+    * [[graft.operators.Sketches.hllEstimate]] embeds as DECIMAL(38,0).
+    */
+  private lazy val sketchHllOracle: String = {
+    val hv = hv48Expr
+    val numerator = (BigInt(graft.operators.Sketches.hllAlphaPpm(256)) *
+      256 * 256) << 41
+    s"""WITH v AS (SELECT event_type,
+       |             user_id::VARCHAR || ':' ||
+       |               CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS val
+       |           FROM events),
+       |h0 AS (SELECT event_type, md5(val) AS hx FROM v),
+       |h AS (SELECT event_type, ($hv) AS hv FROM h0),
+       |rr AS (SELECT event_type, hv // 1099511627776 AS reg,
+       |              hv % 1099511627776 AS r FROM h),
+       |rk AS (SELECT event_type, reg,
+       |         CASE WHEN r = 0 THEN 41 ELSE 41 - length(bin(r)) END AS rank
+       |       FROM rr),
+       |regs AS (SELECT event_type, reg, max(rank) AS max_rank
+       |         FROM rk GROUP BY 1, 2),
+       |est AS (SELECT event_type, count(*) AS n_regs,
+       |          CAST(sum(CAST(1 AS BIGINT) << (41 - max_rank)) AS BIGINT)
+       |            AS filled
+       |        FROM regs GROUP BY event_type),
+       |e2 AS (SELECT event_type, n_regs,
+       |         filled + (256 - n_regs) * 2199023255552 AS sum_scaled
+       |       FROM est),
+       |ex AS (SELECT event_type, count(DISTINCT val) AS exact_distinct
+       |       FROM v GROUP BY event_type)
+       |SELECT e2.event_type, e2.n_regs, e2.sum_scaled,
+       |  CAST('$numerator'::HUGEINT // (1000000::HUGEINT * sum_scaled)
+       |    AS BIGINT) AS hll_est,
+       |  ex.exact_distinct
+       |FROM e2 JOIN ex ON ex.event_type = e2.event_type""".stripMargin
   }
 
   /** PageRank replay: the planted edge build, then `iters` unrolled

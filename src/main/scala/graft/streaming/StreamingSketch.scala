@@ -228,6 +228,76 @@ object StreamingSketch {
         GroupStateTimeout.NoTimeout)(processBloom)
   }
 
+  // ------------------------------------------------- HyperLogLog stream
+
+  /** One (register, rank) observation per value. */
+  case class RegHit(group: String, reg: Long, rank: Long)
+
+  /** Touched registers as parallel arrays sorted by register index; ranks
+    * only ever grow (MAX). Bounded by m = 2^p longs per group — the
+    * tightest state bound of the streaming sketch family (256 registers
+    * at the default p = 8).
+    */
+  case class HllState(regs: Array[Long], ranks: Array[Long])
+
+  case class HllRegister(group: String, reg: Long, max_rank: Long)
+
+  private def processHll(
+      group: String, rows: Iterator[RegHit],
+      state: GroupState[HllState]): Iterator[HllRegister] = {
+    val incr = new scala.collection.mutable.HashMap[Long, Long]()
+    rows.foreach(h => incr.update(h.reg, math.max(incr.getOrElse(h.reg, 0L), h.rank)))
+    if (incr.isEmpty) return Iterator.empty
+    val prev = state.getOption.getOrElse(HllState(Array.empty, Array.empty))
+    // only registers whose rank actually GROWS re-emit: max is idempotent,
+    // so a pure re-delivery emits nothing and writes no state (the
+    // bloomStream contract)
+    val changed = incr.toArray.sortBy(_._1).filter { case (r, k) =>
+      val ix = java.util.Arrays.binarySearch(prev.regs, r)
+      ix < 0 || k > prev.ranks(ix)
+    }
+    if (changed.isEmpty) return Iterator.empty
+    val (regs, ranks) = mergeSorted(prev.regs, prev.ranks, changed, math.max)
+    state.update(HllState(regs, ranks))
+    changed.iterator.map { case (r, _) =>
+      val ix = java.util.Arrays.binarySearch(regs, r)
+      HllRegister(group, r, ranks(ix))
+    }
+  }
+
+  /** Streaming HyperLogLog — the continuous counterpart of
+    * [[graft.operators.Sketches.hllRegisters]]: per group, keyed state
+    * holds the touched registers (≤ 2^p longs — FIXED, unlike the KMV
+    * stream's k-hash state this never depends on a tuning knob vs value
+    * distribution trade), and each micro-batch emits the registers whose
+    * rank GREW (update semantics; ranks are monotone, so the latest
+    * emission per (group, reg) IS the sketch — parquet the emission log
+    * and `hllEstimate` replays against it directly, max-compacting stale
+    * rows away itself). MAX is commutative and idempotent, so stream ==
+    * batch under any chunking, disorder, or duplicate re-delivery — the
+    * same delivery contract as [[bloomStream]].
+    *
+    * `df` must expose a string `group` column and a `value` column.
+    */
+  def hllStream(df: DataFrame, p: Int = 8): Dataset[HllRegister] = {
+    require(p >= 4 && p <= 16, s"need 4 <= p <= 16, got $p")
+    val rem = 48 - p
+    import df.sparkSession.implicits._
+    implicit val stateEnc: Encoder[HllState] = Encoders.product[HllState]
+    df.select(col("group").cast("string").as("group"),
+        graft.operators.Sketches.hllHash(col("value")).as("_h"))
+      .filter(col("_h").isNotNull)
+      .select(col("group"), expr(s"_h div ${1L << rem}").as("reg"),
+        (col("_h") % (1L << rem)).as("_r"))
+      .select(col("group"), col("reg"),
+        when(col("_r") === 0, lit((rem + 1).toLong))
+          .otherwise(lit((rem + 1).toLong) - length(bin(col("_r")))).as("rank"))
+      .as[RegHit]
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(processHll)
+  }
+
   /** `df` must expose a string `group` column and a `value` column; emits
     * one refreshed [[KmvEstimate]] per touched group per micro-batch.
     */

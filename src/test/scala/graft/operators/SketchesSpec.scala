@@ -179,4 +179,99 @@ class SketchesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString()
     assert(p.contains("partial_bit_or"), s"must combine map-side:\n$p")
   }
+
+  // ------------------------------------------------- HyperLogLog
+
+  test("HLL raw estimate lands within 4·1.04/sqrt(m) of the exact count") {
+    val rng = new Random(41)
+    val rows = Seq.tabulate(40000) { _ =>
+      val g = rng.nextInt(3)
+      val card = Seq(2000, 8000, 20000)(g)
+      (s"g$g", rng.nextInt(card).toLong)
+    }
+    val df = rows.toDF("g", "v").repartition(6)
+    val p = 8
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(df, Seq("g"), col("v"), p), Seq("g"), p)
+      .select("g", "hll_est").as[(String, Long)].collect().toMap
+    val exact = df.groupBy("g").agg(countDistinct(col("v")).as("n"))
+      .as[(String, Long)].collect().toMap
+    for ((g, ex) <- exact) {
+      val relErr = math.abs(est(g) - ex).toDouble / ex
+      assert(relErr < 4.0 * 1.04 / math.sqrt(1 << p),
+        s"$g: est=${est(g)} exact=$ex err=$relErr")
+    }
+  }
+
+  test("HLL rank/register math replays on the JVM bit-for-bit") {
+    // re-derive reg and rank for a handful of values straight from
+    // MessageDigest md5, proving the column expressions implement the
+    // documented sketch (and therefore that any engine can)
+    val vals = Seq("a", "xyz", "42", "grafted")
+    val p = 8
+    val got = Sketches.hllRegisters(vals.toDF("v"), Seq.empty, col("v"), p)
+      .select("reg", "max_rank").as[(Long, Int)].collect().toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = vals.map { v =>
+      val hex = md.digest(v.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val rem = 48 - p
+      val r = h % (1L << rem)
+      val rank = if (r == 0) rem + 1
+        else rem + 1 - (64 - java.lang.Long.numberOfLeadingZeros(r))
+      (h >> rem, rank)
+    }.groupBy(_._1).map { case (reg, rs) => (reg, rs.map(_._2).max) }.toSet
+    assert(got == want)
+  }
+
+  test("HLL merge law: per-register MAX of two sketches == sketch of the union; idempotent") {
+    val a = (0 until 3000).map(i => ("g", s"a-$i"))
+    val b = (1500 until 4500).map(i => ("g", s"a-$i")) // overlaps a
+    def regs(rows: Seq[(String, String)]) =
+      Sketches.hllRegisters(rows.toDF("g", "v"), Seq("g"), col("v"), p = 8)
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.select("g", "reg", "max_rank").as[(String, Long, Int)].collect().toSet
+    val merged = set(Sketches.hllMerge(regs(a), regs(b), Seq("g")))
+    assert(merged == set(regs(a ++ b)))
+    assert(set(Sketches.hllMerge(regs(a), regs(a), Seq("g"))) == set(regs(a)))
+  }
+
+  test("HLL estimate max-compacts a raw emission log; nulls are excluded") {
+    val rows = (0 until 2000).map(i => ("g", Option(s"v-$i"))) ++
+      Seq.fill(50)(("g", Option.empty[String]))
+    val regs = Sketches.hllRegisters(rows.toDF("g", "v"), Seq("g"), col("v"), 8)
+    // a stale emission log: every register also carries a rank-1 row
+    val log = regs.unionByName(regs.withColumn("max_rank", lit(1)))
+    def est(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllEstimate(df, Seq("g"), 8)
+        .select("n_regs", "sum_scaled", "hll_est")
+        .as[(Long, Long, Long)].head()
+    assert(est(log) == est(regs), "stale lower-rank rows moved the estimate")
+    // nulls excluded: the same sketch as without them
+    val clean = (0 until 2000).map(i => ("g", s"v-$i"))
+    assert(est(regs) ==
+      est(Sketches.hllRegisters(clean.toDF("g", "v"), Seq("g"), col("v"), 8)))
+  }
+
+  test("HLL small-range correction beats the raw estimator at tiny cardinality") {
+    val df = (0 until 30).map(i => ("g", s"tiny-$i")).toDF("g", "v")
+    val raw = Sketches.hllEstimate(
+      Sketches.hllRegisters(df, Seq("g"), col("v"), 8), Seq("g"), 8)
+    val (rawEst, corrected) = Sketches.hllCorrected(raw, 8)
+      .select("hll_est", "est_corrected").as[(Long, Long)].head()
+    // 30 values in 256 registers: the raw harmonic estimator overshoots,
+    // linear counting lands close
+    assert(math.abs(corrected - 30) <= 3,
+      s"linear counting off: $corrected (raw $rawEst)")
+    assert(math.abs(corrected - 30) < math.abs(rawEst - 30))
+  }
+
+  test("HLL exchange is register cells, combined map-side") {
+    val df = (0 until 5000).map(i => ("g", s"x-$i")).toDF("g", "v")
+      .repartition(4)
+    val plan = Sketches.hllRegisters(df, Seq("g"), col("v"), 8)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_max"), s"must combine map-side:\n$plan")
+  }
 }

@@ -311,6 +311,73 @@ class StreamingSketchSpec extends SparkSpec
     }
   }
 
+  test("hll stream equals the batch registers across chunkings and disorder") {
+    val rng = new Random(47)
+    val rows = Seq.tabulate(3000)(_ => (s"g${rng.nextInt(3)}", s"u${rng.nextInt(900)}"))
+    val want = Sketches.hllRegisters(rows.toDF("group", "value"),
+        Seq("group"), col("value"), p = 8)
+      .as[(String, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3.toLong).toMap
+    implicit val sqlCtx = spark.sqlContext
+    for ((chunks, shuffled) <- Seq((1, false), (9, false), (9, true))) {
+      val feed = if (shuffled) rng.shuffle(rows) else rows
+      val ms = MemoryStream[(String, String)]
+      val q = StreamingSketch.hllStream(
+          ms.toDF().toDF("group", "value"), p = 8)
+        .writeStream.format("memory").queryName("hll_out")
+        .outputMode("update").start()
+      try {
+        feed.grouped(feed.size / chunks + 1).foreach { c =>
+          ms.addData(c: _*); q.processAllAvailable()
+        }
+        // ranks are monotone: MAX per (group, reg) over the emission log
+        // IS the sketch
+        val got = spark.table("hll_out")
+          .groupBy("group", "reg").agg(max("max_rank").as("r"))
+          .as[(String, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        assert(got == want, s"chunks=$chunks shuffled=$shuffled")
+      } finally {
+        q.stop()
+        spark.sql("DROP TABLE IF EXISTS hll_out")
+      }
+    }
+  }
+
+  test("hll re-delivery is a no-op; the emission log estimates directly") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq.tabulate(1200)(i => ("g", s"u${i % 400}"))
+    val ms = MemoryStream[(String, String)]
+    val q = StreamingSketch.hllStream(
+        ms.toDF().toDF("group", "value"), p = 8)
+      .writeStream.format("memory").queryName("hll_dup")
+      .outputMode("update").start()
+    try {
+      ms.addData(rows.take(700): _*); q.processAllAvailable()
+      ms.addData(rows.drop(700): _*); q.processAllAvailable()
+      val afterAll = spark.table("hll_dup").count()
+      assert(afterAll > 0)
+      ms.addData(rows: _*); q.processAllAvailable() // full replay: MAX no-op
+      assert(spark.table("hll_dup").count() == afterAll,
+        "a pure replay must emit nothing (idempotent MAX)")
+      // the raw emission log (stale lower-rank rows included) estimates
+      // exactly like the batch sketch: hllEstimate max-compacts itself
+      val log = spark.table("hll_dup")
+        .select(col("group").as("g"), col("reg"),
+          col("max_rank").cast("int").as("max_rank"))
+      val fromLog = Sketches.hllEstimate(log, Seq("g"), 8)
+        .select("n_regs", "sum_scaled", "hll_est").as[(Long, Long, Long)].head()
+      val fromBatch = Sketches.hllEstimate(
+          Sketches.hllRegisters(rows.toDF("g", "value"), Seq("g"),
+            col("value"), 8), Seq("g"), 8)
+        .select("n_regs", "sum_scaled", "hll_est").as[(Long, Long, Long)].head()
+      assert(fromLog == fromBatch)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS hll_dup")
+    }
+  }
+
   test("duplicate re-delivery does not move the estimate") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq.tabulate(500)(i => ("g", (i % 200).toLong))
