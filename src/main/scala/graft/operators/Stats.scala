@@ -159,4 +159,78 @@ object Stats {
       .withColumn("cusum", col("_p") - least(lit(0L), min(col("_p")).over(w)))
       .drop("_p")
   }
+
+  /** Per-key integer fixed-point EWMA level + prior-residual — the
+    * LEVEL-tracking sibling of [[cusum]]: cusum detects a sustained small
+    * drift, the EWMA residual scores each observation's instantaneous
+    * deviation from the smoothed local level (the classic telemetry
+    * anomaly signal; thresholding stays downstream, like cusum's).
+    *
+    * α = 2^−k. The caller quantizes the metric to a BIGINT (`floor(x ·
+    * scale)` — the house fixed-point stance); the level carries k extra
+    * fractional bits and the recurrence runs in integers:
+    *
+    *   level_0 = v_0 · 2^k
+    *   level_i = level_{i−1} + ((v_i · 2^k − level_{i−1}) >> k)
+    *
+    * `>>` is the ARITHMETIC shift — floor division by 2^k, identical on
+    * the JVM and every SQL engine with an arithmetic `>>` (this is spelled
+    * with shifts deliberately: DuckDB's `//` floors where Spark's `div`
+    * truncates, so a negative delta would diverge under division, while
+    * `-17 >> 3 == -3` on both). The k fractional bits keep the level
+    * moving when |v − level| < 2^k (a v-granularity level would starve).
+    * Every quantity is an exact integer, so any engine replays the
+    * sequence bit-for-bit; headroom: |x| · scale · 2^k must stay below
+    * 2^62.
+    *
+    * `resid_i = v_i − (level_{i−1} >> k)` — the deviation from the level
+    * BEFORE the observation folds in, so a jump scores at full size on
+    * its first row (resid_0 = 0: no prior level exists).
+    *
+    * Unlike [[cusum]]'s closed form, the EWMA recurrence has no exact
+    * integer window spelling (geometric decay needs pow), so this is a
+    * per-key sequential machine: ONE hash exchange on the keys + the
+    * in-partition sort, O(1) state per key, rows stream through — the
+    * same cost shape as any keyed aggregation at 100 TB. Output: the
+    * input columns + `level_q` (the smoothed level in v units, post-
+    * update) + `resid`.
+    *
+    * `vCol` must already be a BIGINT column of `df`; `orderCols` must be a
+    * deterministic total order per key (event-time + a tiebreak id).
+    */
+  def ewma(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+           vCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 16, s"need 1 <= k <= 16, got $k")
+    require(keyCols.nonEmpty && orderCols.nonEmpty,
+      "ewma needs key and order columns")
+    val cols = df.columns.toSeq
+    val nk = keyCols.length
+    val vIx = cols.length // v re-selected last so the machine reads one slot
+    val src = df
+      .select((keyCols ++ cols.filterNot(keyCols.contains)).map(col) :+
+        col(vCol).as("_v"): _*)
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      src.schema.fields.dropRight(1) ++ Seq(
+        org.apache.spark.sql.types.StructField("level_q",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("resid",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    src.mapPartitions { it =>
+      var curKey: IndexedSeq[Any] = null
+      var level = 0L
+      var first = true
+      it.map { r =>
+        val key: IndexedSeq[Any] = (0 until nk).map(r.get)
+        if (key != curKey) { curKey = key; first = true }
+        val v = r.getLong(vIx)
+        val resid = if (first) 0L else v - (level >> k)
+        level = if (first) { first = false; v << k }
+          else level + (((v << k) - level) >> k)
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.dropRight(1) ++ Seq(level >> k, resid))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

@@ -66,12 +66,16 @@ object TextRank {
     val stats = base.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_len"))
     // filter to the query terms BEFORE the exchange: the shuffle carries
-    // only the |Q| posting lists, never the corpus vocabulary
+    // only the |Q| posting lists, never the corpus vocabulary. The matched
+    // postings persist (bounded: query-term postings only) so the df
+    // aggregate below reads the cache instead of re-scanning the corpus —
+    // two corpus scans total (stats + postings), not three.
     val matched = base
       .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = matched.groupBy(col("term"))
       .agg(count_distinct(col("doc_id")).as("df"))
     matched.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))

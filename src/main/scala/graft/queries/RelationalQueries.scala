@@ -201,6 +201,20 @@ object RelationalQueries {
         .select(col("user_id"), col("event_id"), col("t_us"), col("cusum"))
     },
 
+    // Per-user EWMA level tracking (α = 1/8) + prior-residual anomaly
+    // score — the LEVEL sibling of cusum_drift, on the same integer
+    // quantization and (t_us, event_id) total order. The recurrence runs
+    // in arithmetic-shift integer fixed-point (see Stats.ewma), so the
+    // DuckDB oracle replays the whole per-key sequence bit-for-bit through
+    // a recursive CTE.
+    "stats_ewma" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"),
+        floor(col("value") * 1000).cast("long").as("vq"))
+      graft.operators.Stats.ewma(ev, Seq("user_id"),
+        Seq("t_us", "event_id"), "vq", k = 3)
+    },
+
     // KMV distinct-count sketch: distinct active user-days per event type,
     // estimated from the 64 smallest 48-bit value hashes. The raw value
     // string never rides an exchange (only 8-byte hashes), and the
@@ -474,6 +488,29 @@ object RelationalQueries {
     // exact value, so word masks agree bit-for-bit.
     "sketch_bloom" -> sketchBloomOracle,
     "sketch_hll" -> sketchHllOracle,
+
+    // Same integer fixed-point recurrence, same quantization, same total
+    // order — replayed sequentially per key via a recursive CTE. `>>` is
+    // the arithmetic shift on both engines (floor division by 2^k even on
+    // negative deltas, where DuckDB's `//` and Spark's `div` disagree).
+    "stats_ewma" ->
+      """WITH RECURSIVE ev AS MATERIALIZED (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |         CAST(floor(value * 1000) AS BIGINT) AS vq,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, t_us, vq, rn,
+        |         vq << 3 AS level, CAST(0 AS BIGINT) AS resid
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.t_us, e.vq, e.rn,
+        |         r.level + (((e.vq << 3) - r.level) >> 3),
+        |         e.vq - (r.level >> 3)
+        |  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id, event_id, t_us, vq, level >> 3 AS level_q, resid
+        |FROM r""".stripMargin,
 
     // The heap operator's contract IS row_number-with-total-order: the
     // (n_chars DESC, doc_id ASC) tiebreak makes the k survivors unique.

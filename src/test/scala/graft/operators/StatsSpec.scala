@@ -161,4 +161,49 @@ class StatsSpec extends SparkSpec {
     // partial_count before any exchange = the map-side histogram combine
     assert(p.contains("partial_count"), s"histogram must combine map-side:\n$p")
   }
+
+  test("ewma equals the JVM recurrence, keys isolated, negative deltas floored") {
+    val rng = new scala.util.Random(79)
+    // values swing negative so (v<<k − level) exercises the arithmetic
+    // shift's floor semantics (where div/// would truncate differently)
+    val rows = (1L to 2000L).map { i =>
+      (i % 4, i / 4, i, rng.nextInt(4000).toLong - 2000L)
+    }
+    val k = 3
+    val got = Stats.ewma(rows.toDF("key", "t_us", "event_id", "vq"),
+        Seq("key"), Seq("t_us", "event_id"), "vq", k)
+      .select("key", "event_id", "level_q", "resid")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._1, r._3, r._4))).toMap
+    val want = rows.groupBy(_._1).flatMap { case (key, evs) =>
+      var level = 0L
+      var first = true
+      evs.sortBy(e => (e._2, e._3)).map { case (_, _, id, v) =>
+        val resid = if (first) 0L else v - (level >> k)
+        level = if (first) { first = false; v << k }
+          else level + (((v << k) - level) >> k)
+        id -> ((key, level >> k, resid))
+      }
+    }
+    assert(got == want.toMap)
+  }
+
+  test("ewma converges to a constant level and tracks it exactly afterward") {
+    val rows = (1L to 100L).map(i => (1L, i, i, 800L))
+    val out = Stats.ewma(rows.toDF("key", "t_us", "event_id", "vq"),
+        Seq("key"), Seq("t_us", "event_id"), "vq", 3)
+      .orderBy("event_id").select("level_q", "resid")
+      .as[(Long, Long)].collect()
+    assert(out.forall(_._1 == 800L)) // level_0 = v_0; constant input holds it
+    assert(out.tail.forall(_._2 == 0L))
+  }
+
+  test("ewma plan: one key exchange + in-partition sort, no per-row join") {
+    val df = Seq((1L, 1L, 1L, 5L)).toDF("key", "t_us", "event_id", "vq")
+      .repartition(2)
+    val p = Stats.ewma(df, Seq("key"), Seq("t_us", "event_id"), "vq", 3)
+      .queryExecution.executedPlan.toString()
+    assert("Exchange hashpartitioning\\(key#".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), s"ewma must not join:\n$p")
+  }
 }

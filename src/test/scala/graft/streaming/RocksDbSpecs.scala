@@ -58,6 +58,12 @@ class StreamingCusumRocksDbSpec extends StreamingCusumSpec {
     Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }
 
+/** [[StreamingEwmaSpec]] under RocksDB state storage. */
+class StreamingEwmaRocksDbSpec extends StreamingEwmaSpec {
+  override protected def stateStoreProvider: Option[String] =
+    Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}
+
 /** [[StreamingTopKSpec]] under RocksDB state storage. */
 class StreamingTopKRocksDbSpec extends StreamingTopKSpec {
   override protected def stateStoreProvider: Option[String] =

@@ -218,6 +218,49 @@ class StreamingReorderSpec extends SparkSpec
     }
   }
 
+  test("ewma ordered: shuffled cross-batch delivery == batch machine") {
+    val rnd = new Random(73)
+    val rows = (1L to 1200L).map { i =>
+      (i % 5, baseUs + (i / 5) * 1000L, i, rnd.nextInt(4000).toLong - 2000L)
+    } // (key, t_us, event_id, v) — negative deltas exercise the arithmetic shift
+    val expected = Stats.ewma(rows.toDF("key", "t_us", "event_id", "vq"),
+        Seq("key"), Seq("t_us", "event_id"), "vq", k = 3)
+      .select("event_id", "level_q", "resid")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val arrival = jittered(rnd, rows, (e: (Long, Long, Long, Long)) => e._2)
+    val maxUs = rows.map(_._2).max
+
+    implicit val sqlCtx = spark.sqlContext
+    val lateAcc = spark.sparkContext.longAccumulator("ewma_late")
+    val ms = MemoryStream[(Long, Long, Long, Long)]
+    val q = StreamingEwma.ewmaStreamOrdered(
+        ms.toDF().toDF("key", "t_us", "event_id", "v"), k = 3,
+        delayMs = delayMs, lateAcc = Some(lateAcc))
+      .writeStream.format("memory").queryName("ewma_ord")
+      .outputMode("append").start()
+    try {
+      slices(rnd, arrival, 15).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      ms.addData((sentinelKey, maxUs + 100 * delayMs * 1000L, -7L, 0L))
+      q.processAllAvailable()
+      ms.addData((sentinelKey, maxUs + 200 * delayMs * 1000L, -8L, 0L))
+      q.processAllAvailable()
+      val got = spark.table("ewma_ord")
+        .filter(col("key") =!= sentinelKey)
+        .select("event_id", "level_q", "resid")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expected)
+      assert(lateAcc.value == 0L)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS ewma_ord")
+    }
+  }
+
   test("beyond-delay events drop loudly: watermark-drop metric counts them, output omits them") {
     implicit val sqlCtx = spark.sqlContext
     val lateAcc = spark.sparkContext.longAccumulator("late_drop")
