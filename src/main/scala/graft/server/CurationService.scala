@@ -74,6 +74,24 @@ object CurationService {
   final case class KmvDistinctStep(name: String, table: String,
     groupCol: String, valueCol: String, k: Int = 256) extends CurationStep
 
+  /** Per-group HyperLogLog registers over a column — the fixed-memory
+    * distinct counter (2^p registers per group, idempotent MAX merge):
+    * load the sink table with max-compaction per (group, reg) and
+    * estimate with [[graft.operators.Sketches.hllEstimate]].
+    */
+  final case class HllDistinctStep(name: String, table: String,
+    groupCol: String, valueCol: String, p: Int = 8) extends CurationStep
+
+  /** Per-key EWMA level + residual over a pre-quantized BIGINT metric —
+    * continuous telemetry smoothing/anomaly scoring
+    * ([[graft.streaming.StreamingEwma.ewmaStream]]; in-order-per-key feed
+    * contract). Emits every event once (append semantics, unlike the
+    * update-mode sketch steps).
+    */
+  final case class EwmaStep(name: String, table: String, keyCol: String,
+    tUsCol: String, idCol: String, valueCol: String,
+    k: Int = 3) extends CurationStep
+
   final case class CurationRequest(
     uuid: String,
     source: FileSourceConf,
@@ -117,9 +135,21 @@ final class CurationService(spark: SparkSession, checkpointRoot: String) {
         errs += s"step ${s.name}: cap must be > 0"
       case s: KmvDistinctStep if s.k <= 1 =>
         errs += s"step ${s.name}: k must be > 1"
+      case s: HllDistinctStep if s.p < 4 || s.p > 16 =>
+        errs += s"step ${s.name}: p must be in [4, 16]"
+      case s: EwmaStep if s.k < 1 || s.k > 16 =>
+        errs += s"step ${s.name}: k must be in [1, 16]"
       case _ => ()
     }
     errs.result()
+  }
+
+  /** Emission semantics per step: the sketch/cap steps refresh keyed rows
+    * (update), the EWMA step emits each event exactly once (append).
+    */
+  private def stepOutputMode(step: CurationStep): String = step match {
+    case _: EwmaStep => "append"
+    case _           => "update"
   }
 
   private def stepFrame(docs: DataFrame, step: CurationStep): DataFrame = step match {
@@ -135,6 +165,15 @@ final class CurationService(spark: SparkSession, checkpointRoot: String) {
     case s: KmvDistinctStep =>
       graft.streaming.StreamingSketch.kmvDistinctStream(
         docs.select(col(s.groupCol).as("group"), col(s.valueCol).as("value")),
+        k = s.k).toDF()
+    case s: HllDistinctStep =>
+      graft.streaming.StreamingSketch.hllStream(
+        docs.select(col(s.groupCol).as("group"), col(s.valueCol).as("value")),
+        p = s.p).toDF()
+    case s: EwmaStep =>
+      graft.streaming.StreamingEwma.ewmaStream(
+        docs.select(col(s.keyCol).as("key"), col(s.tUsCol).as("t_us"),
+          col(s.idCol).as("event_id"), col(s.valueCol).as("v")),
         k = s.k).toDF()
   }
 
@@ -163,7 +202,7 @@ final class CurationService(spark: SparkSession, checkpointRoot: String) {
           req.jdbcUrl, req.driverName, req.userName, req.password)
         val q = stepFrame(docs, step).writeStream
           .queryName(s"curation-${req.uuid}-${step.name}")
-          .outputMode("update")
+          .outputMode(stepOutputMode(step))
           .option("checkpointLocation",
             s"$checkpointRoot/${req.uuid}/${step.name}")
           .foreachBatch(Sinks.foreachBatchJdbc(sink, s"${req.uuid}/${step.name}"))

@@ -310,6 +310,15 @@ object JobRoutes {
           name = s("name").asStr, table = s("table").asStr,
           groupCol = s("groupCol").asStr, valueCol = s("valueCol").asStr,
           k = s.get("k").map(_.asNum.toInt).getOrElse(256))
+        case "hll_distinct" => HllDistinctStep(
+          name = s("name").asStr, table = s("table").asStr,
+          groupCol = s("groupCol").asStr, valueCol = s("valueCol").asStr,
+          p = s.get("p").map(_.asNum.toInt).getOrElse(8))
+        case "ewma" => EwmaStep(
+          name = s("name").asStr, table = s("table").asStr,
+          keyCol = s("keyCol").asStr, tUsCol = s("tUsCol").asStr,
+          idCol = s("idCol").asStr, valueCol = s("valueCol").asStr,
+          k = s.get("k").map(_.asNum.toInt).getOrElse(3))
         case other => throw Json.ParseError(s"unknown step type '$other'")
       }
       case other => throw Json.ParseError(s"expected step, got $other")

@@ -123,6 +123,73 @@ class CurationServiceSpec extends SparkSpec {
     }
   }
 
+  test("hll+ewma pipeline equals the batch operators, across a restart") {
+    val inDir = java.nio.file.Files.createTempDirectory("cur2-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cur2-ckpt").toString
+    val svc = new CurationService(spark, ckpt)
+    val req = CurationRequest(
+      uuid = "cur-2",
+      source = FileSourceConf("parquet", inDir,
+        "grp STRING, val STRING, key BIGINT, t_us BIGINT, event_id BIGINT, v BIGINT"),
+      jdbcUrl = url, driverName = driver,
+      steps = Seq(
+        HllDistinctStep("hll", "cur_hll", "grp", "val", p = 8),
+        EwmaStep("ewma", "cur_ewma", "key", "t_us", "event_id", "v", k = 3)))
+
+    def mkRows(ids: Range): Seq[(String, String, Long, Long, Long, Long)] =
+      ids.map { i =>
+        (s"g${i % 2}", s"u${i % 50}", (i % 3).toLong, i.toLong, i.toLong,
+          (i * 37 % 1000).toLong)
+      }
+    def hllView: Set[(String, Long, Long)] =
+      readSink("cur_hll")
+        .groupBy(col("group"), col("reg"))
+        .agg(max(col("max_rank")).as("r"))
+        .select(col("group"), col("reg").cast("long"), col("r").cast("long"))
+        .as[(String, Long, Long)].collect().toSet
+    def hllExpected(rows: Seq[(String, String, Long, Long, Long, Long)]) =
+      Sketches.hllRegisters(rows.toDF("grp", "val", "key", "t_us", "event_id", "v"),
+          Seq("grp"), col("val"), p = 8)
+        .select(col("grp"), col("reg"), col("max_rank").cast("long"))
+        .as[(String, Long, Long)].collect().toSet
+    def ewmaView: Set[(Long, Long, Long)] =
+      readSink("cur_ewma")
+        .select(col("event_id").cast("long"), col("level_q").cast("long"),
+          col("resid").cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    def ewmaExpected(rows: Seq[(String, String, Long, Long, Long, Long)]) =
+      graft.operators.Stats.ewma(
+          rows.toDF("grp", "val", "key", "t_us", "event_id", "v"),
+          Seq("key"), Seq("t_us", "event_id"), "v", k = 3)
+        .select(col("event_id"), col("level_q"), col("resid"))
+        .as[(Long, Long, Long)].collect().toSet
+
+    val part1 = mkRows(0 until 60)
+    part1.toDF("grp", "val", "key", "t_us", "event_id", "v").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    try {
+      assert(svc.submit(req).isRight)
+      svc.awaitIdle("cur-2")
+      assert(hllView == hllExpected(part1))
+      assert(ewmaView == ewmaExpected(part1))
+
+      svc.stop("cur-2")
+      val part2 = mkRows(60 until 120) // later t_us: in-order per key
+      part2.toDF("grp", "val", "key", "t_us", "event_id", "v").coalesce(1)
+        .write.mode("append").parquet(inDir)
+      assert(svc.submit(req).isRight)
+      svc.awaitIdle("cur-2")
+      val all = part1 ++ part2
+      assert(hllView == hllExpected(all),
+        "hll registers must survive the restart")
+      assert(ewmaView == ewmaExpected(all),
+        "the ewma level must survive the restart (no fresh-series resid)")
+    } finally {
+      svc.stop("cur-2")
+      svc.shutdown()
+    }
+  }
+
   test("submit validation rejects bad requests with named errors") {
     val svc = new CurationService(spark,
       java.nio.file.Files.createTempDirectory("cur-v").toString)

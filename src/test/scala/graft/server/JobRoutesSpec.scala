@@ -204,7 +204,12 @@ class JobRoutesSpec extends SparkSpec {
            |    {"type": "domain_cap", "name": "cap", "table": "curhttp_cap",
            |     "idCol": "doc_id", "urlCol": "url", "cap": 4, "seed": "h1"},
            |    {"type": "kmv_distinct", "name": "kmv", "table": "curhttp_kmv",
-           |     "groupCol": "url", "valueCol": "doc_id", "k": 8}
+           |     "groupCol": "url", "valueCol": "doc_id", "k": 8},
+           |    {"type": "hll_distinct", "name": "hll", "table": "curhttp_hll",
+           |     "groupCol": "url", "valueCol": "doc_id", "p": 8},
+           |    {"type": "ewma", "name": "ewma", "table": "curhttp_ewma",
+           |     "keyCol": "doc_id", "tUsCol": "doc_id", "idCol": "doc_id",
+           |     "valueCol": "doc_id", "k": 3}
            |  ]
            |}""".stripMargin
       val sub = post(base, "/streamjob/submit", body)
@@ -214,10 +219,12 @@ class JobRoutesSpec extends SparkSpec {
       val st = Json.parse(get(base, "/streamjob/curhttp-1/status").body()).asObj
       assert(st("status").asStr == "Running", st)
       val steps = st("steps").asArr.map(_.asObj)
-      assert(steps.map(_("name").asStr).toSet == Set("bloom", "cap", "kmv"))
+      assert(steps.map(_("name").asStr).toSet ==
+        Set("bloom", "cap", "kmv", "hll", "ewma"))
       assert(steps.forall(_("inputRows").asNum == 30.0), st)
       // the sink tables exist and carry rows
-      Seq("curhttp_bloom", "curhttp_cap", "curhttp_kmv").foreach { t =>
+      Seq("curhttp_bloom", "curhttp_cap", "curhttp_kmv", "curhttp_hll",
+          "curhttp_ewma").foreach { t =>
         val n = spark.read.format("jdbc").option("url", url)
           .option("dbtable", t).option("driver", driver).load().count()
         assert(n > 0, s"$t is empty")
