@@ -81,6 +81,53 @@ object TextRank {
     matched.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
   }
 
+  /** Persisted inverted-index shape — build once, query many (the
+    * [[TextDedup]] minhashIndex stance for retrieval): `postings` is the
+    * full (term, doc_id, dl, tf) relation, `termDf` the per-term document
+    * frequencies, `stats` the one-row (n_docs, total_len) corpus
+    * statistics. All three are plain relations: parquet them (postings
+    * ideally sorted/bucketed by term so a query's posting lists prune at
+    * the scan) and reload them for the query service — each query then
+    * costs its posting lists plus a broadcast, never a corpus scan or
+    * re-tokenization.
+    */
+  final case class Bm25Index(postings: DataFrame, termDf: DataFrame,
+                             stats: DataFrame)
+
+  /** Build the [[Bm25Index]]: ONE corpus tokenization pass; the postings
+    * aggregate and the df aggregate are both map-side combinable, and the
+    * df relation derives from the postings (not a second scan).
+    */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val termDf = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")) // postings are (term, doc) unique
+    Bm25Index(postings, termDf, stats)
+  }
+
+  /** Query a [[Bm25Index]] with the portable integer scoring — equals
+    * [[bm25TopKPortable]] over the indexed corpus by construction (same
+    * arithmetic, same tie-breaks), without touching corpus text: the
+    * posting scan filters to the query terms (pushable to a term-sorted
+    * parquet index), df and stats broadcast.
+    */
+  def bm25TopKIndexed(index: Bm25Index, queryTerms: Seq[String], k: Int,
+                      idfScale: Long = 1L << 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val matched = index.postings.filter(col("term").isin(queryTerms: _*))
+      .join(broadcast(index.termDf), "term")
+      .crossJoin(broadcast(index.stats))
+    scorePortable(matched, k, idfScale)
+  }
+
   /** Standard double-precision BM25 top-k: (doc_id, score, rank), rank by
     * (score desc, doc_id) so ties are deterministic. The production path —
     * no Long-headroom bound, scores are the textbook values.
@@ -111,10 +158,16 @@ object TextRank {
     */
   def bm25TopKPortable(docs: DataFrame, idCol: String, textCol: String,
                        queryTerms: Seq[String], k: Int,
-                       idfScale: Long = 1L << 20): DataFrame = {
+                       idfScale: Long = 1L << 20): DataFrame =
+    scorePortable(queryPostings(docs, idCol, textCol, queryTerms), k, idfScale)
+
+  /** The shared portable scoring body over a matched-postings frame
+    * exposing (doc_id, dl, term, tf, df, n_docs, total_len) — see the
+    * object doc for the arithmetic.
+    */
+  private def scorePortable(p: DataFrame, k: Int, idfScale: Long): DataFrame = {
     require(idfScale > 0 && (idfScale & (idfScale - 1)) == 0,
       s"idfScale must be a power of two, got $idfScale")
-    val p = queryPostings(docs, idCol, textCol, queryTerms)
     // idf quantized: the ratio is a correctly-rounded IEEE division of
     // exact integers, ln's last ulp is absorbed by the floor except on
     // exact grid points, and the 2^n scale multiply is exact

@@ -376,6 +376,17 @@ object LlmQueries {
         "doc_id", "text", bm25Query, k = 20)
     },
 
+    // The query-service shape of text_bm25: ONE indexing pass builds the
+    // persisted postings/df/stats relations (the minhashIndex stance for
+    // retrieval), then the query costs only its posting lists + broadcasts
+    // — no corpus scan, no re-tokenization. Must equal text_bm25's ranking
+    // by construction, so it shares its oracle.
+    "text_bm25_indexed" -> { (s, d) =>
+      val idx = graft.operators.TextRank.bm25Index(
+        Tables.documents(s, d), "doc_id", "text")
+      graft.operators.TextRank.bm25TopKIndexed(idx, bm25Query, k = 20)
+    },
+
     // Hybrid retrieval: the BM25 lexical ranking over documents fused with
     // the exact-cosine vector ranking against a fixed query embedding
     // (vec 0), by reciprocal-rank fusion — scaled-integer contributions
@@ -915,6 +926,9 @@ object LlmQueries {
     "dedup_semantic_hot" -> dedupSemanticHotOracle,
 
     "text_bm25" -> textBm25Oracle,
+
+    // the indexed path must produce the identical ranking — same oracle
+    "text_bm25_indexed" -> textBm25Oracle,
 
     "hybrid_rrf" -> hybridRrfOracle,
 

@@ -75,6 +75,33 @@ class TextRankSpec extends SparkSpec {
       s"top-k must be a bounded heap, not a global sort:\n$plan")
   }
 
+  test("indexed path == direct path, including through a parquet round-trip") {
+    val df = docs.toDF("doc_id", "text")
+    val q = Seq("apple", "banana")
+    val direct = TextRank.bm25TopKPortable(df, "doc_id", "text", q, k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    val idx = TextRank.bm25Index(df, "doc_id", "text")
+    assert(TextRank.bm25TopKIndexed(idx, q, k = 5)
+      .as[(Long, Long, Int)].collect().toSet == direct)
+    // the index is a set of plain relations: persist + reload (the query-
+    // service lifecycle) and the ranking must still be identical
+    val dir = java.nio.file.Files.createTempDirectory("bm25-idx").toString
+    idx.postings.write.parquet(s"$dir/postings")
+    idx.termDf.write.parquet(s"$dir/df")
+    idx.stats.write.parquet(s"$dir/stats")
+    val reloaded = TextRank.Bm25Index(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/df"),
+      spark.read.parquet(s"$dir/stats"))
+    assert(TextRank.bm25TopKIndexed(reloaded, q, k = 5)
+      .as[(Long, Long, Int)].collect().toSet == direct)
+    // the reloaded query's posting filter reaches the parquet scan
+    val plan = TextRank.bm25TopKIndexed(reloaded, q, k = 5)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"term filter must push into the postings scan:\n$plan")
+  }
+
   test("rrfFuse: exact scaled contributions, n_lists, and absence handling") {
     val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
     val b = Seq((11L, 1), (10L, 2), (13L, 3)).toDF("id", "rank")
