@@ -382,6 +382,37 @@ object StreamBench {
         } finally q.stop()
       }
 
+      // HyperLogLog: ≤ 2^p = 256 registers per group — the tightest FIXED
+      // cap of the sketch family; 50 distinct values touch ~50 registers,
+      // so rows/key tracks min(perKey, 256) and bytes/key is flat
+      locally {
+        val ms = MemoryStream[(String, Long)]
+        val q = streaming.StreamingSketch
+          .hllStream(ms.toDF().toDF("group", "value"), p = 8)
+          .writeStream.format("noop").outputMode("update").start()
+        try {
+          (0 until n).map(i => (s"g${i % nKeys}", (i * 7919 % 100000).toLong))
+            .grouped(n / chunks + 1)
+            .foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+          report("hll_stream", nKeys, q)
+        } finally q.stop()
+      }
+
+      // EWMA: one long + an init flag per key — same class as CUSUM
+      locally {
+        val ms = MemoryStream[(Long, Long, Long, Long)]
+        val q = streaming.StreamingEwma
+          .ewmaStream(ms.toDF().toDF("key", "t_us", "event_id", "v"), k = 3)
+          .writeStream.format("noop").outputMode("append").start()
+        try {
+          (0 until n).map(i => ((i % nKeys).toLong, (i / nKeys).toLong,
+              i.toLong, (i * 7919 % 200).toLong))
+            .grouped(n / chunks + 1)
+            .foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+          report("ewma_stream", nKeys, q)
+        } finally q.stop()
+      }
+
       // CUSUM: two longs per key, the flattest possible ladder
       locally {
         val ms = MemoryStream[(Long, Long, Long, Long)]

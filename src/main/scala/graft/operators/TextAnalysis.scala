@@ -530,6 +530,58 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Collocation mining: the top-`k` adjacent word pairs by LIFT —
+    * `c(ab) · T / (c(a) · c(b))` with T the total token count — which is
+    * the MONOTONE integer twin of pointwise mutual information
+    * (PMI = ln(lift)): the ranking is the PMI ranking with none of ln's
+    * cross-engine rounding, so the whole row is integer-exact (the
+    * [[tfidfKeywords]] stance). The vocabulary/tokenizer-construction
+    * primitive: bigrams that co-occur far above chance are merge and
+    * phrase candidates.
+    *
+    * `minCount` prunes the singleton-pair tail BEFORE the unigram joins
+    * (the same reason boilerplateNgrams pre-filters); lift's denominator
+    * is exact BIGINT, the ppm numerator widens through DECIMAL(38,0) —
+    * `1e6 · c(ab) · T` passes 2^63 for corpora beyond ~3e6 tokens, and
+    * HUGEINT/DECIMAL keep both engines exact. Scale shape: two
+    * vocabulary-sized map-side-combinable aggregates, word-keyed joins
+    * (never broadcast — a vocabulary outgrows driver memory at corpus
+    * scale), one broadcast one-row total, `TakeOrderedAndProject` top-k.
+    *
+    * Output: (w1, w2, n_pair, n_w1, n_w2, lift_ppm, rank), ranked by
+    * (lift_ppm desc, w1, w2).
+    */
+  def collocations(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   minCount: Long = 5L, k: Int = 20)
+      : org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1L && k >= 1, s"bad minCount=$minCount / k=$k")
+    // single-space split, matching the oracle family's string_split(' ')
+    def base = Spread(docs.select(split(lower(col(textCol)), " ").as("_ws")))
+    val uni = base.select(explode(col("_ws")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val tot = uni.agg(sum(col("n")).as("tot"))
+    val pairs = base.filter(size(col("_ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(_ws) - 1), " +
+          "i -> struct(_ws[i - 1] as w1, _ws[i] as w2))")).as("_p"))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    pairs
+      .join(uni.select(col("t").as("w1"), col("n").as("n_w1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("n").as("n_w2")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_ppm", expr(
+        "(cast(1000000 as decimal(38,0)) * n_pair * tot) div (n_w1 * n_w2)"))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))).cast("int"))
+  }
+
   /** Integer-quantized TF-IDF keyword extraction: the top-`k` most
     * distinctive words per document — the curation-side relevance /
     * topic-tagging primitive. Same bit-stability stance as

@@ -62,6 +62,16 @@ object TextQueries {
         Tables.documents(s, d), "doc_id", "text")
     },
 
+    // Collocation mining: top-20 adjacent bigrams by integer LIFT
+    // (c(ab)·T / (c(a)·c(b)) — the monotone twin of PMI = ln(lift), so
+    // the ranking is the PMI ranking with zero libm in the row). Two
+    // vocab-sized map-side aggs, word-keyed joins, DECIMAL-widened ppm,
+    // TakeOrderedAndProject.
+    "text_collocations" -> { (s, d) =>
+      graft.operators.TextAnalysis.collocations(
+        Tables.documents(s, d), "text", minCount = 5L, k = 20)
+    },
+
     // PII detection + redaction. The synthetic corpus contains no PII, so
     // the query PLANTS a deterministic email/IP/phone per document (the same
     // expression the oracle SQL builds) — the driver's hash compare then
@@ -473,6 +483,29 @@ object TextQueries {
         |  count(DISTINCT doc_id) AS n_docs
         |FROM g GROUP BY gram
         |ORDER BY n_occurrences DESC, gram ASC LIMIT 20""".stripMargin,
+
+    // Same tokenization, same integer lift through HUGEINT (Spark side
+    // widens through DECIMAL(38,0)); `//` == `div` on these nonnegative
+    // values; ties ranked by (lift desc, w1, w2) on both engines.
+    "text_collocations" ->
+      """WITH d AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+        |un AS (SELECT t, count(*)::BIGINT AS n
+        |       FROM (SELECT unnest(w) AS t FROM d) GROUP BY t),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM un),
+        |p AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM
+        |       (SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+        |                       for i in range(1, len(w))]) AS p FROM d)),
+        |pc AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM p
+        |       GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sc AS (SELECT pc.w1, pc.w2, pc.n_pair, a.n AS n_w1, b.n AS n_w2,
+        |         CAST((1000000::HUGEINT * pc.n_pair * (SELECT tot FROM tot)) //
+        |              (a.n * b.n) AS BIGINT) AS lift_ppm
+        |       FROM pc JOIN un a ON a.t = pc.w1 JOIN un b ON b.t = pc.w2)
+        |SELECT w1, w2, n_pair, n_w1, n_w2, lift_ppm,
+        |  CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (ORDER BY lift_ppm DESC, w1, w2) AS rank
+        |  FROM sc)
+        |WHERE rank <= 20""".stripMargin,
 
     "text_bpe_encode" -> bpeEncodeOracle,
 

@@ -1121,4 +1121,32 @@ class LlmOpsSpec extends SparkSpec {
       assert(out(id) == ((nl, nr, md5hex(clean))), s"doc $id: got ${out(id)}")
     }
   }
+
+  test("collocations: exact integer lift, PMI-faithful ranking, minCount prune") {
+    import spark.implicits._
+    // 'aa bb' is a FUSED pair (bb only ever follows aa); 'cc dd' co-occurs
+    // sometimes; 'ee ff' co-occurs only twice (pruned by minCount 3).
+    // Filler 'xx' pads the unigram mass so lifts differ.
+    val docs = (
+      Seq.fill(6)("aa bb xx xx") ++
+      Seq.fill(6)("cc dd xx cc") ++  // cc also appears away from dd
+      Seq.fill(2)("ee ff xx xx")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 3L, k = 10)
+      .select("w1", "w2", "n_pair", "n_w1", "n_w2", "lift_ppm", "rank")
+      .as[(String, String, Long, Long, Long, Long, Int)].collect()
+    val m = got.map(r => (r._1, r._2) -> r).toMap
+    // total tokens: 6*4 + 6*4 + 2*4 = 56
+    val t = 56L
+    def lift(pair: Long, a: Long, b: Long) =
+      (BigInt(1000000) * pair * t / (BigInt(a) * b)).toLong
+    assert(m(("aa", "bb"))._3 == 6L &&
+      m(("aa", "bb"))._6 == lift(6, 6, 6))        // 1e6·6·56/36
+    assert(m(("cc", "dd"))._6 == lift(6, 12, 6))  // cc has 12 occurrences
+    assert(!m.contains(("ee", "ff")), "minCount must prune the rare pair")
+    // PMI ordering: the fused pair's lift strictly above the diluted one
+    assert(m(("aa", "bb"))._6 > m(("cc", "dd"))._6)
+    assert(got.filter(_._7 == 1).head._1 == "aa")
+  }
 }
