@@ -196,7 +196,10 @@ object Stats {
     * update) + `resid`.
     *
     * `vCol` must already be a BIGINT column of `df`; `orderCols` must be a
-    * deterministic total order per key (event-time + a tiebreak id).
+    * deterministic total order per key (event-time + a tiebreak id). Rows
+    * with a NULL metric are EXCLUDED — a null carries no observation, so
+    * it neither moves the level nor earns a smoothed row (the
+    * count-semantics stance of the sketch family).
     */
   def ewma(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
            vCol: String, k: Int = 3): DataFrame = {
@@ -207,6 +210,7 @@ object Stats {
     val nk = keyCols.length
     val vIx = cols.length // v re-selected last so the machine reads one slot
     val src = df
+      .filter(col(vCol).isNotNull)
       .select((keyCols ++ cols.filterNot(keyCols.contains)).map(col) :+
         col(vCol).as("_v"): _*)
       .repartition(keyCols.map(col): _*)

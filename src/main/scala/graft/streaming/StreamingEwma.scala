@@ -142,6 +142,7 @@ object StreamingEwma {
         col("t_us").cast("long").as("tUs"),
         col("event_id").cast("long").as("eventId"),
         col("v").cast("long").as("v"))
+      .filter(col("v").isNotNull)
       .withColumn("ts", timestamp_micros(col("tUs")))
       .withWatermark("ts", s"$delayMs milliseconds")
       .as[EwmaEventT]
@@ -152,6 +153,8 @@ object StreamingEwma {
 
   /** `df` must expose (key, t_us, event_id, v) with v already quantized to
     * BIGINT; emits every event with its smoothed level and residual.
+    * Null metrics are excluded (no observation — the batch contract; a
+    * null would also fail the non-nullable Long decode).
     */
   def ewmaStream(df: DataFrame, k: Int = 3,
                  ttlMs: Long = 0L): Dataset[EwmaRow] = {
@@ -165,6 +168,7 @@ object StreamingEwma {
         col("t_us").cast("long").as("tUs"),
         col("event_id").cast("long").as("eventId"),
         col("v").cast("long").as("v"))
+      .filter(col("v").isNotNull)
       .as[EwmaEvent]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(

@@ -198,6 +198,19 @@ class StatsSpec extends SparkSpec {
     assert(out.tail.forall(_._2 == 0L))
   }
 
+  test("ewma excludes null metrics: no observation, no row, level untouched") {
+    val rows = Seq(
+      (1L, 1L, 1L, Option(1000L)),
+      (1L, 2L, 2L, Option.empty[Long]), // carries no observation
+      (1L, 3L, 3L, Option(1800L)))
+      .toDF("key", "t_us", "event_id", "vq")
+    val out = Stats.ewma(rows, Seq("key"), Seq("t_us", "event_id"), "vq", 3)
+      .orderBy("event_id").select("event_id", "level_q", "resid")
+      .as[(Long, Long, Long)].collect().toSeq
+    // the null row vanishes; row 3's resid reads against row 1's level
+    assert(out == Seq((1L, 1000L, 0L), (3L, 1100L, 800L)))
+  }
+
   test("ewma plan: one key exchange + in-partition sort, no per-row join") {
     val df = Seq((1L, 1L, 1L, 5L)).toDF("key", "t_us", "event_id", "vq")
       .repartition(2)
