@@ -571,8 +571,12 @@ object TextAnalysis {
       .join(uni.select(col("t").as("w1"), col("n").as("n_w1")), "w1")
       .join(uni.select(col("t").as("w2"), col("n").as("n_w2")), "w2")
       .crossJoin(broadcast(tot))
+      // BOTH sides of the divide widen: the numerator passes 2^63 beyond
+      // ~3e6 tokens, and two ~3e9-count words would overflow the BIGINT
+      // product in the divisor too
       .withColumn("lift_ppm", expr(
-        "(cast(1000000 as decimal(38,0)) * n_pair * tot) div (n_w1 * n_w2)"))
+        "(cast(1000000 as decimal(38,0)) * n_pair * tot) div " +
+          "(cast(n_w1 as decimal(38,0)) * n_w2)"))
       .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
         col("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))

@@ -69,7 +69,11 @@ object TextRank {
     // only the |Q| posting lists, never the corpus vocabulary. The matched
     // postings persist (bounded: query-term postings only) so the df
     // aggregate below reads the cache instead of re-scanning the corpus —
-    // two corpus scans total (stats + postings), not three.
+    // two corpus scans total (stats + postings), not three. The cache
+    // entry lives until the session clears it (`spark.catalog.clearCache`
+    // — the Verify/Bench convention): a long-lived service issuing many
+    // ad-hoc queries should use [[bm25Index]]/[[bm25TopKIndexed]], which
+    // is the query-many shape and persists nothing.
     val matched = base
       .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .filter(col("term").isin(queryTerms: _*))

@@ -499,7 +499,7 @@ object RelationalQueries {
         |         CAST(floor(value * 1000) AS BIGINT) AS vq,
         |         row_number() OVER (PARTITION BY user_id
         |           ORDER BY epoch_us(ts), event_id) AS rn
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |r AS (
         |  SELECT user_id, event_id, t_us, vq, rn,
         |         vq << 3 AS level, CAST(0 AS BIGINT) AS resid

@@ -499,7 +499,7 @@ object TextQueries {
         |       GROUP BY 1, 2 HAVING count(*) >= 5),
         |sc AS (SELECT pc.w1, pc.w2, pc.n_pair, a.n AS n_w1, b.n AS n_w2,
         |         CAST((1000000::HUGEINT * pc.n_pair * (SELECT tot FROM tot)) //
-        |              (a.n * b.n) AS BIGINT) AS lift_ppm
+        |              (a.n::HUGEINT * b.n) AS BIGINT) AS lift_ppm
         |       FROM pc JOIN un a ON a.t = pc.w1 JOIN un b ON b.t = pc.w2)
         |SELECT w1, w2, n_pair, n_w1, n_w2, lift_ppm,
         |  CAST(rank AS INTEGER) AS rank FROM (

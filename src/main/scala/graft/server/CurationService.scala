@@ -119,6 +119,32 @@ final class CurationService(spark: SparkSession, checkpointRoot: String) {
 
   private val jobs = new ConcurrentHashMap[String, Running]()
 
+  // cumulative input rows per query RUN: `recentProgress` retains only the
+  // last ~100 progress reports, so a sum over it silently stops being
+  // cumulative on a long-running job — the listener keeps the true total.
+  // (status() still reads recentProgress as a synchronous floor: listener
+  // delivery is async, so right after a batch the listener may lag.)
+  private val rowsByRun =
+    new ConcurrentHashMap[java.util.UUID, java.util.concurrent.atomic.AtomicLong]()
+
+  private val progressListener =
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        rowsByRun.computeIfAbsent(e.progress.runId,
+          _ => new java.util.concurrent.atomic.AtomicLong())
+          .addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        // keep totals only for runs a tracked job still references (a
+        // stopped job's status keeps its count); drop everything else so
+        // the map never grows with the session's unrelated queries
+        if (!jobs.values().asScala.exists(
+            _.queries.exists(_._2.runId == e.runId)))
+          rowsByRun.remove(e.runId)
+    }
+  spark.streams.addListener(progressListener)
+
   private def validate(req: CurationRequest): Seq[String] = {
     val errs = Seq.newBuilder[String]
     if (req.uuid.isEmpty || req.uuid.length > 60 || req.uuid.contains('/'))
@@ -130,6 +156,16 @@ final class CurationService(spark: SparkSession, checkpointRoot: String) {
     if (req.steps.isEmpty) errs += "at least one step is required"
     val dup = req.steps.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
     dup.foreach(n => errs += s"duplicate step name '$n'")
+    req.steps.foreach { s =>
+      // the name splices into the checkpoint PATH and the sink job tag:
+      // path chars would escape the job's checkpoint subtree, and the tag
+      // "<uuid>/<name>" must fit writeJdbcBatch's 64-char cap — reject at
+      // submit instead of failing opaquely on every micro-batch
+      if (!s.name.matches("[A-Za-z0-9_-]{1,24}"))
+        errs += s"step name must be 1-24 chars of [A-Za-z0-9_-]: '${s.name}'"
+      else if (req.uuid.length + 1 + s.name.length > 64)
+        errs += s"uuid/step tag '${req.uuid}/${s.name}' exceeds 64 chars"
+    }
     req.steps.foreach {
       case s: DomainCapStep if s.cap <= 0 =>
         errs += s"step ${s.name}: cap must be > 0"
@@ -183,12 +219,20 @@ final class CurationService(spark: SparkSession, checkpointRoot: String) {
     * are not re-read; operator state restores). A uuid with queries still
     * active is rejected.
     */
-  def submit(req: CurationRequest): Either[Seq[String], String] = {
+  /** Synchronized: two concurrent submits of one uuid must not both pass
+    * the already-running check and double-start query sets (checkpoint /
+    * queryName collisions with one winner untracked).
+    */
+  def submit(req: CurationRequest): Either[Seq[String], String] = synchronized {
     val errs = validate(req)
     if (errs.nonEmpty) return Left(errs)
     val existing = Option(jobs.get(req.uuid))
     if (existing.exists(_.queries.exists(_._2.isActive)))
       return Left(Seq(s"job ${req.uuid} is already running"))
+    // start step by step; if the Nth start fails, the N-1 already-running
+    // queries are STOPPED before reporting the error — a partial start
+    // must not leak untracked queries holding the uuid's checkpoints
+    val begun = Seq.newBuilder[(String, StreamingQuery)]
     val started = Try {
       val docs = {
         var r = spark.readStream.format(req.source.format)
@@ -207,10 +251,14 @@ final class CurationService(spark: SparkSession, checkpointRoot: String) {
             s"$checkpointRoot/${req.uuid}/${step.name}")
           .foreachBatch(Sinks.foreachBatchJdbc(sink, s"${req.uuid}/${step.name}"))
           .start()
+        begun += step.name -> q
         step.name -> q
       }
     }
-    started.toEither.left.map(e => Seq(String.valueOf(e.getMessage))).map { qs =>
+    started.toEither.left.map { e =>
+      begun.result().foreach { case (_, q) => Try(if (q.isActive) q.stop()) }
+      Seq(String.valueOf(e.getMessage))
+    }.map { qs =>
       jobs.put(req.uuid, Running(req, qs))
       req.uuid
     }
@@ -220,10 +268,12 @@ final class CurationService(spark: SparkSession, checkpointRoot: String) {
     Option(jobs.get(uuid)).map { r =>
       val steps = r.queries.map { case (name, q) =>
         val p = Option(q.lastProgress)
+        val recent = q.recentProgress.map(_.numInputRows).sum
+        val total = Option(rowsByRun.get(q.runId)).map(_.get()).getOrElse(0L)
         StepProgress(name,
           active = q.isActive,
           batchId = p.map(_.batchId).getOrElse(-1L),
-          inputRows = q.recentProgress.map(_.numInputRows).sum,
+          inputRows = math.max(total, recent),
           error = q.exception.map(_.getMessage))
       }
       val status =
@@ -250,8 +300,10 @@ final class CurationService(spark: SparkSession, checkpointRoot: String) {
     true
   }
 
-  def shutdown(): Unit =
+  def shutdown(): Unit = {
     jobs.values().asScala.foreach(_.queries.foreach { case (_, q) =>
       if (q.isActive) q.stop()
     })
+    spark.streams.removeListener(progressListener)
+  }
 }

@@ -122,6 +122,27 @@ object Reorder {
   def idleTimeoutMs(wmMs: Long, idleTtlMs: Long): Long =
     math.max(wmMs, 0L) + math.max(idleTtlMs, 1L)
 
+  /** Re-arm the wake-up timer on a skip-write invocation. Spark CLEARS a
+    * stored timeout on every function call that does not set one (the
+    * GroupState contract: "the timeout is reset every time the function
+    * is called"), so the no-op fast path — nothing released, nothing
+    * admitted, state untouched — must still re-register the
+    * pending-release (or idle-reclaim) timer: without this, one batch of
+    * only frontier-late stragglers would cancel the armed wake-up and,
+    * if the key then goes quiet, orphan its buffered events and leak its
+    * state forever. No-op when the key has no stored state (nothing to
+    * orphan, and setting a timeout without state is not allowed).
+    */
+  def rearmOnSkip[S](state: org.apache.spark.sql.streaming.GroupState[S],
+                     pendingMinUs: Option[Long], wmMs: Long,
+                     idleTtlMs: Long): Unit =
+    if (state.exists) pendingMinUs match {
+      case Some(minUs) => state.setTimeoutTimestamp(nextTimeoutMs(minUs, wmMs))
+      case None if idleTtlMs > 0 =>
+        state.setTimeoutTimestamp(idleTimeoutMs(wmMs, idleTtlMs))
+      case None => ()
+    }
+
   /** The released frontier after a batch: `wm - 1`, bumped to the max ts
     * actually RELEASED this batch. In the steady state Spark's late
     * filter is observed to drop arrivals at `ts <= wm` (equality

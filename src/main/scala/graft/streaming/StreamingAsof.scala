@@ -123,8 +123,14 @@ object StreamingAsof {
     // wake-ups never take this path (a pending wake always releases; an
     // idle wake returned above).
     if (!state.hasTimedOut && ready.isEmpty &&
-        ready.size + still.size == prev.pending.length)
+        ready.size + still.size == prev.pending.length) {
+      // Spark clears the stored timeout on every invocation — re-arm it
+      // or this no-op batch would cancel the pending/idle wake-up
+      Reorder.rearmOnSkip(state,
+        if (prev.pending.isEmpty) None else Some(prev.pending.map(_.tUs).min),
+        wmMs, idleTtlMs)
       return Iterator.empty
+    }
     val cur0 = if (prev.hasCur) Some(AsofState(prev.curTs, prev.curValue)) else None
     val (out, cur) = runMachine(key,
       ready.map(p => AsofEvent(key, p.tUs, p.side, p.eventId, p.value)), cur0)

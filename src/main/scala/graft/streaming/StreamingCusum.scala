@@ -115,8 +115,14 @@ object StreamingCusum {
     }
     // skip-write: nothing released, nothing admitted — state is unchanged
     if (!state.hasTimedOut && ready.isEmpty &&
-        ready.size + still.size == prev.pending.length)
+        ready.size + still.size == prev.pending.length) {
+      // Spark clears the stored timeout on every invocation — re-arm it
+      // or this no-op batch would cancel the pending/idle wake-up
+      Reorder.rearmOnSkip(state,
+        if (prev.pending.isEmpty) None else Some(prev.pending.map(_.tUs).min),
+        wmMs, idleTtlMs)
       return Iterator.empty
+    }
     val (out, st) = runMachine(slack, key,
       ready.map(p => CusumEvent(key, p.tUs, p.eventId, p.x)),
       CusumState(prev.p, prev.minP))

@@ -86,7 +86,7 @@ object StreamingEwma {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  private def processKeyOrdered(k: Int,
+  private[streaming] def processKeyOrdered(k: Int,
       lateAcc: Option[org.apache.spark.util.LongAccumulator],
       idleTtlMs: Long)(
       key: Long, rows: Iterator[EwmaEventT],
@@ -109,8 +109,14 @@ object StreamingEwma {
     }
     // skip-write: nothing released, nothing admitted — state is unchanged
     if (!state.hasTimedOut && ready.isEmpty &&
-        ready.size + still.size == prev.pending.length)
+        ready.size + still.size == prev.pending.length) {
+      // Spark clears the stored timeout on every invocation — re-arm it
+      // or this no-op batch would cancel the pending/idle wake-up
+      Reorder.rearmOnSkip(state,
+        if (prev.pending.isEmpty) None else Some(prev.pending.map(_.tUs).min),
+        wmMs, idleTtlMs)
       return Iterator.empty
+    }
     val (out, st) = runMachine(k, key,
       ready.map(p => EwmaEvent(key, p.tUs, p.eventId, p.v)),
       EwmaState(prev.level, prev.init))

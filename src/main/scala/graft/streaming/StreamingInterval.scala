@@ -132,8 +132,14 @@ object StreamingInterval {
     // (the wm-close prune below only fires on released traffic; an idle
     // key's open windows are reaped by the idle TTL, not per-batch churn)
     if (!state.hasTimedOut && ready.isEmpty &&
-        ready.size + still.size == prev.pending.length)
+        ready.size + still.size == prev.pending.length) {
+      // Spark clears the stored timeout on every invocation — re-arm it
+      // or this no-op batch would cancel the pending/idle wake-up
+      Reorder.rearmOnSkip(state,
+        if (prev.pending.isEmpty) None else Some(prev.pending.map(_.tUs).min),
+        wmMs, idleTtlMs)
       return Iterator.empty
+    }
     // windows additionally close at the watermark: every future released
     // point has t > wm, so end <= wm can never match again
     val (out, frontier, stillOpen) = runMachine(key,

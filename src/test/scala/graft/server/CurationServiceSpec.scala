@@ -212,5 +212,12 @@ class CurationServiceSpec extends SparkSpec {
         DomainCapStep("x", "t1", "doc_id", "url", cap = 1),
         DomainCapStep("x", "t2", "doc_id", "url", cap = 2))))
       .exists(_.contains("duplicate step name")))
+    // the name splices into the checkpoint path and the 64-char sink tag
+    assert(errsOf(base.copy(steps = Seq(
+        DomainCapStep("../esc", "t", "doc_id", "url", cap = 1))))
+      .exists(_.contains("step name")))
+    assert(errsOf(base.copy(uuid = "u" * 55, steps = Seq(
+        DomainCapStep("longish-name", "t", "doc_id", "url", cap = 1))))
+      .exists(_.contains("exceeds 64 chars")))
   }
 }

@@ -1,5 +1,66 @@
 package graft.streaming
 
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+
+/** The skip-write fast path must RE-ARM the wake-up timer: Spark clears a
+  * stored timeout on every function invocation that does not set one, so
+  * a no-op batch (all incoming rows frontier-late) would otherwise cancel
+  * the pending-release (or idle-reclaim) timer — and if the key then goes
+  * quiet, its buffered events are never released and its state never
+  * reclaimed. Driven through the real processKeyOrdered via Spark's
+  * public TestGroupState harness; all four ordered streams share the
+  * identical guard + [[Reorder.rearmOnSkip]] call.
+  */
+class RearmOnSkipSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def gs(st: Option[StreamingEwma.EwmaOrderedState], wmMs: Long) =
+    TestGroupState.create[StreamingEwma.EwmaOrderedState](
+      org.apache.spark.api.java.Optional.fromNullable(st.orNull),
+      GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(wmMs),
+      hasTimedOut = false)
+
+  private def lateRow(tUs: Long) = StreamingEwma.EwmaEventT(
+    1L, tUs, 9L, 7L, new java.sql.Timestamp(tUs / 1000L))
+
+  test("skip with a pending buffer re-arms the release timer") {
+    val st = StreamingEwma.EwmaOrderedState(0L, init = false,
+      frontierUs = 1500000L,
+      pending = Array(StreamingEwma.EwmaPend(2000000L, 1L, 5L)))
+    val state = gs(Some(st), wmMs = 1000L)
+    // one frontier-late straggler: ready empty, still == pending → skip
+    val out = StreamingEwma.processKeyOrdered(3, None, 0L)(
+      1L, Iterator(lateRow(1200000L)), state)
+    assert(out.isEmpty)
+    assert(!state.isUpdated, "skip path must not rewrite state")
+    assert(state.getTimeoutTimestampMs.isPresent,
+      "the pending-release timer was cancelled by the skip path")
+    assert(state.getTimeoutTimestampMs.get() == 2000L) // pending min, in ms
+  }
+
+  test("skip with an empty buffer re-arms the idle-reclaim timer") {
+    val st = StreamingEwma.EwmaOrderedState(800L, init = true,
+      frontierUs = 1500000L, pending = Array.empty)
+    val state = gs(Some(st), wmMs = 1000L)
+    val out = StreamingEwma.processKeyOrdered(3, None, 60000L)(
+      1L, Iterator(lateRow(1200000L)), state)
+    assert(out.isEmpty)
+    assert(state.getTimeoutTimestampMs.isPresent,
+      "the idle-reclaim timer was cancelled by the skip path")
+    assert(state.getTimeoutTimestampMs.get() == 1000L + 60000L)
+  }
+
+  test("skip with an empty buffer and no idle TTL sets no timer") {
+    val st = StreamingEwma.EwmaOrderedState(800L, init = true,
+      frontierUs = 1500000L, pending = Array.empty)
+    val state = gs(Some(st), wmMs = 1000L)
+    StreamingEwma.processKeyOrdered(3, None, 0L)(
+      1L, Iterator(lateRow(1200000L)), state)
+    assert(!state.getTimeoutTimestampMs.isPresent)
+  }
+}
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import scala.util.Random
