@@ -396,4 +396,67 @@ object Sampling {
         Seq("_hv" -> true, idCol -> true), maxPerDomain)
       .drop("_hv")
   }
+
+  /** Token-budget corpus selection: fill `budgetTokens` with the
+    * BEST-scored documents — "give me the top ~15T tokens by quality" —
+    * the final cut of a curation funnel after scoring.
+    *
+    * Semantics (deterministic, engine-replayable): take whole score
+    * strata from the top down while they fit; the one stratum that
+    * crosses the budget is filled partially, its documents admitted in
+    * seeded-hash order ([[capHash]] — the [[domainCap]] stance: never
+    * `rand()`, so retries/speculation/engines agree) with a running token
+    * sum capped at the stratum's remaining budget. A document that would
+    * overflow the remainder is skipped and admission stops (prefix
+    * semantics). Equivalent to the greedy cut of the corpus ordered by
+    * (score desc, hash, id) — computed WITHOUT that global sort:
+    *
+    *  1. ONE map-side-combinable histogram `groupBy(score) → sum(tokens)`
+    *     (≤ |score domain| rows — scores must be integer-quantized, the
+    *     [[graft.operators.Stats.histogramQuantiles]] contract);
+    *  2. a window cumsum over the TINY histogram finds the threshold
+    *     score and the crossing stratum's remaining budget;
+    *  3. full strata = a broadcast-threshold narrow filter (no shuffle);
+    *     the boundary stratum alone pays a per-document cumsum window —
+    *     stratum-sized, never corpus-sized.
+    *
+    * All arithmetic is exact BIGINT. `scoreCol`/`tokensCol` must be
+    * integral and non-negative.
+    */
+  def budgetSelect(docs: DataFrame, idCol: String, scoreCol: String,
+                   tokensCol: String, budgetTokens: Long,
+                   seed: String = "sel0"): DataFrame = {
+    require(budgetTokens >= 0, s"need budgetTokens >= 0, got $budgetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+    val base = docs
+      .withColumn("_score", col(scoreCol).cast("long"))
+      .withColumn("_tok", col(tokensCol).cast("long"))
+    val hist = base.groupBy(col("_score")).agg(sum(col("_tok")).as("_stok"))
+    // histogram-sized single-partition window (the histogramQuantiles
+    // contract) — never the corpus
+    val hw = w.orderBy(col("_score").desc)
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val cum = hist
+      .withColumn("_cum", sum(col("_stok")).over(hw))
+      .withColumn("_prev",
+        coalesce(lag(col("_cum"), 1).over(w.orderBy(col("_score").desc)), lit(0L)))
+    val fullMin = cum.filter(col("_cum") <= budgetTokens)
+      .agg(min(col("_score")).as("_fm")) // null when even the top crosses
+    val boundary = cum
+      .filter(col("_prev") < budgetTokens && col("_cum") > budgetTokens)
+      .select(col("_score").as("_bscore"),
+        (lit(budgetTokens) - col("_prev")).as("_brem")) // 0 or 1 row
+    val fullSel = base.crossJoin(broadcast(fullMin))
+      .filter(col("_score") >= col("_fm")) // null _fm admits nothing
+      .drop("_fm")
+    val bw = w.partitionBy(col("_bscore"))
+      .orderBy(col("_hv"), col(idCol))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val bSel = base.join(broadcast(boundary), col("_score") === col("_bscore"))
+      .withColumn("_hv", capHash(col(idCol), seed))
+      .withColumn("_crun", sum(col("_tok")).over(bw))
+      .filter(col("_crun") <= col("_brem"))
+      .drop("_bscore", "_brem", "_hv", "_crun")
+    fullSel.unionByName(bSel).drop("_score", "_tok")
+  }
 }

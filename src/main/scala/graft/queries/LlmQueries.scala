@@ -376,6 +376,21 @@ object LlmQueries {
         "doc_id", "text", bm25Query, k = 20)
     },
 
+    // Token-budget selection — the curation funnel's final cut: fill 40%
+    // of the corpus' characters with the best docs by an integer
+    // length-bucket score. Whole strata admit via a broadcast threshold
+    // from ONE histogram aggregate; only the one budget-crossing stratum
+    // pays a per-doc cumsum (seeded-hash admission order, exact BIGINT
+    // arithmetic — replayed stratum-for-stratum by the oracle).
+    "sample_budget" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), expr("length(text) div 50").as("score"),
+          col("n_chars").cast("long").as("tok"))
+      val total = docs.agg(sum(col("tok"))).head().getLong(0)
+      graft.operators.Sampling.budgetSelect(docs, "doc_id", "score", "tok",
+        budgetTokens = total * 2 / 5)
+    },
+
     // The query-service shape of text_bm25: ONE indexing pass builds the
     // persisted postings/df/stats relations (the minhashIndex stance for
     // retrieval), then the query costs only its posting lists + broadcasts
@@ -924,6 +939,39 @@ object LlmQueries {
          |SELECT * FROM light UNION ALL SELECT * FROM heavy""".stripMargin,
 
     "dedup_semantic_hot" -> dedupSemanticHotOracle,
+
+    // Same strata arithmetic: histogram cumsum → threshold + crossing
+    // stratum, seeded-md5 admission order within it, exact BIGINTs.
+    "sample_budget" ->
+      """WITH b AS (SELECT doc_id, length(text) // 50 AS score,
+        |             n_chars::BIGINT AS tok FROM documents),
+        |tot AS (SELECT CAST(sum(tok) AS BIGINT) AS t FROM b),
+        |bud AS (SELECT (SELECT t FROM tot) * 2 // 5 AS bud),
+        |h AS (SELECT score, CAST(sum(tok) AS BIGINT) AS stok
+        |      FROM b GROUP BY score),
+        |c AS (SELECT score, stok,
+        |        CAST(sum(stok) OVER (ORDER BY score DESC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM h),
+        |c2 AS (SELECT *, coalesce(lag(cum) OVER (ORDER BY score DESC), 0)
+        |         AS prev FROM c),
+        |fullmin AS (SELECT min(score) AS fm FROM c2
+        |            WHERE cum <= (SELECT bud FROM bud)),
+        |bd AS (SELECT score AS bscore,
+        |         CAST((SELECT bud FROM bud) - prev AS BIGINT) AS brem
+        |       FROM c2 WHERE prev < (SELECT bud FROM bud)
+        |         AND cum > (SELECT bud FROM bud)),
+        |fullsel AS (SELECT doc_id, score, tok FROM b
+        |            WHERE score >= (SELECT fm FROM fullmin)),
+        |bsel AS (SELECT doc_id, score, tok FROM (
+        |    SELECT b.doc_id, b.score, b.tok,
+        |      CAST(sum(b.tok) OVER (
+        |        ORDER BY md5('sel0:' || b.doc_id::VARCHAR), b.doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS crun
+        |    FROM b JOIN bd ON b.score = bd.bscore)
+        |  WHERE crun <= (SELECT brem FROM bd))
+        |SELECT doc_id, score, tok FROM fullsel
+        |UNION ALL SELECT doc_id, score, tok FROM bsel""".stripMargin,
 
     "text_bm25" -> textBm25Oracle,
 

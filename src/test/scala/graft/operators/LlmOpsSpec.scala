@@ -1122,6 +1122,38 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("budgetSelect: whole strata fit, the crossing stratum fills in seeded order") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // strata: score 3 = {1, 2} (10 tokens each), score 2 = {3} (30),
+    // score 1 = {4, 5, 6, 7} (5 each) — totals 20 / 30 / 20, corpus 70
+    val docs = Seq(
+      (1L, 3L, 10L), (2L, 3L, 10L), (3L, 2L, 30L),
+      (4L, 1L, 5L), (5L, 1L, 5L), (6L, 1L, 5L), (7L, 1L, 5L))
+      .toDF("doc_id", "score", "tok").repartition(5)
+    def sel(budget: Long): Set[Long] =
+      Sampling.budgetSelect(docs, "doc_id", "score", "tok", budget)
+        .select("doc_id").as[Long].collect().toSet
+    // budget 53: strata 3+2 fit (cum 50); the score-1 remainder is 3 —
+    // every score-1 doc costs 5, so none admits
+    assert(sel(53) == Set(1L, 2L, 3L))
+    // budget 57: remainder 7 admits exactly the FIRST score-1 doc in
+    // seeded md5 order (5 <= 7; the second would reach 10)
+    val hashOrder = Seq(4L, 5L, 6L, 7L).sortBy(id => (md5hex(s"sel0:$id"), id))
+    assert(sel(57) == Set(1L, 2L, 3L, hashOrder.head))
+    // budget >= corpus: everything; budget below the top stratum's
+    // cheapest doc: nothing (no full strata, remainder 5 < 10)
+    assert(sel(70) == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(sel(5) == Set.empty[Long])
+    // exact budget edge: cum == budget is a FULL stratum, no boundary
+    assert(sel(50) == Set(1L, 2L, 3L))
+    // partitioning invariance (no rand(), hash order only)
+    assert(Sampling.budgetSelect(docs.repartition(1), "doc_id", "score",
+      "tok", 57).select("doc_id").as[Long].collect().toSet == sel(57))
+  }
+
   test("collocations: exact integer lift, PMI-faithful ranking, minCount prune") {
     import spark.implicits._
     // 'aa bb' is a FUSED pair (bb only ever follows aa); 'cc dd' co-occurs
