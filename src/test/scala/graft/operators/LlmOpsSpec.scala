@@ -1154,6 +1154,31 @@ class LlmOpsSpec extends SparkSpec {
       "tok", 57).select("doc_id").as[Long].collect().toSet == sel(57))
   }
 
+  test("budgetSelect equals the global-sort greedy reference on random corpora") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rng = new scala.util.Random(83)
+    for (trial <- 0 until 5) {
+      val n = 200 + rng.nextInt(300)
+      val rows = Seq.tabulate(n)(i =>
+        (i.toLong, rng.nextInt(10).toLong, (1 + rng.nextInt(20)).toLong))
+      val total = rows.map(_._3).sum
+      val budget = rng.nextLong(total + 1)
+      // reference: ONE global greedy pass over (score desc, hash, id)
+      val want = rows
+        .sortBy { case (id, sc, _) => (-sc, md5hex(s"sel0:$id"), id) }
+        .scanLeft((0L, 0L)) { case ((_, cum), (id, _, tok)) => (id, cum + tok) }
+        .drop(1).takeWhile(_._2 <= budget).map(_._1).toSet
+      val got = Sampling.budgetSelect(
+          rows.toDF("doc_id", "score", "tok").repartition(7),
+          "doc_id", "score", "tok", budget)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want, s"trial=$trial n=$n budget=$budget")
+    }
+  }
+
   test("collocations: exact integer lift, PMI-faithful ranking, minCount prune") {
     import spark.implicits._
     // 'aa bb' is a FUSED pair (bb only ever follows aa); 'cc dd' co-occurs
