@@ -459,4 +459,104 @@ object Sampling {
       .drop("_bscore", "_brem", "_hv", "_crun")
     fullSel.unionByName(bSel).drop("_score", "_tok")
   }
+
+  /** Weighted sampling without replacement by PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup, "Priority sampling for estimation of arbitrary
+    * subset sums", JACM 54(6), 2007): each row draws a uniform
+    * `u = m / 2^48` from a seeded hash (never `rand()` — the
+    * [[stratifiedSample]] determinism stance), gets priority `q = w / u`,
+    * and the k largest priorities per group form the sample. The k+1-th
+    * priority is the threshold τ; each sampled row's Horvitz–Thompson
+    * weight estimate is `w_hat = max(w, τ)`, making `sum(w_hat)` over any
+    * subset of the sample an (near-)unbiased estimate of that subset's true
+    * weight sum — the property that lets a 15T-token corpus be audited
+    * from a k-row sample per stratum.
+    *
+    * Integer-exact and engine-portable: `q = (w · 2^48) div m` in BIGINT
+    * (exact for weights in [1, 16384]: w·2^48 ≤ 2^62), ties broken by
+    * (m, id), so DuckDB replays the selection bit-for-bit and re-runs /
+    * task retries / other engines pick the identical sample. The floored
+    * τ quantizes the DLT estimator by < 1 weight unit per sampled row
+    * (documented bias bound; exact comparisons would need rational keys).
+    *
+    * Scale shape: a narrow map derives (m, q), selection runs on the
+    * [[graft.plans.GroupTopK]] bounded heaps — the one exchange carries
+    * ≤ groups × (k+1) rows regardless of corpus size (no global sort, no
+    * corpus-wide window). The final ranking/threshold window runs over the
+    * survivor frame only.
+    *
+    * The survivor relation is a pure function of the row SET (top-(k+1) by
+    * a per-row key) — mergeable like [[graft.operators.Sketches.kmvSurvivors]]:
+    * persist [[wsSurvivors]], fold daily batches in with [[wsUpdate]],
+    * finalize with [[wsSample]]; incremental == one-shot (test-locked).
+    *
+    * Null hygiene: null ids are excluded (no hash ⇒ no draw); a null or
+    * out-of-range weight raises — silently dropping or clamping would skew
+    * the estimator.
+    */
+  def weightedSample(df: DataFrame, idCol: String, groupCols: Seq[String],
+                     weightCol: String, k: Int,
+                     seed: String = "ws0"): DataFrame =
+    wsSample(wsSurvivors(df, idCol, groupCols, weightCol, k, seed), idCol,
+      groupCols, k)
+
+  /** Max admissible weight: w · 2^48 must stay inside a signed 64-bit
+    * priority (2^14 · 2^48 = 2^62). Rescale heavier weights upstream.
+    */
+  val maxSampleWeight: Long = 1L << 14
+
+  /** The sample STATE: per group, the k+1 rows with the largest priorities,
+    * as (group cols..., id, weight, mh, prio). Persistable, mergeable
+    * ([[wsUpdate]]), engine-portable. k+1 rather than k so the threshold
+    * τ — the k+1-th priority — survives merges.
+    */
+  def wsSurvivors(df: DataFrame, idCol: String, groupCols: Seq[String],
+                  weightCol: String, k: Int,
+                  seed: String = "ws0"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val wRaw = col(weightCol).cast("long")
+    val wChecked = when(wRaw.between(1L, maxSampleWeight), wRaw)
+      .otherwise(raise_error(concat(
+        lit(s"weightedSample: weight must be in [1, $maxSampleWeight], got "),
+        coalesce(wRaw.cast("string"), lit("null")))))
+    val base = df
+      .filter(col(idCol).isNotNull)
+      .select((groupCols :+ idCol).map(col) :+ wChecked.as("weight"): _*)
+      .withColumn("mh",
+        conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))),
+          1, 12), 16, 10).cast("long") + 1)
+      .withColumn("prio", expr("(weight * 281474976710656) div mh"))
+    graft.plans.GroupTopK.topK(base, groupCols,
+      Seq("prio" -> false, "mh" -> true, idCol -> true), k + 1)
+  }
+
+  /** Fold a new batch into a persisted survivor relation: union, re-take
+    * the k+1 largest priorities. A replayed/duplicate id re-derives the
+    * identical (mh, prio) row, so re-delivery cannot displace a survivor —
+    * dedup by id inside a batch is the caller's contract (ids are unique).
+    */
+  def wsUpdate(survivors: DataFrame, batch: DataFrame, idCol: String,
+               groupCols: Seq[String], weightCol: String, k: Int,
+               seed: String = "ws0"): DataFrame =
+    graft.plans.GroupTopK.topK(
+      survivors.unionByName(
+        wsSurvivors(batch, idCol, groupCols, weightCol, k, seed)).distinct(),
+      groupCols, Seq("prio" -> false, "mh" -> true, idCol -> true), k + 1)
+
+  /** Finalize: rows ranked 1..k are the sample; the k+1-th priority (when
+    * the group had more than k rows) is τ and `w_hat = max(w, τ)`. Runs
+    * entirely on the survivor frame — groups × (k+1) rows.
+    */
+  def wsSample(survivors: DataFrame, idCol: String, groupCols: Seq[String],
+               k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val grp = w.partitionBy(groupCols.map(col): _*)
+    val ord = grp.orderBy(col("prio").desc, col("mh").asc, col(idCol).asc)
+    survivors
+      .withColumn("_rn", row_number().over(ord))
+      .withColumn("_tau", max(when(col("_rn") === k + 1, col("prio"))).over(grp))
+      .filter(col("_rn") <= k)
+      .withColumn("w_hat", greatest(col("weight"), coalesce(col("_tau"), lit(0L))))
+      .drop("_rn", "_tau", "mh", "prio")
+  }
 }

@@ -202,6 +202,17 @@ object LlmQueries {
         .select(col("doc_id"), col("domain"))
     },
 
+    // Weighted sampling without replacement (priority sampling,
+    // Duffield–Lund–Thorup 2007): k=25 docs per language, weight = clamped
+    // n_chars, priorities integer-exact so survivor identity AND the
+    // Horvitz–Thompson w_hat estimator are the hash lock.
+    "sample_weighted" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        greatest(least(col("n_chars"), lit(16384L)), lit(1L)).as("w"))
+      Sampling.weightedSample(docs, "doc_id", Seq("lang"), "w", k = 25)
+        .select(col("doc_id"), col("lang"), col("weight"), col("w_hat"))
+    },
+
     // T5-style span corruption: deterministic hash-masked spans,
     // <extra_id_k> sentinels, (input, target) digests — the denoising
     // objective's data prep as one narrow fold. 15% token mask rate.
@@ -973,6 +984,8 @@ object LlmQueries {
         |SELECT doc_id, score, tok FROM fullsel
         |UNION ALL SELECT doc_id, score, tok FROM bsel""".stripMargin,
 
+    "sample_weighted" -> sampleWeightedOracle,
+
     "text_bm25" -> textBm25Oracle,
 
     // the indexed path must produce the identical ranking — same oracle
@@ -1052,6 +1065,34 @@ object LlmQueries {
         |SELECT d.doc_id, md5(coalesce(agg.clean, '')) AS clean_digest,
         |       coalesce(agg.nk, 0)::BIGINT AS n_words_kept
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin)
+
+  /** Priority-sampling oracle: the seeded 48-bit hash unpacked from md5 hex
+    * digits (the sketch_distinct idiom), integer priorities
+    * `(w · 2^48) // m`, row_number over (prio DESC, m, id) per language;
+    * rank ≤ 25 is the sample, rank 26's priority is τ, `w_hat =
+    * greatest(w, τ)`. `//` and Spark's `div` agree on non-negative BIGINTs.
+    */
+  private lazy val sampleWeightedOracle: String = {
+    def dv(k: Int) =
+      s"(CASE WHEN ascii(substr(hx, $k, 1)) >= 97 THEN ascii(substr(hx, $k, 1)) - 87" +
+        s" ELSE ascii(substr(hx, $k, 1)) - 48 END)"
+    val hv = (1 to 12)
+      .map(i => s"${dv(i)} * CAST(${1L << (4 * (12 - i))} AS BIGINT)")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT doc_id, lang,
+       |             greatest(least(n_chars, 16384), 1) AS w,
+       |             md5('ws0:' || doc_id::VARCHAR) AS hx FROM documents),
+       |h AS (SELECT doc_id, lang, w, ($hv) + 1 AS mh FROM b),
+       |q AS (SELECT doc_id, lang, w, mh,
+       |        (w * 281474976710656) // mh AS prio FROM h),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+       |        ORDER BY prio DESC, mh, doc_id) AS rn FROM q),
+       |tau AS (SELECT lang, max(CASE WHEN rn = 26 THEN prio END) AS tau
+       |        FROM r GROUP BY lang)
+       |SELECT r.doc_id, r.lang, r.w AS weight,
+       |       greatest(r.w, coalesce(tau.tau, 0)) AS w_hat
+       |FROM r JOIN tau USING (lang) WHERE rn <= 25""".stripMargin
+  }
 
   /** Holdout-split oracle: the [[sampleStratifiedOracle]] bucket
     * arithmetic, mapped through the cumulative split boundaries

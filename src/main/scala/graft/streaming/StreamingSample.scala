@@ -81,4 +81,96 @@ object StreamingSample {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(processDomain(maxPerDomain))
   }
+
+  // ---- streaming priority sample -----------------------------------------
+
+  case class WsDoc(group: String, prio: Long, mh: Long, id: Long, weight: Long)
+
+  /** Parallel arrays sorted by (prio desc, mh, id), length <= k+1. */
+  case class WsState(prios: Array[Long], mhs: Array[Long], ids: Array[Long],
+                     ws: Array[Long])
+
+  case class WsPick(group: String, rank: Int, id: Long, weight: Long,
+                    w_hat: Long)
+
+  private val wsOrd: Ordering[(Long, Long, Long, Long)] =
+    Ordering.by { case (prio, mh, id, _) => (-prio, mh, id) }
+
+  private def processWs(k: Int)(
+      group: String, rows: Iterator[WsDoc],
+      state: GroupState[WsState]): Iterator[WsPick] = {
+    val prev = state.getOption.getOrElse(
+      WsState(Array.empty, Array.empty, Array.empty, Array.empty))
+    // bounded admission at k+1 — the k+1-th row carries the threshold τ
+    val set = new java.util.TreeSet[(Long, Long, Long, Long)](wsOrd)
+    var i = 0
+    while (i < prev.ids.length) {
+      set.add((prev.prios(i), prev.mhs(i), prev.ids(i), prev.ws(i))); i += 1
+    }
+    rows.foreach { r =>
+      val e = (r.prio, r.mh, r.id, r.weight)
+      if (set.size < k + 1) set.add(e)
+      else if (wsOrd.lt(e, set.last) && set.add(e)) set.pollLast()
+    }
+    if (set.isEmpty) return Iterator.empty
+    val n = set.size
+    val prios = new Array[Long](n); val mhs = new Array[Long](n)
+    val ids = new Array[Long](n); val ws = new Array[Long](n)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) {
+      val (p, m, d, w) = it.next()
+      prios(j) = p; mhs(j) = m; ids(j) = d; ws(j) = w; j += 1
+    }
+    if (java.util.Arrays.equals(prev.ids, ids) &&
+        java.util.Arrays.equals(prev.prios, prios) &&
+        java.util.Arrays.equals(prev.mhs, mhs)) return Iterator.empty
+    state.update(WsState(prios, mhs, ids, ws))
+    val tau = if (n == k + 1) prios(k) else 0L
+    (0 until math.min(k, n)).iterator.map(r =>
+      WsPick(group, r + 1, ids(r), ws(r), math.max(ws(r), tau)))
+  }
+
+  /** Streaming priority sample — the continuous sibling of
+    * [[graft.operators.Sampling.weightedSample]]: keyed state holds each
+    * group's k+1 largest-priority rows (the survivor relation of
+    * [[graft.operators.Sampling.wsSurvivors]]), and each micro-batch emits
+    * the refreshed ranked sample (with the Duffield–Lund–Thorup `w_hat =
+    * max(w, τ)` estimate) of groups whose survivor set CHANGED — update
+    * semantics, latest emission per group IS the sample.
+    *
+    * Priorities derive from the same seeded-hash expressions as the batch
+    * operator BEFORE `groupByKey`, so the stream after any prefix equals
+    * batch `weightedSample` over that prefix under any delivery order,
+    * chunking, or duplicate re-delivery (a replayed id re-derives the
+    * identical (mh, prio) — a pure set function; emits nothing, writes no
+    * state). State is ≤ 4·(k+1) longs per group.
+    *
+    * `df` must expose `groupCol` (string), `idCol` (row-unique long) and
+    * `weightCol` (integral in [1, 16384] — violations raise, as in batch).
+    */
+  def weightedSampleStream(df: DataFrame, idCol: String, groupCol: String,
+                           weightCol: String, k: Int,
+                           seed: String = "ws0"): Dataset[WsPick] = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import df.sparkSession.implicits._
+    implicit val stateEnc: Encoder[WsState] = Encoders.product[WsState]
+    val wRaw = col(weightCol).cast("long")
+    val wChecked = when(wRaw.between(1L, graft.operators.Sampling.maxSampleWeight), wRaw)
+      .otherwise(raise_error(concat(
+        lit(s"weightedSampleStream: weight must be in [1, ${graft.operators.Sampling.maxSampleWeight}], got "),
+        coalesce(wRaw.cast("string"), lit("null")))))
+    df.filter(col(idCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group"), wChecked.as("weight"),
+        col(idCol).cast("long").as("id"))
+      .withColumn("mh",
+        conv(substring(md5(concat(lit(s"$seed:"), col("id").cast("string"))),
+          1, 12), 16, 10).cast("long") + 1)
+      .withColumn("prio", expr("(weight * 281474976710656) div mh"))
+      .select("group", "prio", "mh", "id", "weight")
+      .as[WsDoc]
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(processWs(k))
+  }
 }

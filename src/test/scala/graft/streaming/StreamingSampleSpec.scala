@@ -87,6 +87,93 @@ class StreamingSampleSpec extends SparkSpec
     }
   }
 
+  test("weighted-sample stream equals batch across chunkings, disorder, replay") {
+    val rnd = new Random(31)
+    val rows = (0L until 500L).map(i =>
+      (s"g${i % 3}", i, 1L + rnd.nextInt(2000).toLong))
+    val k = 8
+    val want = Sampling.weightedSample(rows.toDF("g", "doc_id", "w"),
+        "doc_id", Seq("g"), "w", k)
+      .select("g", "doc_id", "weight", "w_hat")
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (g, xs) =>
+        g -> xs.map(x => (x._2, x._3, x._4)).toSet
+      }
+    implicit val sqlCtx = spark.sqlContext
+    for ((chunks, shuffled, replay) <- Seq((1, false, false), (9, true, false), (9, true, true))) {
+      val feed0 = if (shuffled) rnd.shuffle(rows) else rows
+      val feed = if (replay) feed0 ++ feed0.take(120) else feed0
+      val ms = MemoryStream[(String, Long, Long)]
+      val q = StreamingSample.weightedSampleStream(
+          ms.toDF().toDF("g", "doc_id", "w"), "doc_id", "g", "w", k)
+        .writeStream.format("memory").queryName("ws_out")
+        .outputMode("update").start()
+      try {
+        feed.grouped(feed.size / chunks + 1).foreach { c =>
+          ms.addData(c: _*); q.processAllAvailable()
+        }
+        // latest emission per group: newest-first, the maximal descending-
+        // rank run (n..1) at the head is the final ranked list
+        val byGroup = spark.table("ws_out")
+          .withColumn("_i", monotonically_increasing_id())
+          .orderBy(col("_i").desc)
+          .select("group", "rank", "id", "weight", "w_hat")
+          .as[(String, Int, Long, Long, Long)].collect()
+          .groupBy(_._1)
+        val got = byGroup.map { case (g, rs) =>
+          val picks = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+          var expect = rs.head._2
+          var i = 0
+          while (i < rs.length && rs(i)._2 == expect) {
+            picks += ((rs(i)._3, rs(i)._4, rs(i)._5)); expect -= 1; i += 1
+          }
+          g -> picks.toSet
+        }
+        assert(got == want, s"chunks=$chunks shuffled=$shuffled replay=$replay")
+      } finally {
+        q.stop()
+        spark.sql("DROP TABLE IF EXISTS ws_out")
+      }
+    }
+  }
+
+  test("weighted-sample state persists across a restart; pure replay is silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ws-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ws-out").toString
+    val rnd = new Random(47)
+    val rows = (0L until 300L).map(i => ("g", i, 1L + rnd.nextInt(900).toLong))
+    val k = 6
+    val want = Sampling.weightedSample(rows.toDF("g", "doc_id", "w"),
+        "doc_id", Seq("g"), "w", k)
+      .select("doc_id", "w_hat").as[(Long, Long)].collect().toSet
+    val (h1, h2) = rows.splitAt(150)
+    val ms = MemoryStream[(String, Long, Long)]
+    def start() = StreamingSample.weightedSampleStream(
+        ms.toDF().toDF("g", "doc_id", "w"), "doc_id", "g", "w", k)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingSample.WsPick],
+          bid: Long) =>
+        df.withColumn("_b", lit(bid)).write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt).outputMode("update").start()
+    val q1 = start()
+    ms.addData(h1: _*); q1.processAllAvailable()
+    ms.addData(h1.take(80): _*); q1.processAllAvailable() // pure replay
+    q1.stop()
+    val q2 = start()
+    ms.addData(h2: _*); q2.processAllAvailable()
+    try {
+      val log = spark.read.parquet(outDir)
+      val lastBatch = log.agg(max("_b")).as[Long].head()
+      val got = log.filter(col("_b") === lastBatch)
+        .select("id", "w_hat").as[(Long, Long)].collect().toSet
+      assert(got == want)
+      val batches = log.select("_b").distinct().as[Long].collect().toSet
+      assert(batches.size == 2, s"replay must not emit: batches=$batches")
+    } finally q2.stop()
+  }
+
   test("unchanged domains emit nothing; survivors persist across a restart") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("cap-ckpt").toString
