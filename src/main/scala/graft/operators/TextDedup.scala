@@ -668,4 +668,65 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Fuzzy (typo-level) near-duplicates by BLOCKED EDIT DISTANCE — the
+    * record-linkage shape (Fellegi–Sunter style blocking + exact verify)
+    * for short text keys: titles, URLs, product names, citation strings.
+    * The n-gram/minhash family measures set overlap and misses pure
+    * character edits in short strings; `levenshtein` is the right metric
+    * there but quadratic per pair — so candidates are BLOCKED first.
+    *
+    * Blocking: texts normalize (lowercase, strip non-alphanumerics) and
+    * enter two blocks — the first `affixLen` chars and the last `affixLen`
+    * chars. Any pair within `maxDist` edits confined to one region (a
+    * clean prefix OR a clean suffix of `affixLen` chars survives the
+    * edits) shares a block — recall 1 for those shapes (spec-locked); a
+    * pair edited in BOTH affixes is missed, the documented recall bound
+    * (multi-pass blocking's inherent trade — same class as LSH recall).
+    * Verification is exact banded `levenshtein(a, b, maxDist)` — Spark's
+    * threshold form abandons a pair's DP early once its distance exceeds
+    * `maxDist`.
+    *
+    * Scale shape: normalization is a narrow map; candidate generation is
+    * [[cappedPairs]] (one shuffle on the 33-char block key, never the
+    * text... the norm IS short text here, but bounded by 2·affixLen+1;
+    * hot blocks — shared boilerplate affixes — census-cap to exact-norm
+    * grouping exactly like the minhash/simhash hot paths). The verify
+    * join ships each candidate pair's norms once.
+    *
+    * Texts whose normal form is shorter than `minLen` are excluded — a
+    * 3-char norm within `maxDist` of everything is noise, and the
+    * near-empty class would otherwise pair quadratically.
+    *
+    * Output: (id_a, id_b, dist), id_a < id_b, dist <= maxDist.
+    */
+  def fuzzyDuplicates(
+    df: DataFrame,
+    idCol: String,
+    textCol: String,
+    maxDist: Int = 8,
+    affixLen: Int = 32,
+    minLen: Int = 8,
+    bucketCap: Int = 200
+  ): DataFrame = {
+    require(maxDist >= 0 && affixLen >= 1 && minLen >= 1)
+    val base = df
+      .select(col(idCol).cast("long").as("id"),
+        regexp_replace(lower(col(textCol)), "[^a-z0-9]", "").as("norm"))
+      .filter(length(col("norm")) >= minLen)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keyed = base.select(col("id"), explode(array(
+        concat(lit("p:"), substring(col("norm"), 1, affixLen)),
+        concat(lit("s:"), col("norm").substr(
+          greatest(length(col("norm")) - (affixLen - 1), lit(1)),
+          lit(affixLen))))).as("bk"))
+    val exactKey = base.select(col("id"), md5(col("norm")).as("k"))
+    cappedPairs(keyed, exactKey, bucketCap)
+      .join(base.select(col("id").as("id_a"), col("norm").as("_na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("norm").as("_nb")), "id_b")
+      .withColumn("dist",
+        levenshtein(col("_na"), col("_nb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -202,6 +202,35 @@ object LlmQueries {
         .select(col("doc_id"), col("domain"))
     },
 
+    // Fuzzy near-dup via blocked edit distance (the record-linkage shape):
+    // titles derive from the corpus plus two planted typo families — one
+    // edited at the END (caught by the prefix block) and one edited at the
+    // FRONT (caught by the suffix block) — verified by banded levenshtein.
+    // Cap lifted out of range so the oracle replays the light blocking
+    // path exactly at any scale (the dedup_embed stance; cap semantics are
+    // spec-locked with planted hot blocks in FuzzyDedupSpec).
+    // Fixture-sizing note (the dedup_minhash_hot lesson): every planted
+    // title carries its gid at BOTH ends, so a family member shares a
+    // 32-char affix block ONLY with its own typo partner — block sizes and
+    // pair output stay O(corpus/17) at every scale, never quadratic in the
+    // family count.
+    "dedup_fuzzy" -> { (s, d) =>
+      val id = col("doc_id")
+      val gid = expr("doc_id div 17").cast("string")
+      val title = when(id % 17 === 5, concat(lit("doc "), gid,
+          lit(" alpha beta gamma delta epsilon zeta eta theta headline "), gid))
+        .when(id % 17 === 6, concat(lit("doc "), gid,
+          lit(" alpha beta gamma delta epsilon zeta eta theta headlines "), gid))
+        .when(id % 17 === 11, concat(lit("story "), gid,
+          lit(" front page alpha omega psi chi phi tau sigma rho "), gid))
+        .when(id % 17 === 12, concat(lit("story "), gid,
+          lit(" fromt page alpha omega psi chi phi tau sigma rho "), gid))
+        .otherwise(substring(col("text"), 1, 120))
+      TextDedup.fuzzyDuplicates(
+        Tables.documents(s, d).select(id, title.as("title")),
+        "doc_id", "title", maxDist = 8, bucketCap = 1 << 20)
+    },
+
     // Weighted sampling without replacement (priority sampling,
     // Duffield–Lund–Thorup 2007): k=25 docs per language, weight = clamped
     // n_chars, priorities integer-exact so survivor identity AND the
@@ -985,6 +1014,44 @@ object LlmQueries {
         |UNION ALL SELECT doc_id, score, tok FROM bsel""".stripMargin,
 
     "sample_weighted" -> sampleWeightedOracle,
+
+    // Fuzzy-dedup replay: the planted title build, the same normalize +
+    // two-affix blocking, self-join pair generation, exact levenshtein.
+    // DuckDB and Spark agree on classic unit-cost edit distance over the
+    // ASCII norms ([a-z0-9] by construction).
+    "dedup_fuzzy" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 5
+        |           THEN 'doc ' || (doc_id // 17)::VARCHAR ||
+        |                ' alpha beta gamma delta epsilon zeta eta theta headline ' ||
+        |                (doc_id // 17)::VARCHAR
+        |         WHEN doc_id % 17 = 6
+        |           THEN 'doc ' || (doc_id // 17)::VARCHAR ||
+        |                ' alpha beta gamma delta epsilon zeta eta theta headlines ' ||
+        |                (doc_id // 17)::VARCHAR
+        |         WHEN doc_id % 17 = 11
+        |           THEN 'story ' || (doc_id // 17)::VARCHAR ||
+        |                ' front page alpha omega psi chi phi tau sigma rho ' ||
+        |                (doc_id // 17)::VARCHAR
+        |         WHEN doc_id % 17 = 12
+        |           THEN 'story ' || (doc_id // 17)::VARCHAR ||
+        |                ' fromt page alpha omega psi chi phi tau sigma rho ' ||
+        |                (doc_id // 17)::VARCHAR
+        |         ELSE substr(text, 1, 120) END AS title
+        |  FROM documents),
+        |f AS (SELECT doc_id AS id,
+        |        regexp_replace(lower(title), '[^a-z0-9]', '', 'g') AS norm
+        |      FROM t
+        |      WHERE length(regexp_replace(lower(title), '[^a-z0-9]', '', 'g')) >= 8),
+        |k AS (SELECT id, 'p:' || substr(norm, 1, 32) AS bk FROM f
+        |      UNION ALL
+        |      SELECT id, 's:' || substr(norm, greatest(length(norm) - 31, 1), 32) AS bk
+        |      FROM f),
+        |pr AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |       FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id),
+        |v AS (SELECT id_a, id_b, levenshtein(fa.norm, fb.norm)::BIGINT AS dist
+        |      FROM pr JOIN f fa ON pr.id_a = fa.id JOIN f fb ON pr.id_b = fb.id)
+        |SELECT id_a, id_b, dist FROM v WHERE dist <= 8""".stripMargin,
 
     "text_bm25" -> textBm25Oracle,
 
