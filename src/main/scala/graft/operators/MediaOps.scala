@@ -53,6 +53,55 @@ object MediaOps {
       .select(col("media_id"), col("meta.format").as("format"),
         col("meta.n_bytes").as("n_bytes"), col("features"))
 
+  /** Frame sampling over media payloads: one payload row fans out into its
+    * sampled frames — frame k at timestamp `k · everyMs`, covering the
+    * timeline (`n_frames = ceil(duration / everyMs)`, so the last frame
+    * starts strictly inside the payload). The frame content is a bounded
+    * byte slice of the payload at the timestamp's byte offset (tail frames
+    * run shorter), carried both raw (`frame`, the bytes a downstream
+    * decoder consumes) and as an md5 digest (the compact join/dedup key).
+    *
+    * ==== STUB boundary ==== duration and byte offsets derive linearly
+    * from `meta.n_bytes` at `bytesPerMs` — the contract a real container
+    * parser (MP4 stbl, Matroska cues) would supply per keyframe; the
+    * SLICING/fan-out plumbing (schema, explode shape, offsets, ceilings)
+    * is the real, tested part, and byte-true for any payload.
+    *
+    * Scale shape: zero exchanges — `sequence` + `explode` is a narrow
+    * codegen'd map, so frame extraction scales with input splits and
+    * never reshuffles payload bytes. Fan-out is fail-fast bounded by
+    * `maxFrames` (a metadata bug must raise, not OOM-explode a task —
+    * the IntervalJoin ceiling stance). Zero-duration payloads emit no
+    * frames.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long = 250,
+                   frameBytes: Int = 16, bytesPerMs: Long = 1,
+                   maxFrames: Int = 10000): DataFrame = {
+    require(everyMs >= 1 && frameBytes >= 1 && bytesPerMs >= 1 && maxFrames >= 1)
+    // integer `div` throughout — `/` on longs is floating-point in Spark
+    // (the Tables.normalizeTs lesson) and a double offset would corrupt
+    // byte positions on large payloads
+    val dur = expr(s"meta.n_bytes div $bytesPerMs") // duration in ms
+    media
+      .withColumn("_dur", dur)
+      .withColumn("n_frames",
+        when(col("_dur") <= 0L, lit(0L))
+          .when(col("_dur") > everyMs * maxFrames.toLong, raise_error(concat(
+            lit(s"sampleFrames: payload fans out past maxFrames=$maxFrames: media_id="),
+            col("media_id").cast("string"))))
+          .otherwise(expr(s"(_dur + ${everyMs - 1}) div $everyMs")))
+      .filter(col("n_frames") >= 1L)
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1L, lit(1L))).as("frame_idx"),
+        col("payload"))
+      .withColumn("ts_ms", col("frame_idx") * everyMs)
+      .withColumn("frame", col("payload").substr(
+        (col("ts_ms") * bytesPerMs + 1L).cast("int"), lit(frameBytes)))
+      .withColumn("frame_digest", md5(col("frame")))
+      .select("media_id", "frame_idx", "ts_ms", "frame", "frame_digest",
+        "n_frames")
+  }
+
   /** The production-shaped path: process payloads in bounded batches per
     * partition (the shape a vectorized codec / model runtime needs), emit
     * one feature row per media item. No shuffle: a narrow mapPartitions.

@@ -164,6 +164,18 @@ object LlmQueries {
           concat_ws(",", col("features").cast("array<string>")))
     },
 
+    // Multimodal frame sampling: each payload fans out into its 250ms
+    // frames — timestamps, byte-slice digests, frame counts — as a
+    // zero-exchange narrow map (the video/audio keyframe-extraction
+    // plumbing; slicing is byte-true, duration is the stub contract).
+    "media_frames" -> { (s, d) =>
+      MediaOps.sampleFrames(
+          MediaOps.asMedia(Tables.documents(s, d), "doc_id", "text"),
+          everyMs = 250, frameBytes = 16)
+        .select(col("media_id"), col("frame_idx"), col("ts_ms"),
+          col("frame_digest"), col("n_frames"))
+    },
+
     // Duplicate clusters: connected components (large-star/small-star) over
     // the exact n-gram jaccard pairs; every document labeled with its
     // component min + a canonical (survivor) flag.
@@ -731,6 +743,22 @@ object LlmQueries {
         |       array_to_string([ascii(md5(text)[j])::INT::VARCHAR
         |                        for j in range(1, 9)], ',') AS features
         |FROM documents""".stripMargin,
+
+    // Frame-sampling replay: strlen is DuckDB's byte length and the stub
+    // payloads are ASCII by construction (spec-asserted), so char-based
+    // substr slices the same bytes Spark's binary substring does.
+    "media_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |             strlen(text)::BIGINT AS dur FROM documents),
+        |f AS (SELECT media_id, text, (dur + 249) // 250 AS n_frames
+        |      FROM m WHERE dur >= 1),
+        |x AS (SELECT media_id, n_frames, text,
+        |        unnest(range(0, n_frames)) AS fi FROM f)
+        |SELECT media_id, fi::BIGINT AS frame_idx,
+        |       (fi * 250)::BIGINT AS ts_ms,
+        |       md5(substr(text, (fi * 250 + 1)::INTEGER, 16)) AS frame_digest,
+        |       n_frames
+        |FROM x""".stripMargin,
 
     // transitive closure over the same 4-gram jaccard pairs dedup_ngram
     // checks; cluster id = min reachable doc id (component min)

@@ -342,6 +342,44 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("frame sampling covers the timeline, slices byte-true, stays narrow") {
+    import spark.implicits._
+    // payload lengths straddling the stride boundaries: 0 (no frames),
+    // 1, exactly one stride, stride+1, a tail shorter than frameBytes
+    val docs = Seq(
+      (1L, ""), (2L, "x"), (3L, "a" * 250), (4L, ("b" * 250) + "c"),
+      (5L, (0 until 603).map(i => ('a' + i % 26).toChar).mkString)
+    ).toDF("doc_id", "text")
+    val media = MediaOps.asMedia(docs, "doc_id", "text")
+    val got = MediaOps.sampleFrames(media, everyMs = 250, frameBytes = 16)
+      .select("media_id", "frame_idx", "ts_ms", "frame", "n_frames")
+      .as[(Long, Long, Long, Array[Byte], Long)].collect()
+      .groupBy(_._1)
+    assert(!got.contains(1L)) // zero-duration: no frames
+    assert(got(2L).map(f => (f._2, f._3, f._5)).toSeq == Seq((0L, 0L, 1L)))
+    assert(got(3L).map(_._2).sorted.toSeq == Seq(0L)) // len 250 -> 1 frame
+    assert(got(4L).map(_._2).sorted.toSeq == Seq(0L, 1L)) // 251 -> 2
+    assert(got(5L).map(_._2).sorted.toSeq == Seq(0L, 1L, 2L)) // 603 -> 3
+    // byte-true slices, incl. the short tail (603 - 500 = 103 >= 16; use
+    // doc 4's tail: offset 250, only 1 byte remains)
+    val texts = Map(4L -> (("b" * 250) + "c"), 5L -> (0 until 603).map(i => ('a' + i % 26).toChar).mkString)
+    for ((id, t) <- texts; (_, fi, ts, frame, _) <- got(id)) {
+      val want = t.drop(ts.toInt).take(16).getBytes("UTF-8")
+      assert(java.util.Arrays.equals(frame, want), s"media $id frame $fi")
+      assert(ts == fi * 250)
+    }
+    // the plan is a narrow map: no exchange anywhere
+    val plan = MediaOps.sampleFrames(media).queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
+    // the fan-out ceiling raises loudly instead of exploding
+    val huge = MediaOps.asMedia(Seq((9L, "z" * 600)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val e = intercept[Exception] {
+      MediaOps.sampleFrames(huge, everyMs = 10, maxFrames = 3).collect()
+    }
+    assert(e.getMessage.contains("maxFrames"), e.getMessage)
+  }
+
   test("language id picks the profile with the best score") {
     import spark.implicits._
     val df = Seq(
