@@ -818,6 +818,64 @@ object TextAnalysis {
       .drop("_hr")
       .withColumn("canon_url", canonicalizeUrl(col("href")))
 
+  /** Anchor elements with their link TEXT — the raw material of an
+    * anchor-text index (the web-retrieval signal: how other pages describe
+    * a target; the classic relevance booster search engines aggregate per
+    * URL). Extraction contract: one row per anchor whose tag carries an
+    * href in any of the three quotings [[outlinks]] handles; `anchor` is
+    * the element's text up to the FIRST nested tag (`[^<]*` — a
+    * `<b>bold</b>` wrapper contributes its prefix only; the single-regex
+    * contract both engines replay verbatim), normalized lower / collapsed
+    * / trimmed on the pinned RE2-Java-common `[ \t\n\r\f]` class.
+    *
+    * Zero exchanges — a narrow `regexp_extract_all` + explode map.
+    */
+  def anchorLinks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  htmlCol: String): org.apache.spark.sql.DataFrame = {
+    val pat =
+      "(?i)<a[^>]*?href=(\"[^\"]*\"|'[^']*'|[^\"' \\t\\n\\r\\f>]+)[^>]*>([^<]*)"
+    docs
+      .select(col(idCol), posexplode(regexp_extract_all(col(htmlCol),
+        lit(pat), lit(0))).as(Seq("link_idx", "_el")))
+      .withColumn("_hr", regexp_extract(col("_el"), pat, 1))
+      .withColumn("anchor", lower(trim(regexp_replace(
+        regexp_extract(col("_el"), pat, 2), "[ \\t\\n\\r\\f]+", " "))))
+      .withColumn("href",
+        when(col("_hr").rlike("(?s)^\".*\"$"),
+          regexp_replace(col("_hr"), "(?s)^\"(.*)\"$", "$1"))
+          .when(col("_hr").rlike("(?s)^'.*'$"),
+            regexp_replace(col("_hr"), "(?s)^'(.*)'$", "$1"))
+          .otherwise(col("_hr")))
+      .drop("_hr", "_el")
+      .withColumn("canon_url", canonicalizeUrl(col("href")))
+  }
+
+  /** Per-target anchor-text rollup: reference counts, referring-document
+    * counts, and the DOMINANT anchor text (most references, ties by text)
+    * — the per-URL relevance summary an indexer joins onto crawled pages.
+    *
+    * Scale shape: one map-side-combinable `(canon_url, anchor)` count
+    * (bounded by distinct pairs, never raw anchors riding twice), the
+    * argmax on the [[graft.plans.GroupTopK]] bounded heaps (k=1 — the
+    * heap exchange carries one row per target per map task), and one
+    * `canon_url` stats aggregate joined back. URLs and anchor texts are
+    * short strings by construction; document payloads never enter any
+    * exchange.
+    */
+  def anchorIndex(links: org.apache.spark.sql.DataFrame,
+                  idCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = links.groupBy(col("canon_url"), col("anchor"))
+      .agg(count(lit(1)).as("a_refs"))
+    val top = graft.plans.GroupTopK.topK(counts, Seq("canon_url"),
+        Seq("a_refs" -> false, "anchor" -> true), 1)
+      .select(col("canon_url"), col("anchor").as("top_anchor"),
+        col("a_refs").as("top_refs"))
+    val stats = links.groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_refs"),
+        count_distinct(col(idCol)).as("n_docs"))
+    stats.join(top, Seq("canon_url"))
+  }
+
   /** Main-content extraction over a corpus of raw HTML — the funnel's
     * entry step (strip markup, drop head/script/style/comment boilerplate,
     * count anchors as a link-density signal, decode entities). Runs on the

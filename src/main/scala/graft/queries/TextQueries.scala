@@ -201,6 +201,31 @@ object TextQueries {
           min(col("doc_id")).as("first_doc"))
     },
 
+    // Anchor-text index (the web-retrieval relevance signal): how other
+    // pages describe a target, rolled up per canonicalized URL with the
+    // dominant anchor text. Plants per-target anchors with case/whitespace
+    // noise, a frequency split ('join now' vs the rarer 'Read  More'), a
+    // nested-tag anchor (text stops at the first '<'), and empty anchors.
+    "link_anchors" -> { (s, d) =>
+      val id = col("doc_id")
+      val html = concat(
+        regexp_replace(coalesce(col("text"), lit("")), lit("join"),
+          concat(lit("<a href=\"https://Ex.com/j/"), (id % 5).cast("string"),
+            lit("?utm_x=1&b=2&a=1\">"),
+            when(id % 3 === 0, lit("Read  More")).otherwise(lit("join now")),
+            lit("</a>"))),
+        lit("<a class=m href='/sq/"), (id % 2).cast("string"),
+        lit("'>  Spaced   Anchor </a>"),
+        lit("<a href=/uq/"), (id % 4).cast("string"),
+        lit(" id=u>u<b>bold</b></a>"),
+        lit("<a href=\"/empty/"), (id % 3).cast("string"), lit("\"></a>"))
+      graft.operators.TextAnalysis.anchorIndex(
+        graft.operators.TextAnalysis.anchorLinks(
+          Tables.documents(s, d).select(id, html.as("html")),
+          "doc_id", "html"),
+        "doc_id")
+    },
+
     // Integer-quantized TF-IDF keywords: top-3 most distinctive words per
     // document (quantized idf keeps the score integer-exact — bit-stable
     // across engines, like text_lm). Ties break by word.
@@ -566,6 +591,77 @@ object TextQueries {
         |SELECT canon_url, count(*) AS n_refs,
         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
         |FROM c GROUP BY canon_url""".stripMargin,
+
+    // Anchor-index replay: the same single-regex extraction (group 0 per
+    // element, groups 1/2 re-extracted), quote strip, canonicalization
+    // CTEs as html_links, then (url, anchor) counts, the row_number argmax
+    // and the per-url stats join.
+    "link_anchors" ->
+      """WITH h AS (SELECT doc_id,
+        |    regexp_replace(coalesce(text, ''), 'join',
+        |      '<a href="https://Ex.com/j/' || (doc_id % 5) ||
+        |      '?utm_x=1&b=2&a=1">' ||
+        |      CASE WHEN doc_id % 3 = 0 THEN 'Read  More' ELSE 'join now' END ||
+        |      '</a>', 'g')
+        |    || '<a class=m href=''/sq/' || (doc_id % 2) || '''>  Spaced   Anchor </a>'
+        |    || '<a href=/uq/' || (doc_id % 4) || ' id=u>u<b>bold</b></a>'
+        |    || '<a href="/empty/' || (doc_id % 3) || '"></a>' AS html
+        |  FROM documents),
+        |l0 AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(html,
+        |      '(?i)<a[^>]*?href=("[^"]*"|''[^'']*''|[^"'' \t\n\r\f>]+)[^>]*>([^<]*)', 0)) AS el
+        |  FROM h),
+        |l1 AS (SELECT doc_id,
+        |    regexp_extract(el,
+        |      '(?i)<a[^>]*?href=("[^"]*"|''[^'']*''|[^"'' \t\n\r\f>]+)[^>]*>([^<]*)', 1) AS hr,
+        |    lower(trim(regexp_replace(regexp_extract(el,
+        |      '(?i)<a[^>]*?href=("[^"]*"|''[^'']*''|[^"'' \t\n\r\f>]+)[^>]*>([^<]*)', 2),
+        |      '[ \t\n\r\f]+', ' ', 'g'))) AS anchor
+        |  FROM l0),
+        |l AS (SELECT doc_id, anchor,
+        |    CASE WHEN regexp_matches(hr, '(?s)^".*"$')
+        |           THEN regexp_replace(hr, '(?s)^"(.*)"$', '\1')
+        |         WHEN regexp_matches(hr, '(?s)^''.*''$')
+        |           THEN regexp_replace(hr, '(?s)^''(.*)''$', '\1')
+        |         ELSE hr END AS href
+        |  FROM l1),
+        |nf AS (SELECT doc_id, anchor, regexp_replace(href, '#.*$', '') AS u FROM l),
+        |p AS (SELECT doc_id, anchor, u,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS hostport,
+        |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(u, '\?([^#]*)', 1) AS q
+        |  FROM nf),
+        |c AS (SELECT doc_id, anchor,
+        |    CASE WHEN scheme = '' THEN u ELSE
+        |    scheme || '://' ||
+        |    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+        |                   '^www\.', '') ||
+        |    (CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) = '' OR
+        |               (scheme = 'https' AND
+        |                regexp_extract(hostport, ':([0-9]+)$', 1) = '443') OR
+        |               (scheme = 'http' AND
+        |                regexp_extract(hostport, ':([0-9]+)$', 1) = '80')
+        |          THEN '' ELSE ':' || regexp_extract(hostport, ':([0-9]+)$', 1) END) ||
+        |    path ||
+        |    (CASE WHEN array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |                 x -> NOT starts_with(x, 'utm_') AND x <> '')), '&') = ''
+        |          THEN ''
+        |          ELSE '?' || array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |                 x -> NOT starts_with(x, 'utm_') AND x <> '')), '&') END)
+        |    END AS canon_url
+        |  FROM p),
+        |cnt AS (SELECT canon_url, anchor, count(*) AS a_refs
+        |        FROM c GROUP BY 1, 2),
+        |top AS (SELECT canon_url, anchor AS top_anchor, a_refs AS top_refs,
+        |          row_number() OVER (PARTITION BY canon_url
+        |            ORDER BY a_refs DESC, anchor) AS rn
+        |        FROM cnt),
+        |st AS (SELECT canon_url, count(*) AS n_refs,
+        |         count(DISTINCT doc_id) AS n_docs
+        |       FROM c GROUP BY 1)
+        |SELECT st.canon_url, n_refs, n_docs, top_anchor, top_refs
+        |FROM st JOIN top ON st.canon_url = top.canon_url AND top.rn = 1""".stripMargin,
 
     // Replays the planted-HTML build, then the kernel's defining regex
     // chain stage by stage (comments → head → script → style → tag→space +

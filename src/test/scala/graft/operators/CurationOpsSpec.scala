@@ -115,6 +115,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq((0, "/nl\na"), (1, "/nl\nb"), (2, "/tail\n")))
   }
 
+  test("anchorLinks: text to the first nested tag, normalized; anchorIndex argmax") {
+    val html =
+      "<a href=\"https://Ex.com/t\">  Read\n  MORE </a>" + // case+ws collapse
+        "<a href='https://ex.com/t'>read more</a>" +       // same target+anchor
+        "<a href=/t2>u<b>bold</b></a>" +                   // stops at first '<'
+        "<a href=\"/t2\"></a>" +                           // empty anchor
+        "<a name=x>no href</a>"                            // no href: no row
+    val links = TextAnalysis.anchorLinks(
+        Seq((1L, html), (2L, html)).toDF("doc_id", "html"), "doc_id", "html")
+    val got = links.select("doc_id", "link_idx", "canon_url", "anchor")
+      .as[(Long, Int, String, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.filter(_._1 == 1L).map(r => (r._3, r._4)).toSeq == Seq(
+      ("https://ex.com/t", "read more"), ("https://ex.com/t", "read more"),
+      ("/t2", "u"), ("/t2", "")))
+    val idx = TextAnalysis.anchorIndex(links, "doc_id")
+      .select("canon_url", "n_refs", "n_docs", "top_anchor", "top_refs")
+      .as[(String, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(idx("https://ex.com/t") ==
+      (("https://ex.com/t", 4L, 2L, "read more", 4L)))
+    // /t2 ties 'u' (2 refs) with '' (2 refs): tie breaks lexicographically
+    assert(idx("/t2") == (("/t2", 4L, 2L, "", 2L)))
+    // the extraction is a pure narrow map — no exchange before the rollup
+    val plan = links.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"anchorLinks must not shuffle:\n$plan")
+  }
+
   // -------------------------------------------------------- span corrupt
 
   /** Parse '<extra_id_k> tok…' runs out of a target stream. */
