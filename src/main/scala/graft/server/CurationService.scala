@@ -92,6 +92,17 @@ object CurationService {
     tUsCol: String, idCol: String, valueCol: String,
     k: Int = 3) extends CurationStep
 
+  /** Per-group weighted sample without replacement (priority sampling,
+    * Duffield–Lund–Thorup): the k highest seeded-hash priorities per group
+    * with the `max(w, τ)` subset-sum estimate — the continuous
+    * [[graft.streaming.StreamingSample.weightedSampleStream]]. Update
+    * semantics: the latest ranked list per group IS the sample. Weights
+    * must be integral in [1, 16384] (violations fail the step loudly).
+    */
+  final case class WeightedSampleStep(name: String, table: String,
+    idCol: String, groupCol: String, weightCol: String, k: Int,
+    seed: String = "ws0") extends CurationStep
+
   final case class CurationRequest(
     uuid: String,
     source: FileSourceConf,
@@ -175,6 +186,8 @@ final class CurationService(spark: SparkSession, checkpointRoot: String) {
         errs += s"step ${s.name}: p must be in [4, 16]"
       case s: EwmaStep if s.k < 1 || s.k > 16 =>
         errs += s"step ${s.name}: k must be in [1, 16]"
+      case s: WeightedSampleStep if s.k < 1 || s.k > 4096 =>
+        errs += s"step ${s.name}: k must be in [1, 4096]"
       case _ => ()
     }
     errs.result()
@@ -211,6 +224,9 @@ final class CurationService(spark: SparkSession, checkpointRoot: String) {
         docs.select(col(s.keyCol).as("key"), col(s.tUsCol).as("t_us"),
           col(s.idCol).as("event_id"), col(s.valueCol).as("v")),
         k = s.k).toDF()
+    case s: WeightedSampleStep =>
+      graft.streaming.StreamingSample.weightedSampleStream(
+        docs, s.idCol, s.groupCol, s.weightCol, s.k, s.seed).toDF()
   }
 
   /** Start (or resume) a curation job: one streaming query per step, each

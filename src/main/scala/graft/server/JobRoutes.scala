@@ -319,6 +319,11 @@ object JobRoutes {
           keyCol = s("keyCol").asStr, tUsCol = s("tUsCol").asStr,
           idCol = s("idCol").asStr, valueCol = s("valueCol").asStr,
           k = s.get("k").map(_.asNum.toInt).getOrElse(3))
+        case "weighted_sample" => WeightedSampleStep(
+          name = s("name").asStr, table = s("table").asStr,
+          idCol = s("idCol").asStr, groupCol = s("groupCol").asStr,
+          weightCol = s("weightCol").asStr, k = s("k").asNum.toInt,
+          seed = s.get("seed").map(_.asStr).getOrElse("ws0"))
         case other => throw Json.ParseError(s"unknown step type '$other'")
       }
       case other => throw Json.ParseError(s"expected step, got $other")

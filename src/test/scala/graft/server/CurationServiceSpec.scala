@@ -190,6 +190,58 @@ class CurationServiceSpec extends SparkSpec {
     }
   }
 
+  test("weighted-sample step equals the batch sample, across a restart") {
+    val inDir = java.nio.file.Files.createTempDirectory("cur3-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cur3-ckpt").toString
+    val svc = new CurationService(spark, ckpt)
+    val req = CurationRequest(
+      uuid = "cur-3",
+      source = FileSourceConf("parquet", inDir,
+        "doc_id BIGINT, site STRING, w BIGINT"),
+      jdbcUrl = url, driverName = driver,
+      steps = Seq(WeightedSampleStep("ws", "cur_ws", "doc_id", "site", "w",
+        k = 5, seed = "s3")))
+
+    def mkRows(ids: Range): Seq[(Long, String, Long)] =
+      ids.map(i => (i.toLong, s"s${i % 2}", (i * 13 % 400 + 1).toLong))
+    // current sample from the emission log: latest graft_batch per group
+    // carries the whole refreshed ranked list
+    def view: Set[(String, Long, Long, Long)] = {
+      val w = Window.partitionBy("group")
+      readSink("cur_ws")
+        .withColumn("_mx", max(col("graft_batch")).over(w))
+        .filter(col("graft_batch") === col("_mx"))
+        .select(col("group"), col("id").cast("long"),
+          col("weight").cast("long"), col("w_hat").cast("long"))
+        .as[(String, Long, Long, Long)].collect().toSet
+    }
+    def expected(rows: Seq[(Long, String, Long)]) =
+      Sampling.weightedSample(rows.toDF("doc_id", "site", "w"),
+          "doc_id", Seq("site"), "w", k = 5, seed = "s3")
+        .select(col("site"), col("doc_id"), col("weight"), col("w_hat"))
+        .as[(String, Long, Long, Long)].collect().toSet
+
+    val part1 = mkRows(0 until 50)
+    part1.toDF("doc_id", "site", "w").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    try {
+      assert(svc.submit(req).isRight)
+      svc.awaitIdle("cur-3")
+      assert(view == expected(part1))
+      svc.stop("cur-3")
+      val part2 = mkRows(50 until 100)
+      part2.toDF("doc_id", "site", "w").coalesce(1)
+        .write.mode("append").parquet(inDir)
+      assert(svc.submit(req).isRight)
+      svc.awaitIdle("cur-3")
+      assert(view == expected(part1 ++ part2),
+        "survivor state must fold the restart's new docs into the old sample")
+    } finally {
+      svc.stop("cur-3")
+      svc.shutdown()
+    }
+  }
+
   test("submit validation rejects bad requests with named errors") {
     val svc = new CurationService(spark,
       java.nio.file.Files.createTempDirectory("cur-v").toString)

@@ -184,8 +184,9 @@ class JobRoutesSpec extends SparkSpec {
     val inDir = java.nio.file.Files.createTempDirectory("curhttp-in").toString
     val ckpt = java.nio.file.Files.createTempDirectory("curhttp-ck").toString
     (0 until 30).map(i =>
-        (i.toLong, s"https://${Seq("x.com", "y.org")(i % 2)}/d/$i"))
-      .toDF("doc_id", "url").coalesce(1).write.mode("append").parquet(inDir)
+        (i.toLong, s"https://${Seq("x.com", "y.org")(i % 2)}/d/$i",
+          (i % 100 + 1).toLong))
+      .toDF("doc_id", "url", "w").coalesce(1).write.mode("append").parquet(inDir)
 
     val svc = new JobService(spark)
     val cur = new CurationService(spark, ckpt)
@@ -196,7 +197,7 @@ class JobRoutesSpec extends SparkSpec {
         s"""{
            |  "uuid": "curhttp-1",
            |  "source": {"format": "parquet", "path": "$inDir",
-           |             "schema": "doc_id BIGINT, url STRING"},
+           |             "schema": "doc_id BIGINT, url STRING, w BIGINT"},
            |  "jdbcUrl": "$url", "driverName": "$driver",
            |  "steps": [
            |    {"type": "bloom_seen", "name": "bloom", "table": "curhttp_bloom",
@@ -209,7 +210,9 @@ class JobRoutesSpec extends SparkSpec {
            |     "groupCol": "url", "valueCol": "doc_id", "p": 8},
            |    {"type": "ewma", "name": "ewma", "table": "curhttp_ewma",
            |     "keyCol": "doc_id", "tUsCol": "doc_id", "idCol": "doc_id",
-           |     "valueCol": "doc_id", "k": 3}
+           |     "valueCol": "doc_id", "k": 3},
+           |    {"type": "weighted_sample", "name": "ws", "table": "curhttp_ws",
+           |     "idCol": "doc_id", "groupCol": "url", "weightCol": "w", "k": 3}
            |  ]
            |}""".stripMargin
       val sub = post(base, "/streamjob/submit", body)
@@ -220,11 +223,11 @@ class JobRoutesSpec extends SparkSpec {
       assert(st("status").asStr == "Running", st)
       val steps = st("steps").asArr.map(_.asObj)
       assert(steps.map(_("name").asStr).toSet ==
-        Set("bloom", "cap", "kmv", "hll", "ewma"))
+        Set("bloom", "cap", "kmv", "hll", "ewma", "ws"))
       assert(steps.forall(_("inputRows").asNum == 30.0), st)
       // the sink tables exist and carry rows
       Seq("curhttp_bloom", "curhttp_cap", "curhttp_kmv", "curhttp_hll",
-          "curhttp_ewma").foreach { t =>
+          "curhttp_ewma", "curhttp_ws").foreach { t =>
         val n = spark.read.format("jdbc").option("url", url)
           .option("dbtable", t).option("driver", driver).load().count()
         assert(n > 0, s"$t is empty")
