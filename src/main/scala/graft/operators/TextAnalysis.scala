@@ -850,6 +850,53 @@ object TextAnalysis {
       .withColumn("canon_url", canonicalizeUrl(col("href")))
   }
 
+  /** URL blocklist gate — the C4/CCNet frontier-hygiene step: drop
+    * documents whose URL matches a curated blocklist of exact domains,
+    * domain SUFFIXES (subdomain-inclusive at label boundaries —
+    * 'news.com' blocks 'cdn.news.com' and 'news.com' but never
+    * 'alphanews.com'), or canon-URL path prefixes under a domain.
+    *
+    * `blocklist` rows: `(kind ∈ {domain, suffix, prefix}, domain,
+    * pattern)` — `pattern` is the canonicalized-URL prefix for 'prefix'
+    * rows, ignored otherwise.
+    *
+    * Scale shape: the blocklist collapses to ONE broadcast row of three
+    * arrays (curated lists are 10^3-10^5 entries — broadcast-sized by
+    * contract), and matching is a single narrow codegen'd filter over the
+    * corpus: `array_contains` for exact domains, `arrays_overlap` against
+    * the domain's label-suffix chain (so suffix matching is a hash-set
+    * probe per label, never a scan of the pattern list), and an
+    * `exists` HOF for the few prefix rules. The corpus never shuffles
+    * and never joins row-by-row.
+    *
+    * Output: the surviving rows plus `domain` and `canon_url`.
+    */
+  def blocklistFilter(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      urlCol: String,
+                      blocklist: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bl = blocklist.agg(
+      collect_list(when(col("kind") === "domain", col("domain"))).as("_bd"),
+      collect_list(when(col("kind") === "suffix", col("domain"))).as("_bs"),
+      collect_list(when(col("kind") === "prefix",
+        struct(col("domain").as("d"), col("pattern").as("p")))).as("_bp"))
+    docs
+      .withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+      .withColumn("domain",
+        graft.operators.Sampling.urlDomain(col(urlCol)))
+      .crossJoin(broadcast(bl))
+      .withColumn("_chain", expr(
+        "transform(sequence(0, size(split(domain, '\\\\.')) - 1), " +
+          "i -> array_join(slice(split(domain, '\\\\.'), i + 1, " +
+          "size(split(domain, '\\\\.')) - i), '.'))"))
+      .filter(!array_contains(col("_bd"), col("domain")) &&
+        !arrays_overlap(col("_bs"), col("_chain")) &&
+        !exists(col("_bp"), s =>
+          s.getField("d") === col("domain") &&
+            col("canon_url").startsWith(s.getField("p"))))
+      .drop("_bd", "_bs", "_bp", "_chain")
+  }
+
   /** Per-target anchor-text rollup: reference counts, referring-document
     * counts, and the DOMINANT anchor text (most references, ties by text)
     * — the per-URL relevance summary an indexer joins onto crawled pages.

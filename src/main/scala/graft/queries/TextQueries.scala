@@ -201,6 +201,36 @@ object TextQueries {
           min(col("doc_id")).as("first_doc"))
     },
 
+    // URL blocklist gate (C4/CCNet frontier hygiene): planted URLs across
+    // six classes probe all three rule kinds — the suffix rule must catch
+    // the subdomain and the bare domain but NEVER the lookalike
+    // ('alphanews.com' vs 'news.com' is the label-boundary trap), the
+    // prefix rule splits one host into blocked and surviving paths.
+    "url_blocklist" -> { (s, d) =>
+      import s.implicits._
+      val id = col("doc_id")
+      val url = when(id % 6 === 0,
+          concat(lit("https://WWW.AlphaNews.com/a/"), id.cast("string")))
+        .when(id % 6 === 1,
+          concat(lit("http://beta-site.ORG/p/"), id.cast("string")))
+        .when(id % 6 === 2,
+          concat(lit("https://cdn.news.com/x/"), id.cast("string")))
+        .when(id % 6 === 3,
+          concat(lit("https://news.com/y/"), id.cast("string")))
+        .when(id % 6 === 4,
+          concat(lit("https://gamma.io/private/"), id.cast("string")))
+        .otherwise(concat(lit("https://gamma.io/public/"), id.cast("string")))
+      val blocklist = Seq(
+        ("domain", "beta-site.org", ""),
+        ("suffix", "news.com", ""),
+        ("prefix", "gamma.io", "https://gamma.io/private/")
+      ).toDF("kind", "domain", "pattern")
+      graft.operators.TextAnalysis.blocklistFilter(
+          Tables.documents(s, d).select(id, url.as("url")),
+          "doc_id", "url", blocklist)
+        .select(col("doc_id"), col("domain"), col("canon_url"))
+    },
+
     // Anchor-text index (the web-retrieval relevance signal): how other
     // pages describe a target, rolled up per canonicalized URL with the
     // dominant anchor text. Plants per-target anchors with case/whitespace
@@ -591,6 +621,50 @@ object TextQueries {
         |SELECT canon_url, count(*) AS n_refs,
         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
         |FROM c GROUP BY canon_url""".stripMargin,
+
+    // Blocklist replay: the planted URL build, the canonicalizer's host
+    // derivation, then three NOT EXISTS probes — suffix as equality OR
+    // ends_with('.' || pattern), the exact label-boundary contract.
+    "url_blocklist" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0
+        |           THEN 'https://WWW.AlphaNews.com/a/' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 6 = 1
+        |           THEN 'http://beta-site.ORG/p/' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 6 = 2
+        |           THEN 'https://cdn.news.com/x/' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 6 = 3
+        |           THEN 'https://news.com/y/' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 6 = 4
+        |           THEN 'https://gamma.io/private/' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'https://gamma.io/public/' || CAST(doc_id AS VARCHAR) END AS url
+        |  FROM documents),
+        |bl AS (SELECT * FROM (VALUES
+        |    ('domain', 'beta-site.org', ''),
+        |    ('suffix', 'news.com', ''),
+        |    ('prefix', 'gamma.io', 'https://gamma.io/private/'))
+        |  AS t(kind, dom, pat)),
+        |c AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) ||
+        |    '://' ||
+        |    regexp_replace(lower(regexp_extract(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+        |      '^([^:]*)', 1)), '^www\.', '') ||
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1)
+        |      AS canon_url,
+        |    regexp_replace(lower(regexp_extract(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+        |      '^([^:]*)', 1)), '^www\.', '') AS domain
+        |  FROM u)
+        |SELECT doc_id, domain, canon_url FROM c
+        |WHERE NOT EXISTS (SELECT 1 FROM bl
+        |        WHERE kind = 'domain' AND c.domain = bl.dom)
+        |  AND NOT EXISTS (SELECT 1 FROM bl
+        |        WHERE kind = 'suffix' AND (c.domain = bl.dom OR
+        |          ends_with(c.domain, '.' || bl.dom)))
+        |  AND NOT EXISTS (SELECT 1 FROM bl
+        |        WHERE kind = 'prefix' AND c.domain = bl.dom AND
+        |          starts_with(c.canon_url, bl.pat))""".stripMargin,
 
     // Anchor-index replay: the same single-regex extraction (group 0 per
     // element, groups 1/2 re-extracted), quote strip, canonicalization

@@ -115,6 +115,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq((0, "/nl\na"), (1, "/nl\nb"), (2, "/tail\n")))
   }
 
+  test("blocklistFilter: domain, label-boundary suffix, and path-prefix rules") {
+    val docs = Seq(
+      (0L, "https://WWW.AlphaNews.com/a/0"), // lookalike: must SURVIVE
+      (1L, "http://beta-site.ORG/p/1"),      // exact domain: blocked
+      (2L, "https://cdn.news.com/x/2"),      // suffix via subdomain: blocked
+      (3L, "https://news.com/y/3"),          // suffix exact: blocked
+      (4L, "https://deep.a.b.news.com/z/4"), // 3-deep subdomain: blocked
+      (5L, "https://gamma.io/private/5"),    // path prefix: blocked
+      (6L, "https://gamma.io/public/6"),     // same host, other path: survives
+      (7L, "/relative/7")                    // schemeless '' domain: survives
+    ).toDF("doc_id", "url")
+    val bl = Seq(
+      ("domain", "beta-site.org", ""),
+      ("suffix", "news.com", ""),
+      ("prefix", "gamma.io", "https://gamma.io/private/")
+    ).toDF("kind", "domain", "pattern")
+    val got = TextAnalysis.blocklistFilter(docs, "doc_id", "url", bl)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(0L, 6L, 7L))
+    // an empty blocklist blocks nothing
+    val none = TextAnalysis.blocklistFilter(docs, "doc_id", "url",
+        bl.filter(col("kind") === "nope"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(none == (0L to 7L).toSet)
+    // narrow plan: the only join is the broadcast one-row blocklist
+    val plan = TextAnalysis.blocklistFilter(docs, "doc_id", "url", bl)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the corpus must not shuffle:\n$plan")
+  }
+
   test("anchorLinks: text to the first nested tag, normalized; anchorIndex argmax") {
     val html =
       "<a href=\"https://Ex.com/t\">  Read\n  MORE </a>" + // case+ws collapse
