@@ -531,17 +531,33 @@ object Sampling {
   }
 
   /** Fold a new batch into a persisted survivor relation: union, re-take
-    * the k+1 largest priorities. A replayed/duplicate id re-derives the
-    * identical (mh, prio) row, so re-delivery cannot displace a survivor —
-    * dedup by id inside a batch is the caller's contract (ids are unique).
+    * the k+1 largest priorities. A replayed id with an UNCHANGED weight
+    * re-derives the identical (mh, prio) row and collapses; an id
+    * re-delivered with a CHANGED weight (a re-crawled doc) derives a
+    * second row for the same id, so the merge dedups per (group, id)
+    * keeping the larger priority — at a fixed mh the priority is strictly
+    * monotone in the weight, so the LARGER WEIGHT WINS, deterministically,
+    * and a without-replacement sample can never hold one id twice.
+    * (Refreshing weights DOWNWARD requires rebuilding the sample — the
+    * survivor relation cannot un-see a larger draw.) Ids must be unique
+    * within one batch frame.
     */
   def wsUpdate(survivors: DataFrame, batch: DataFrame, idCol: String,
                groupCols: Seq[String], weightCol: String, k: Int,
-               seed: String = "ws0"): DataFrame =
-    graft.plans.GroupTopK.topK(
-      survivors.unionByName(
-        wsSurvivors(batch, idCol, groupCols, weightCol, k, seed)).distinct(),
-      groupCols, Seq("prio" -> false, "mh" -> true, idCol -> true), k + 1)
+               seed: String = "ws0"): DataFrame = {
+    val merged = survivors.unionByName(
+      wsSurvivors(batch, idCol, groupCols, weightCol, k, seed))
+    // survivor-frame-sized window (≤ 2 · groups · (k+1) rows), never the
+    // corpus; rn=1 also collapses byte-identical re-delivery, so no
+    // separate distinct() is needed
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((groupCols :+ idCol).map(col): _*)
+      .orderBy(col("prio").desc)
+    val deduped = merged.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1).drop("_r")
+    graft.plans.GroupTopK.topK(deduped, groupCols,
+      Seq("prio" -> false, "mh" -> true, idCol -> true), k + 1)
+  }
 
   /** Finalize: rows ranked 1..k are the sample; the k+1-th priority (when
     * the group had more than k rows) is τ and `w_hat = max(w, τ)`. Runs

@@ -805,18 +805,23 @@ object TextAnalysis {
         lit("(?i)<a[^>]*?href=(\"[^\"]*\"|'[^']*'|[^\"' \\t\\n\\r\\f>]+)"),
         lit(1)))
         .as(Seq("link_idx", "_hr")))
-      .withColumn("href",
-        // (?s): the extraction classes "[^"]*" / '[^']*' admit newlines,
-        // so the paired strip must cross them too — without DOTALL a
-        // multi-line quoted href would fall through both branches and
-        // keep its literal quotes (polluting canon_url downstream)
-        when(col("_hr").rlike("(?s)^\".*\"$"),
-          regexp_replace(col("_hr"), "(?s)^\"(.*)\"$", "$1"))
-          .when(col("_hr").rlike("(?s)^'.*'$"),
-            regexp_replace(col("_hr"), "(?s)^'(.*)'$", "$1"))
-          .otherwise(col("_hr")))
+      .withColumn("href", stripHrefQuotes(col("_hr")))
       .drop("_hr")
       .withColumn("canon_url", canonicalizeUrl(col("href")))
+
+  /** Strip ONE pair of surrounding quotes off an extracted href token —
+    * the shared contract of [[outlinks]] and [[anchorLinks]]. (?s): the
+    * extraction classes `"[^"]*"` / `'[^']*'` admit newlines, so the
+    * paired strip must cross them too — without DOTALL a multi-line
+    * quoted href would fall through both strip branches and keep its
+    * literal quotes (polluting canon_url downstream).
+    */
+  private def stripHrefQuotes(hr: Column): Column =
+    when(hr.rlike("(?s)^\".*\"$"),
+      regexp_replace(hr, "(?s)^\"(.*)\"$", "$1"))
+      .when(hr.rlike("(?s)^'.*'$"),
+        regexp_replace(hr, "(?s)^'(.*)'$", "$1"))
+      .otherwise(hr)
 
   /** Anchor elements with their link TEXT — the raw material of an
     * anchor-text index (the web-retrieval signal: how other pages describe
@@ -840,12 +845,7 @@ object TextAnalysis {
       .withColumn("_hr", regexp_extract(col("_el"), pat, 1))
       .withColumn("anchor", lower(trim(regexp_replace(
         regexp_extract(col("_el"), pat, 2), "[ \\t\\n\\r\\f]+", " "))))
-      .withColumn("href",
-        when(col("_hr").rlike("(?s)^\".*\"$"),
-          regexp_replace(col("_hr"), "(?s)^\"(.*)\"$", "$1"))
-          .when(col("_hr").rlike("(?s)^'.*'$"),
-            regexp_replace(col("_hr"), "(?s)^'(.*)'$", "$1"))
-          .otherwise(col("_hr")))
+      .withColumn("href", stripHrefQuotes(col("_hr")))
       .drop("_hr", "_el")
       .withColumn("canon_url", canonicalizeUrl(col("href")))
   }
@@ -889,11 +889,15 @@ object TextAnalysis {
         "transform(sequence(0, size(split(domain, '\\\\.')) - 1), " +
           "i -> array_join(slice(split(domain, '\\\\.'), i + 1, " +
           "size(split(domain, '\\\\.')) - i), '.'))"))
-      .filter(!array_contains(col("_bd"), col("domain")) &&
-        !arrays_overlap(col("_bs"), col("_chain")) &&
-        !exists(col("_bp"), s =>
+      // coalesce each probe: a NULL url yields NULL domain/canon, the
+      // probes go NULL, and a bare three-valued filter would silently
+      // DROP the row even against an empty blocklist — a gate must drop
+      // only matches, so null-URL rows pass through (no rule can match)
+      .filter(!coalesce(array_contains(col("_bd"), col("domain")), lit(false)) &&
+        !coalesce(arrays_overlap(col("_bs"), col("_chain")), lit(false)) &&
+        !coalesce(exists(col("_bp"), s =>
           s.getField("d") === col("domain") &&
-            col("canon_url").startsWith(s.getField("p"))))
+            col("canon_url").startsWith(s.getField("p"))), lit(false)))
       .drop("_bd", "_bs", "_bp", "_chain")
   }
 

@@ -42,8 +42,12 @@ object StreamingSample {
     // over the micro-batch, never a buffer+sort of a hot domain's batch
     val set = new java.util.TreeSet[(String, Long)](
       Ordering.Tuple2[String, Long])
+    // bound the seed at cap: a checkpoint written with a LARGER cap
+    // truncates to the best cap entries (arrays are sorted) instead of
+    // keeping an oversized survivor set alive forever
     var i = 0
-    while (i < prev.hvs.length) { set.add((prev.hvs(i), prev.ids(i))); i += 1 }
+    val lim = math.min(prev.hvs.length, cap)
+    while (i < lim) { set.add((prev.hvs(i), prev.ids(i))); i += 1 }
     rows.foreach { r =>
       val e = (r.hv, r.docId)
       if (set.size < cap) set.add(e)
@@ -101,16 +105,35 @@ object StreamingSample {
       state: GroupState[WsState]): Iterator[WsPick] = {
     val prev = state.getOption.getOrElse(
       WsState(Array.empty, Array.empty, Array.empty, Array.empty))
-    // bounded admission at k+1 — the k+1-th row carries the threshold τ
+    // bounded admission at k+1 — the k+1-th row carries the threshold τ.
+    // byId enforces the one-row-per-id contract when a re-crawled id
+    // arrives with a CHANGED weight: the larger priority (= larger
+    // weight at the id's fixed mh) wins, the batch wsUpdate rule.
     val set = new java.util.TreeSet[(Long, Long, Long, Long)](wsOrd)
+    val byId = new java.util.HashMap[Long, (Long, Long, Long, Long)]()
+    // a checkpoint written with a LARGER k truncates to the best k+1
+    // (state arrays are sorted best-first); without the bound the set
+    // would stay oversized forever and n == k+1 (the τ condition) would
+    // never hold again — silently zeroing every w_hat estimate
     var i = 0
-    while (i < prev.ids.length) {
-      set.add((prev.prios(i), prev.mhs(i), prev.ids(i), prev.ws(i))); i += 1
+    val lim = math.min(prev.ids.length, k + 1)
+    while (i < lim) {
+      val e = (prev.prios(i), prev.mhs(i), prev.ids(i), prev.ws(i))
+      set.add(e); byId.put(e._3, e); i += 1
     }
     rows.foreach { r =>
       val e = (r.prio, r.mh, r.id, r.weight)
-      if (set.size < k + 1) set.add(e)
-      else if (wsOrd.lt(e, set.last) && set.add(e)) set.pollLast()
+      val old = byId.get(r.id)
+      if (old != null) {
+        if (wsOrd.lt(e, old)) { // strictly better: replace in place
+          set.remove(old); set.add(e); byId.put(r.id, e)
+        }
+      } else if (set.size < k + 1) {
+        set.add(e); byId.put(r.id, e)
+      } else if (wsOrd.lt(e, set.last) && set.add(e)) {
+        val evicted = set.pollLast()
+        byId.remove(evicted._3); byId.put(r.id, e)
+      }
     }
     if (set.isEmpty) return Iterator.empty
     val n = set.size
@@ -144,7 +167,9 @@ object StreamingSample {
     * batch `weightedSample` over that prefix under any delivery order,
     * chunking, or duplicate re-delivery (a replayed id re-derives the
     * identical (mh, prio) — a pure set function; emits nothing, writes no
-    * state). State is ≤ 4·(k+1) longs per group.
+    * state). An id re-delivered with a CHANGED weight keeps the larger
+    * weight's row (the [[graft.operators.Sampling.wsUpdate]] rule — one
+    * row per id, deterministic). State is ≤ 4·(k+1) longs per group.
     *
     * `df` must expose `groupCol` (string), `idCol` (row-unique long) and
     * `weightCol` (integral in [1, 16384] — violations raise, as in batch).

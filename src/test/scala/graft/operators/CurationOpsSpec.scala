@@ -134,6 +134,13 @@ class CurationOpsSpec extends SparkSpec {
     val got = TextAnalysis.blocklistFilter(docs, "doc_id", "url", bl)
       .select("doc_id").as[Long].collect().toSet
     assert(got == Set(0L, 6L, 7L))
+    // a NULL url matches no rule, so the row SURVIVES (the three-valued
+    // filter must not silently swallow it — coalesce guards each probe)
+    val withNull = docs.select(col("doc_id"),
+      when(col("doc_id") === 0L, lit(null: String)).otherwise(col("url")).as("url"))
+    val gotNull = TextAnalysis.blocklistFilter(withNull, "doc_id", "url", bl)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotNull == Set(0L, 6L, 7L), "null-URL rows must pass the gate")
     // an empty blocklist blocks nothing
     val none = TextAnalysis.blocklistFilter(docs, "doc_id", "url",
         bl.filter(col("kind") === "nope"))

@@ -342,6 +342,18 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("stub media payloads are pure ASCII — the media_frames oracle precondition") {
+    // the DuckDB oracle slices text with char-based substr while Spark
+    // slices the UTF-8 payload BYTES; they agree only while the corpus is
+    // ASCII. A testdata regeneration that ships any non-ASCII character
+    // must fail HERE with a named breadcrumb, not as a bare hash mismatch.
+    val nonAscii = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull &&
+        not(col("text").rlike("^[\\x00-\\x7F]*$"))).count()
+    assert(nonAscii == 0,
+      s"$nonAscii non-ASCII documents: re-derive the media_frames oracle byte-wise")
+  }
+
   test("frame sampling covers the timeline, slices byte-true, stays narrow") {
     import spark.implicits._
     // payload lengths straddling the stride boundaries: 0 (no frames),

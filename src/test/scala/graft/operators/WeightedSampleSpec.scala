@@ -92,6 +92,31 @@ class WeightedSampleSpec extends SparkSpec {
       s"mean estimate $mean vs true $total across 30 seeds")
   }
 
+  test("an id re-delivered with a changed weight keeps ONE row — larger weight wins") {
+    val base = (0L until 300L).map(id => ("g", id, 1L + (id * 7 % 200)))
+    val surv = Sampling.wsSurvivors(base.toDF("g", "doc_id", "w"),
+      "doc_id", Seq("g"), "w", k = 16)
+    // pick a current survivor and re-deliver it with a LARGER weight
+    val someId = surv.select("doc_id").as[Long].head()
+    val up = Sampling.wsUpdate(surv,
+      Seq(("g", someId, 16000L)).toDF("g", "doc_id", "w"),
+      "doc_id", Seq("g"), "w", 16)
+    val upRows = up.select("doc_id", "weight").as[(Long, Long)].collect()
+    assert(upRows.count(_._1 == someId) == 1, "one row per id")
+    assert(upRows.find(_._1 == someId).get._2 == 16000L, "larger weight wins")
+    // re-deliver with a SMALLER weight: the survivor keeps its larger draw
+    val down = Sampling.wsUpdate(up,
+      Seq(("g", someId, 1L)).toDF("g", "doc_id", "w"),
+      "doc_id", Seq("g"), "w", 16)
+    val downRows = down.select("doc_id", "weight").as[(Long, Long)].collect()
+    assert(downRows.count(_._1 == someId) == 1)
+    assert(downRows.find(_._1 == someId).get._2 == 16000L)
+    // the final sample holds distinct ids only
+    val sample = Sampling.wsSample(down, "doc_id", Seq("g"), 16)
+      .select("doc_id").as[Long].collect()
+    assert(sample.length == sample.distinct.length)
+  }
+
   test("weights outside [1, 16384] and null weights raise") {
     for (bad <- Seq(0L, 16385L)) {
       val e = intercept[Exception] {

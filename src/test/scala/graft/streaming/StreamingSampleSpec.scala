@@ -137,6 +137,84 @@ class StreamingSampleSpec extends SparkSpec
     }
   }
 
+  test("weighted-sample: a changed-weight re-delivery keeps one row per id") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 200L).map(i => ("g", i, 1L + (i * 11 % 300)))
+    val k = 6
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = StreamingSample.weightedSampleStream(
+        ms.toDF().toDF("g", "doc_id", "w"), "doc_id", "g", "w", k)
+      .writeStream.format("memory").queryName("ws_wchg")
+      .outputMode("update").start()
+    try {
+      ms.addData(rows: _*); q.processAllAvailable()
+      // re-deliver a current survivor with a LARGER weight: exactly one
+      // row per id in the refreshed sample, carrying the new weight —
+      // the batch wsUpdate larger-weight-wins rule
+      val survivor = spark.table("ws_wchg")
+        .orderBy(org.apache.spark.sql.functions.desc("rank"))
+        .select("id").as[Long].head()
+      ms.addData(("g", survivor, 16000L)); q.processAllAvailable()
+      val latest = spark.table("ws_wchg")
+        .withColumn("_i", monotonically_increasing_id())
+        .orderBy(col("_i").desc)
+        .select("rank", "id", "weight").as[(Int, Long, Long)].collect()
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      var expect = latest.head._1
+      var i = 0
+      while (i < latest.length && latest(i)._1 == expect) {
+        picks += latest(i); expect -= 1; i += 1
+      }
+      assert(picks.count(_._2 == survivor) == 1, "one row per id")
+      assert(picks.find(_._2 == survivor).get._3 == 16000L, "larger weight wins")
+      // a SMALLER-weight re-delivery changes nothing (no emission)
+      val n0 = spark.table("ws_wchg").count()
+      ms.addData(("g", survivor, 1L)); q.processAllAvailable()
+      assert(spark.table("ws_wchg").count() == n0,
+        "a losing weight re-delivery must not emit")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS ws_wchg")
+    }
+  }
+
+  test("weighted-sample: a k-shrink across a checkpoint truncates state, τ stays live") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ws-kchg").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ws-kchg-out").toString
+    val rows = (0L until 120L).map(i => ("g", i, 1L + (i * 13 % 250)))
+    val ms = MemoryStream[(String, Long, Long)]
+    def start(k: Int) = StreamingSample.weightedSampleStream(
+        ms.toDF().toDF("g", "doc_id", "w"), "doc_id", "g", "w", k)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingSample.WsPick],
+          bid: Long) =>
+        df.withColumn("_b", lit(bid)).write.mode("append").parquet(outDir)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start(k = 8)
+    ms.addData(rows.take(100): _*); q1.processAllAvailable()
+    q1.stop()
+    // restart with a SMALLER k: the 9-row checkpoint state must truncate
+    // to the best 6, so the k+1-th priority (τ) is still found and w_hat
+    // keeps the estimator property instead of silently collapsing to w
+    val q2 = start(k = 5)
+    try {
+      ms.addData(rows.drop(100): _*); q2.processAllAvailable()
+      val log = spark.read.parquet(outDir)
+      val lastBatch = log.agg(max("_b")).as[Long].head()
+      val picks = log.filter(col("_b") === lastBatch)
+        .select("rank", "id", "weight", "w_hat")
+        .as[(Int, Long, Long, Long)].collect().toSeq
+      assert(picks.size == 5, s"sample size must follow the new k: $picks")
+      // 120 rows >> k: the group is oversubscribed, so τ > 0 and at least
+      // one pick must carry w_hat > weight (the τ floor)
+      assert(picks.exists(p => p._4 > p._3),
+        s"τ must survive the k change (w_hat stuck at w): $picks")
+    } finally q2.stop()
+  }
+
   test("weighted-sample state persists across a restart; pure replay is silent") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("ws-ckpt").toString
