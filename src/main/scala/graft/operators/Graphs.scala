@@ -114,4 +114,77 @@ object Graphs {
     }
     (ranks, it)
   }
+
+  /** HITS hubs & authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 46(5), 1999) — the second classic
+    * link-structure signal: authorities are pages good hubs point TO,
+    * hubs are pages pointing to good authorities. A crawl funnel reads
+    * the authority side as a content-quality prior complementing
+    * [[pageRank]]'s random-surfer model (directory/listing pages surface
+    * as hubs, content pages as authorities).
+    *
+    * Integer fixed-point with L1 re-normalization each half-step:
+    * {{{
+    *   araw(n) = Σ_{s→n} hub(s);   auth(n) = araw(n)·scale div Σ araw
+    *   hraw(n) = Σ_{n→d} auth(d);  hub(n)  = hraw(n)·scale div Σ hraw
+    * }}}
+    * Power iteration converges to the principal eigenvectors of AᵀA/AAᵀ
+    * whatever norm rescales each step — L1 keeps every intermediate in
+    * BIGINT (per-node araw ≤ Σ hub = scale, so araw·scale ≤ 10^18;
+    * the totals stay inside BIGINT while scale·max-outdegree < 2^63)
+    * and engine-replayable bit-for-bit (the [[pageRank]] stance: BIGINT
+    * sums commute, so the output is hash-stable under any partitioning).
+    * An edgeless graph (or one side empty) normalizes to all-zero scores
+    * via the zero-total guard instead of dividing by zero.
+    *
+    * Scale shape: per iteration, two edge-relation joins + two
+    * map-side-combinable sums + two one-row broadcast totals (the
+    * crossJoin one-row-aggregate pattern); each half-step's score
+    * relation passes the same eager barrier as [[pageRank]]
+    * (`localCheckpoint`, or reliable `checkpoint()` when
+    * `checkpointDir` is set).
+    *
+    * Returns (node, hub, auth) over nodes = distinct src ∪ dst.
+    */
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
+           checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"need 1 <= iters <= 100, got $iters")
+    require(scale >= 1L, s"need scale >= 1, got $scale")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def barrier(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = barrier(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")))
+    val nodes = barrier(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val n = math.max(nodes.count(), 1L)
+    val init = scale / n
+    /** raw = Σ over `joinKey` edges of the counterpart score; then
+      * L1-normalize to Σ ≈ scale (zero-total guard → all zeros).
+      */
+    def halfStep(scores: DataFrame, scoreCol: String, joinKey: String,
+                 groupKey: String, outCol: String): DataFrame = {
+      val raw = e
+        .join(scores.withColumnRenamed("node", joinKey), joinKey)
+        .groupBy(col(groupKey).as("node"))
+        .agg(sum(col(scoreCol)).as("_raw"))
+      val tot = raw.agg(coalesce(sum(col("_raw")), lit(0L)).as("_tot"))
+      barrier(nodes
+        .join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"), expr(
+          s"CASE WHEN _tot = 0 THEN cast(0 as bigint) " +
+            s"ELSE (coalesce(_raw, cast(0 as bigint)) * cast($scale as bigint))" +
+            s" div _tot END").as(outCol)))
+    }
+    var hubs = barrier(nodes.select(col("node"), lit(init).as("hub")))
+    var auths = hubs.select(col("node"), lit(0L).as("auth"))
+    var it = 0
+    while (it < iters) {
+      auths = halfStep(hubs, "hub", "src", "dst", "auth")
+      hubs = halfStep(auths, "auth", "dst", "src", "hub")
+      it += 1
+    }
+    hubs.join(auths, "node")
+  }
 }

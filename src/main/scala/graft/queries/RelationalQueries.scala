@@ -306,6 +306,23 @@ object RelationalQueries {
       graft.operators.Graphs.pageRank(edges, iters = 10)
     },
 
+    // HITS hubs/authorities over the SAME planted graph as link_rank —
+    // the second link-structure quality signal (Kleinberg 1999). Six
+    // iterations of integer L1-normalized power iteration; DuckDB
+    // replays every half-step bit-for-bit through unrolled MATERIALIZED
+    // CTEs (the linkRankOracle construction).
+    "link_hits" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val tot = docs.agg(count(lit(1)).as("_n"))
+      val base = docs.crossJoin(broadcast(tot))
+        .filter(col("doc_id") % 50 =!= 0)
+      val edges = base
+        .select(col("doc_id").as("src"), expr("(doc_id * 7 + 3) % _n").as("dst"))
+        .unionByName(base.select(col("doc_id").as("src"),
+          expr("(doc_id * 13 + 1) % _n").as("dst")))
+      graft.operators.Graphs.hits(edges, iters = 6)
+    },
+
     // Continuous-domain quantile sketch: per-event_type percentiles of the
     // RAW double value from a bottom-k (k=256) id-hash row sample — the
     // rung histogramQuantiles can't serve without quantizing. Exchange is
@@ -477,6 +494,8 @@ object RelationalQueries {
     // integer — DuckDB's sum() widens to HUGEINT, so every aggregate is
     // cast back to BIGINT before it feeds the next iteration.
     "link_rank" -> linkRankOracle(10),
+
+    "link_hits" -> linkHitsOracle(6),
 
     // CMS replay: same salted md5-prefix bucket hash (digit-unpacked),
     // same counter cells, same min-over-rows estimate.
@@ -700,6 +719,47 @@ object RelationalQueries {
     }
     (head +: steps).mkString(",\n") +
       s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters"
+  }
+
+  /** HITS oracle: the linkRank graph CTEs, then per iteration an in-sum
+    * (authorities), its L1 total, the normalized auth relation, and the
+    * mirror half-step for hubs — every block MATERIALIZED, all integer
+    * (`//` and Spark's `div` agree on the non-negative scores).
+    */
+  private def linkHitsOracle(iters: Int): String = {
+    val head =
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |b AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |edges AS MATERIALIZED (
+        |  SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst FROM b
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 1) % (SELECT n FROM nn) FROM b),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nc AS (SELECT count(*) AS n FROM nodes),
+        |h0 AS MATERIALIZED (SELECT node,
+        |  CAST((SELECT 1000000000 // n FROM nc) AS BIGINT) AS hub FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s"""ar$k AS (SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS araw
+         |  FROM edges e JOIN h$p h ON h.node = e.src GROUP BY e.dst),
+         |at$k AS (SELECT CAST(coalesce(sum(araw), 0) AS BIGINT) AS tot FROM ar$k),
+         |a$k AS MATERIALIZED (SELECT nodes.node,
+         |    CASE WHEN (SELECT tot FROM at$k) = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE coalesce(ar.araw, CAST(0 AS BIGINT)) * 1000000000
+         |              // (SELECT tot FROM at$k) END AS auth
+         |  FROM nodes LEFT JOIN ar$k ar ON ar.node = nodes.node),
+         |hr$k AS (SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS hraw
+         |  FROM edges e JOIN a$k a ON a.node = e.dst GROUP BY e.src),
+         |ht$k AS (SELECT CAST(coalesce(sum(hraw), 0) AS BIGINT) AS tot FROM hr$k),
+         |h$k AS MATERIALIZED (SELECT nodes.node,
+         |    CASE WHEN (SELECT tot FROM ht$k) = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE coalesce(hr.hraw, CAST(0 AS BIGINT)) * 1000000000
+         |              // (SELECT tot FROM ht$k) END AS hub
+         |  FROM nodes LEFT JOIN hr$k hr ON hr.node = nodes.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT h.node, h.hub, a.auth FROM h$iters h JOIN a$iters a ON a.node = h.node"
   }
 
   /** Bottom-k quantile-sample oracle: hash replay over event_id, the same

@@ -120,4 +120,65 @@ class GraphsSpec extends SparkSpec {
       .filter(p => java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0, "checkpoint dir is empty — reliable path did not engage")
   }
+
+  // ------------------------------------------------------------------ HITS
+
+  /** Independent replica of the documented integer L1-normalized HITS
+    * update (Maps and loops — no Spark).
+    */
+  private def hitsReplica(edges: Seq[(Long, Long)],
+                          iters: Int): Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val init = scale / nodes.size.toLong
+    var hub = nodes.map(_ -> init).toMap
+    var auth = nodes.map(_ -> 0L).toMap
+    def half(src: Map[Long, Long], in: Boolean): Map[Long, Long] = {
+      val raw = edges.groupBy(e => if (in) e._2 else e._1).view
+        .mapValues(_.map(e => src(if (in) e._1 else e._2)).sum).toMap
+      val tot = raw.values.sum
+      nodes.map(v => v ->
+        (if (tot == 0L) 0L else raw.getOrElse(v, 0L) * scale / tot)).toMap
+    }
+    (1 to iters).foreach { _ =>
+      auth = half(hub, in = true)
+      hub = half(auth, in = false)
+    }
+    nodes.map(v => v -> ((hub(v), auth(v)))).toMap
+  }
+
+  test("hits matches the independent replica on a random graph, any layout") {
+    val rnd = new Random(83)
+    val edges = (0 until 400).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).distinct
+    val want = hitsReplica(edges, 6)
+    for (parts <- Seq(1, 7)) {
+      val got = Graphs.hits(edges.toDF("src", "dst").repartition(parts), 6)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("hits structure: a star's center is the authority, leaves the hubs") {
+    val edges = (1L to 9L).map(i => (i, 0L)) // 9 leaves all point at 0
+    val got = Graphs.hits(edges.toDF("src", "dst"), 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // the center holds ALL authority mass and none of the hub mass;
+    // each leaf holds 1/9 of the hub mass and zero authority
+    assert(got(0L)._2 == scale && got(0L)._1 == 0L)
+    for (l <- 1L to 9L) {
+      assert(got(l)._2 == 0L, s"leaf $l must have no authority")
+      assert(got(l)._1 == scale / 9, s"leaf $l hub share")
+    }
+    assert(got == hitsReplica(edges, 4))
+  }
+
+  test("hits zero-total guard: a single self-loop-free chain end stays finite") {
+    // 0 -> 1: after auth normalizes to node 1 only, hubs re-derive from
+    // auth; no division by zero anywhere even with one edge
+    val got = Graphs.hits(Seq((0L, 1L)).toDF("src", "dst"), 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) == ((scale, 0L))) // the only hub
+    assert(got(1L) == ((0L, scale))) // the only authority
+  }
 }
