@@ -180,6 +180,55 @@ class CurationOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"anchorLinks must not shuffle:\n$plan")
   }
 
+  test("anchorLinks fuzz: randomized anchor soup equals a JVM regex replica") {
+    // random documents assembled from anchor fragments in all three
+    // quotings, malformed tags, nested tags inside anchor text, newlines
+    // inside quoted hrefs, and plain-text noise — the operator must equal
+    // an independent JVM application of its own defining regex contract
+    val pat = ("(?i)<a[^>]*?href=(\"[^\"]*\"|'[^']*'|[^\"' \\t\\n\\r\\f>]+)" +
+      "[^>]*>([^<]*)").r
+    def jvmReplica(html: String): Seq[(String, String)] =
+      pat.findAllMatchIn(html).map { m =>
+        val hr0 = m.group(1)
+        val href =
+          if (hr0.length >= 2 && hr0.head == '"' && hr0.last == '"')
+            hr0.substring(1, hr0.length - 1)
+          else if (hr0.length >= 2 && hr0.head == '\'' && hr0.last == '\'')
+            hr0.substring(1, hr0.length - 1)
+          else hr0
+        val anchor = m.group(2).replaceAll("[ \\t\\n\\r\\f]+", " ")
+          .trim.toLowerCase
+        (href, anchor)
+      }.toSeq
+    val rnd = new scala.util.Random(59)
+    def frag(): String = rnd.nextInt(10) match {
+      case 0 => s"""<a href="/d/${rnd.nextInt(9)}">Text ${rnd.nextInt(9)}</a>"""
+      case 1 => s"""<a class=x href='/s/${rnd.nextInt(9)}'>  A  B </a>"""
+      case 2 => s"""<a href=/u/${rnd.nextInt(9)} id=k>u<b>inner</b></a>"""
+      case 3 => s"""<a href="/n/${rnd.nextInt(9)}\n2">n</a>"""
+      case 4 => s"""<a name=no>plain anchor</a>"""
+      case 5 => s"""<a href=>empty</a>"""
+      case 6 => "just text < with a stray bracket "
+      case 7 => s"""<a href="/e/${rnd.nextInt(9)}"></a>"""
+      case 8 => s"""<A HREF="/C/${rnd.nextInt(9)}">CAPS</A>"""
+      case _ => s" filler ${rnd.nextInt(99)} "
+    }
+    val docs = (0L until 60L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(8))(frag()).mkString))
+    val got = TextAnalysis.anchorLinks(docs.toDF("doc_id", "html"),
+        "doc_id", "html")
+      .select("doc_id", "link_idx", "href", "anchor")
+      .as[(Long, Int, String, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    val htmlOf = docs.toMap
+    for ((id, html) <- docs) {
+      val want = jvmReplica(html)
+      assert(got.getOrElse(id, Seq.empty) == want,
+        s"doc $id diverged on: ${htmlOf(id).take(200)}")
+    }
+  }
+
   // -------------------------------------------------------- span corrupt
 
   /** Parse '<extra_id_k> tok…' runs out of a target stream. */
