@@ -131,4 +131,40 @@ object MediaOps {
       }
     }(encoder)
   }
+
+  /** Resize/resample a media payload down to at most `targetBytes` bytes —
+    * the third multimodal verb beside feature extraction and frame
+    * sampling. Stride k = ceil(n / targetBytes) keeps every k-th byte
+    * starting at offset 0, so output length m = ceil(n / k) <= targetBytes
+    * for ANY input size, with metadata (orig_bytes, stride, new_bytes)
+    * carried alongside the resized content's digest.
+    *
+    * ==== STUB boundary ==== a real implementation decodes the payload and
+    * resamples in the signal domain (bilinear pixels, sinc audio); with no
+    * codec libraries in this environment the "resample" is byte-stride
+    * decimation. The pipeline mechanics — stride math, hard output bound,
+    * metadata update, zero-exchange narrow map (plan-pinned in
+    * LlmOpsSpec) — are the real, tested part. Like [[sampleFrames]]'s
+    * oracle, the DuckDB replay selects chars where Spark selects bytes:
+    * valid under the spec-asserted ASCII-payload precondition.
+    */
+  def resizePayload(media: DataFrame, targetBytes: Int = 64): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    media
+      .withColumn("_stride", greatest(
+        expr(s"(meta.n_bytes + ${targetBytes - 1}) div $targetBytes"), lit(1L)))
+      .withColumn("_m", expr("(meta.n_bytes + _stride - 1) div _stride"))
+      .withColumn("_txt", decode(col("payload"), "UTF-8"))
+      .withColumn("resized",
+        when(col("_m") <= 0L, lit(""))
+          .otherwise(array_join(
+            transform(sequence(lit(0L), col("_m") - 1L),
+              i => col("_txt").substr((i * col("_stride") + 1L).cast("int"),
+                lit(1))), "")))
+      .select(col("media_id"),
+        col("meta.n_bytes").as("orig_bytes"),
+        col("_stride").as("stride"),
+        octet_length(col("resized")).cast("long").as("new_bytes"),
+        md5(encode(col("resized"), "UTF-8")).as("resized_digest"))
+  }
 }

@@ -176,6 +176,16 @@ object LlmQueries {
           col("frame_digest"), col("n_frames"))
     },
 
+    // Multimodal resize: every payload decimated to <= 64 bytes by byte
+    // stride (the resample stub), metadata updated, digest of the resized
+    // content hash-compared — zero-exchange narrow map, output bound hard
+    // for any payload size.
+    "media_resize" -> { (s, d) =>
+      MediaOps.resizePayload(
+        MediaOps.asMedia(Tables.documents(s, d), "doc_id", "text"),
+        targetBytes = 64)
+    },
+
     // Duplicate clusters: connected components (large-star/small-star) over
     // the exact n-gram jaccard pairs; every document labeled with its
     // component min + a canonical (survivor) flag.
@@ -759,6 +769,26 @@ object LlmQueries {
         |       md5(substr(text, (fi * 250 + 1)::INTEGER, 16)) AS frame_digest,
         |       n_frames
         |FROM x""".stripMargin,
+
+    // Resize replay: same stride math (`//` == Spark's div on these
+    // non-negative operands), char-based selection under the same
+    // spec-asserted ASCII precondition as media_frames.
+    "media_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |             strlen(text)::BIGINT AS n FROM documents),
+        |k AS (SELECT media_id, text, n,
+        |        greatest((n + 63) // 64, CAST(1 AS BIGINT)) AS stride FROM m),
+        |r AS (SELECT media_id, n, stride,
+        |        CASE WHEN (n + stride - 1) // stride <= 0 THEN ''
+        |             ELSE array_to_string(
+        |               [substr(text, (i * stride + 1)::INTEGER, 1)
+        |                for i in range(0, (n + stride - 1) // stride)], '')
+        |        END AS resized
+        |      FROM k)
+        |SELECT media_id, n AS orig_bytes, stride,
+        |       strlen(resized)::BIGINT AS new_bytes,
+        |       md5(resized) AS resized_digest
+        |FROM r""".stripMargin,
 
     // transitive closure over the same 4-gram jaccard pairs dedup_ngram
     // checks; cluster id = min reachable doc id (component min)

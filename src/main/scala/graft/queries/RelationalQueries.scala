@@ -346,6 +346,42 @@ object RelationalQueries {
         .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
       graft.plans.GroupTopK.topK(docs, Seq("lang", "source"),
         Seq("n_chars" -> false, "doc_id" -> true), k = 5)
+    },
+
+    // Z-order layout key over (quantity, price): the verified half of the
+    // multi-dim clustering story ([[graft.io.Layout]]; the file-skipping
+    // effect itself is pinned in LayoutSpec, which this relation can't
+    // see). 256 key-range buckets with per-bucket min/max of BOTH dims —
+    // tight on both at once is exactly the property a one-column sort
+    // cannot produce. Static bounds (qty 1..50, floor(price) 900..105000)
+    // as at scale: bounds come from table stats, outliers only clamp.
+    "layout_zorder" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      graft.io.Layout.withZOrderKey(li, Seq(
+          graft.io.Layout.ZDim(col("l_quantity"), 1L, 50L),
+          graft.io.Layout.ZDim(floor(col("l_extendedprice")), 900L, 105000L)),
+        bits = 8, out = "zkey")
+        .groupBy(shiftright(col("zkey"), 8).as("zbucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("l_quantity")).cast("long").as("min_q"),
+          max(col("l_quantity")).cast("long").as("max_q"),
+          min(floor(col("l_extendedprice"))).as("min_p"),
+          max(floor(col("l_extendedprice"))).as("max_p"))
+    },
+
+    // Salted skew join ([[graft.operators.Skew]]): lineitem->orders on
+    // (l_orderkey, 8-way row salt), orders replicated x8. Output provably
+    // equals the plain join (the oracle IS the plain join); the
+    // distribution property — the hottest key's partition shrinking to
+    // 1/salt — is pinned in SkewSpec on a planted 90%-hot-key fixture.
+    "skew_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", salt = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("cnt"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -538,7 +574,45 @@ object RelationalQueries {
         |FROM (SELECT lang, source, doc_id, n_chars,
         |       row_number() OVER (PARTITION BY lang, source
         |         ORDER BY n_chars DESC, doc_id) AS rn
-        |      FROM documents) WHERE rn <= 5""".stripMargin)
+        |      FROM documents) WHERE rn <= 5""".stripMargin,
+
+    "layout_zorder" -> layoutZorderOracle,
+
+    // the salted join is OUTPUT-equivalent to the plain join by
+    // construction — the oracle is the plain join
+    "skew_join" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)
+
+  /** Z-order replay: the same clamp/scale bucketization (`//` == the
+    * floor-through-double Spark computes — operands non-negative and the
+    * product bounded inside 2^53), then the bit interleave unrolled into
+    * 16 fully-parenthesized shift/mask terms (generated, like the Spark
+    * side's expression tree, from the same (bits=8, dims=2) layout).
+    * l_quantity and floor(l_extendedprice) are integral, so DuckDB's
+    * round-on-cast and Spark's truncate-on-cast agree.
+    */
+  private lazy val layoutZorderOracle: String = {
+    val terms = (for { i <- 0 until 8; j <- 0 until 2 } yield
+      s"(((b$j >> $i) & 1) << ${i * 2 + j})").mkString(" | ")
+    s"""WITH b AS (SELECT
+       |    ((least(greatest(CAST(l_quantity AS BIGINT), 1), 50) - 1) * 255)
+       |      // 49 AS b0,
+       |    ((least(greatest(CAST(floor(l_extendedprice) AS BIGINT), 900),
+       |      105000) - 900) * 255) // 104100 AS b1,
+       |    l_quantity, floor(l_extendedprice) AS p
+       |  FROM lineitem),
+       |z AS (SELECT ($terms) AS zkey, l_quantity, p FROM b)
+       |SELECT zkey >> 8 AS zbucket, count(*) AS cnt,
+       |       CAST(min(l_quantity) AS BIGINT) AS min_q,
+       |       CAST(max(l_quantity) AS BIGINT) AS max_q,
+       |       CAST(min(p) AS BIGINT) AS min_p,
+       |       CAST(max(p) AS BIGINT) AS max_p
+       |FROM z GROUP BY zbucket""".stripMargin
+  }
 
   /** The [[graft.operators.Sketches.hash48]] replay: DuckDB lacks
     * `conv(hex, 16, 10)`, so the 12-char md5 prefix (in a column named

@@ -1,0 +1,101 @@
+package graft.io
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: the Morton key against a JVM replica, bucketization
+  * boundaries, and the property the layout exists for — a conjunctive
+  * rectangle predicate prunes most files on per-file min/max stats, where
+  * a one-column sort layout prunes none.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def mortonRef(dims: Seq[Long], bits: Int): Long = {
+    val d = dims.size
+    var z = 0L
+    for (i <- 0 until bits; j <- 0 until d)
+      z |= ((dims(j) >> i) & 1L) << (i * d + j)
+    z
+  }
+
+  test("mortonKey matches the JVM replica for 2 and 3 dims") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(300)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong,
+      rnd.nextInt(32).toLong))
+    val df = rows.toDF("a", "b", "c")
+    val got2 = df.select(col("a"), col("b"),
+        Layout.mortonKey(Seq(col("a"), col("b")), 8).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got2.foreach { case (a, b, z) =>
+      assert(z == mortonRef(Seq(a, b), 8), s"2-dim ($a, $b)")
+    }
+    val got3 = df.select(col("a") % 32, col("b") % 32, col("c"),
+        Layout.mortonKey(Seq(col("a") % 32, col("b") % 32, col("c")), 5).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    got3.foreach { case (a, b, c, z) =>
+      assert(z == mortonRef(Seq(a, b, c), 5), s"3-dim ($a, $b, $c)")
+    }
+  }
+
+  test("rangeBucket clamps and maps bounds to the bucket edges") {
+    import spark.implicits._
+    val df = Seq(-100L, 900L, 52950L, 105000L, 999999L).toDF("v")
+    val got = df.select(col("v"),
+        Layout.rangeBucket(col("v"), 900L, 105000L, 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(-100L) == 0L && got(900L) == 0L) // below-lo clamps to edge
+    assert(got(105000L) == 255L && got(999999L) == 255L)
+    assert(got(52950L) == 127L) // midpoint: (52050 * 255) / 104100 = 127.5 -> 127
+    // monotone across the range
+    val seq = (900L to 105000L by 1000L).toDF("v")
+      .select(Layout.rangeBucket(col("v"), 900L, 105000L, 8).as("b"))
+      .as[Long].collect()
+    assert(seq.zip(seq.tail).forall { case (x, y) => x <= y })
+  }
+
+  test("z-order layout prunes a rectangle scan; a 1-col sort layout cannot") {
+    val dims = Seq(
+      Layout.ZDim(col("l_quantity"), 1L, 50L),
+      Layout.ZDim(floor(col("l_extendedprice")), 900L, 105000L))
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val zdir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val ldir = java.nio.file.Files.createTempDirectory("linear").toString
+    Layout.writeZOrdered(li, zdir, dims, bits = 8, numFiles = 16)
+    li.repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(ldir)
+
+    // per-file bounding boxes — what parquet row-group stats expose to a
+    // scan — then count files a (qty in [20,30]) x (price in [20k,40k])
+    // rectangle cannot prune
+    def intersecting(path: String): (Long, Long) = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_quantity").as("qlo"), max("l_quantity").as("qhi"),
+          min("l_extendedprice").as("plo"), max("l_extendedprice").as("phi"))
+      val total = stats.count()
+      val hit = stats.filter(col("qlo") <= 30 && col("qhi") >= 20 &&
+        col("plo") <= 40000 && col("phi") >= 20000).count()
+      (hit, total)
+    }
+    val (zHit, zTotal) = intersecting(zdir)
+    val (lHit, lTotal) = intersecting(ldir)
+    assert(zTotal == 16 && lTotal == 16, s"expected 16 files, got $zTotal/$lTotal")
+    // orderkey says nothing about qty/price: every linear file intersects
+    assert(lHit >= 15, s"linear layout should be unprunable, hit $lHit/16")
+    // the z-layout must prune at least half the files the linear one scans
+    assert(zHit * 2 <= lHit, s"z-order pruned too little: $zHit vs $lHit")
+
+    // the layout is a re-arrangement, not a transformation
+    val (n0, s0) = (li.count(),
+      li.agg(sum("l_extendedprice")).head().getDouble(0))
+    val back = spark.read.parquet(zdir)
+    val (n1, s1) = (back.count(),
+      back.agg(sum("l_extendedprice")).head().getDouble(0))
+    assert(n0 == n1 && math.abs(s0 - s1) < 1e-6 * math.abs(s0))
+  }
+}

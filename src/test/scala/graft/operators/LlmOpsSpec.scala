@@ -342,7 +342,7 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
-  test("stub media payloads are pure ASCII — the media_frames oracle precondition") {
+  test("stub media payloads are pure ASCII — the media_frames/media_resize oracle precondition") {
     // the DuckDB oracle slices text with char-based substr while Spark
     // slices the UTF-8 payload BYTES; they agree only while the corpus is
     // ASCII. A testdata regeneration that ships any non-ASCII character
@@ -351,7 +351,8 @@ class LlmOpsSpec extends SparkSpec {
       .filter(col("text").isNotNull &&
         not(col("text").rlike("^[\\x00-\\x7F]*$"))).count()
     assert(nonAscii == 0,
-      s"$nonAscii non-ASCII documents: re-derive the media_frames oracle byte-wise")
+      s"$nonAscii non-ASCII documents: re-derive the media_frames and " +
+        "media_resize oracles byte-wise")
   }
 
   test("frame sampling covers the timeline, slices byte-true, stays narrow") {
@@ -390,6 +391,41 @@ class LlmOpsSpec extends SparkSpec {
       MediaOps.sampleFrames(huge, everyMs = 10, maxFrames = 3).collect()
     }
     assert(e.getMessage.contains("maxFrames"), e.getMessage)
+  }
+
+  test("payload resize bounds output, strides byte-true, stays narrow") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // lengths straddling the stride breakpoints for targetBytes=64:
+    // 0 (empty), 1, 63/64 (stride 1, identity), 65/128 (stride 2), 700
+    // (stride 11, m=64 — the hard ceiling)
+    val texts = Map(
+      1L -> "", 2L -> "x", 3L -> "a" * 63, 4L -> "b" * 64,
+      5L -> (0 until 65).map(i => ('a' + i % 26).toChar).mkString,
+      6L -> (0 until 128).map(i => ('a' + i % 26).toChar).mkString,
+      7L -> (0 until 700).map(i => ('a' + i % 26).toChar).mkString)
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val media = MediaOps.asMedia(docs, "doc_id", "text")
+    val got = MediaOps.resizePayload(media, targetBytes = 64)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((id, t) <- texts) {
+      val n = t.length
+      val k = math.max((n + 63) / 64, 1)
+      val resized = (0 until (n + k - 1) / k).map(i => t(i * k)).mkString
+      val (_, ob, st, nb, dig) = got(id)
+      assert(ob == n && st == k && nb == resized.length &&
+        dig == md5hex(resized), s"media $id: got $st/$nb")
+      assert(nb <= 64, s"media $id resize exceeded the target: $nb")
+    }
+    assert(got(1L)._4 == 0L && got(1L)._5 == md5hex("")) // empty stays empty
+    assert(got(4L)._4 == 64L && got(4L)._3 == 1L) // exact fit: identity
+    assert(got(7L)._3 == 11L && got(7L)._4 == 64L) // ceiling case
+    // zero-exchange narrow map
+    val plan = MediaOps.resizePayload(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"resize must not shuffle:\n$plan")
   }
 
   test("language id picks the profile with the best score") {
