@@ -90,4 +90,38 @@ object Layout {
       .drop(key)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Compact a parquet directory's small files into ~`targetBytes` files —
+    * the small-files remedy every long-running ingest needs: a streaming
+    * sink or fine-grained partitioned write leaves thousands of KB-sized
+    * files whose per-file open/footer cost dominates the next scan, and
+    * whose task count explodes the next job's scheduler overhead.
+    *
+    * File count = ceil(on-disk bytes / targetBytes) — sized from the
+    * DIRECTORY's real size, not a row-count guess, so compaction is
+    * idempotent (re-running on compacted output is a near-no-op rewrite of
+    * the same count). `coalesce` (not repartition) merges inputs without a
+    * shuffle; an optional `sortBy` re-sorts within the merged files (a
+    * shuffle-free sortWithinPartitions) to keep row-group stats tight
+    * through the rewrite. Writes to `path + ".compact"` then swaps, so a
+    * reader never sees a half-written directory.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024,
+              sortBy: Seq[String] = Nil): Long = {
+    require(targetBytes >= 1)
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hadoopPath).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df0 = spark.read.parquet(path).coalesce(nFiles)
+    val df = if (sortBy.isEmpty) df0
+             else df0.sortWithinPartitions(sortBy.map(col): _*)
+    val tmp = path.stripSuffix("/") + ".compact"
+    df.write.mode("overwrite").parquet(tmp)
+    fs.delete(hadoopPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hadoopPath))
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    nFiles.toLong
+  }
 }

@@ -98,4 +98,31 @@ class LayoutSpec extends SparkSpec {
       back.agg(sum("l_extendedprice")).head().getDouble(0))
     assert(n0 == n1 && math.abs(s0 - s1) < 1e-6 * math.abs(s0))
   }
+
+  test("compact merges small files, preserves content, and is idempotent") {
+    def parquetFiles(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles().toSeq
+        .filter(f => f.getName.endsWith(".parquet") && f.getName.startsWith("part-"))
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    li.repartition(64).write.parquet(dir) // the streaming-sink shape: 64 shards
+    assert(parquetFiles(dir).size == 64)
+    val before = li.agg(count(lit(1)), sum("l_extendedprice")).head()
+
+    val total = parquetFiles(dir).map(_.length).sum
+    val n = Layout.compact(spark, dir, targetBytes = (total + 3) / 4)
+    assert(n == 4 && parquetFiles(dir).size == 4, s"expected 4 files, got $n")
+    val after = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum("l_extendedprice")).head()
+    assert(before.getLong(0) == after.getLong(0) &&
+      math.abs(before.getDouble(1) - after.getDouble(1))
+        < 1e-6 * math.abs(before.getDouble(1)))
+
+    // idempotent: same target on compacted output keeps the count stable
+    val total2 = parquetFiles(dir).map(_.length).sum
+    val n2 = Layout.compact(spark, dir, targetBytes = (total2 + 3) / 4)
+    assert(n2 <= 5 && parquetFiles(dir).size.toLong == n2,
+      s"re-compaction should be stable, got $n2 files")
+    assert(spark.read.parquet(dir).count() == before.getLong(0))
+  }
 }
