@@ -103,8 +103,11 @@ object Layout {
     * the same count). `coalesce` (not repartition) merges inputs without a
     * shuffle; an optional `sortBy` re-sorts within the merged files (a
     * shuffle-free sortWithinPartitions) to keep row-group stats tight
-    * through the rewrite. Writes to `path + ".compact"` then swaps, so a
-    * reader never sees a half-written directory.
+    * through the rewrite. Writes to `path + ".compact"` then swaps
+    * (delete + rename — no filesystem here has an atomic directory swap),
+    * so a reader sees the old files, a briefly missing directory, or the
+    * new files — never a half-written mix. A crash inside the swap window
+    * leaves the full output at the `.compact` path.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,

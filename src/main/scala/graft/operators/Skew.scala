@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** The deterministic per-row salt in [0, salt). */
+  /** The deterministic per-row salt in [0, salt). Note `hash` rejects
+    * MapType columns (Catalyst has no canonical map order); project such a
+    * fact side to hashable columns (or a map_entries sort) before salting.
+    */
   def saltColumn(df: DataFrame, salt: Int): Column =
     pmod(hash(df.columns.map(col): _*), lit(salt))
 
