@@ -369,6 +369,22 @@ object RelationalQueries {
           max(floor(col("l_extendedprice"))).as("max_p"))
     },
 
+    // Bloom-pruned join ([[graft.operators.JoinPrune]]): a selective dim
+    // (urgent orders, ~20%) broadcast as a bloom filter that prefilters
+    // lineitem BEFORE its shuffle. No false negatives -> output provably
+    // equals the plain join (the oracle IS the plain join); the pruning
+    // itself is pinned in JoinPruneSpec.
+    "bloom_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      graft.operators.JoinPrune.bloomPrunedJoin(li, dim, "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+    },
+
     // Salted skew join ([[graft.operators.Skew]]): lineitem->orders on
     // (l_orderkey, 8-way row salt), orders replicated x8. Output provably
     // equals the plain join (the oracle IS the plain join); the
@@ -577,6 +593,15 @@ object RelationalQueries {
         |      FROM documents) WHERE rn <= 5""".stripMargin,
 
     "layout_zorder" -> layoutZorderOracle,
+
+    // the bloom prefilter only removes rows the join would drop anyway —
+    // the oracle is the plain filtered join
+    "bloom_join" ->
+      """SELECT o_orderstatus, round(sum(l_extendedprice), 2) AS revenue,
+        | count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus""".stripMargin,
 
     // the salted join is OUTPUT-equivalent to the plain join by
     // construction — the oracle is the plain join
