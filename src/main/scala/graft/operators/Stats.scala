@@ -237,4 +237,55 @@ object Stats {
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** Per-key OLS trend: the integer-exact least-squares slope of the
+    * quantized metric against event time — the third drift signal beside
+    * [[cusum]] (sustained small shift) and [[ewma]] (instantaneous
+    * deviation): cusum says "the mean moved", trend says how fast and
+    * which way, per key, in one aggregation pass.
+    *
+    * x = (t − min(t) over the key) div `xUnitUs` — rebasing per key keeps
+    * x and all four moment sums exact BIGINTs for any realistic series
+    * (x ≤ span/unit; Σx² ≤ n·x² must stay below 2^63 — a 30-day span in
+    * minutes gives x ≤ 43 200, headroom to ~10^9 rows per key). The
+    * closed form slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) is combined in
+    * DECIMAL(38,0) — n·Σxy alone can pass 2^63 — and scaled by 10^6 with
+    * truncation toward zero (Spark's decimal `div`; a floor-division
+    * engine like DuckDB replays it exactly by sign-splitting), so
+    * `slope_ppm` (y-units per x-unit, ×10^6) is a portable integer.
+    * Degenerate keys (one observation, or all observations in one x
+    * bucket) have zero x-variance → NULL slope.
+    *
+    * Scale shape: one hash exchange on the keys — the per-key min is a
+    * partitionBy-only window and the groupBy's partial aggregation reuses
+    * its distribution (single-Exchange plan pinned in StatsSpec) — with
+    * O(1) aggregation state per key. Null metric or time rows are
+    * excluded (the [[ewma]] count-semantics stance).
+    */
+  def trend(df: DataFrame, keyCols: Seq[String], tsUsCol: String,
+            vCol: String, xUnitUs: Long = 60000000L): DataFrame = {
+    require(keyCols.nonEmpty, "trend needs key columns")
+    require(xUnitUs >= 1L, s"xUnitUs must be >= 1, got $xUnitUs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val staged = df
+      .filter(col(vCol).isNotNull && col(tsUsCol).isNotNull)
+      .withColumn("_t0", min(col(tsUsCol)).over(w))
+      .withColumn("_x", expr(s"(`$tsUsCol` - _t0) div $xUnitUs"))
+    staged.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x")).as("sx"),
+        sum(col(vCol)).as("sy"),
+        sum(col("_x") * col(vCol)).as("sxy"),
+        sum(col("_x") * col("_x")).as("sxx"))
+      .withColumn("slope_ppm", expr(
+        """CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx
+          |       - CAST(sx AS DECIMAL(38,0)) * sx = 0
+          |  THEN CAST(NULL AS BIGINT)
+          |  ELSE (CAST(n AS DECIMAL(38,0)) * sxy
+          |        - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000
+          |    div (CAST(n AS DECIMAL(38,0)) * sxx
+          |        - CAST(sx AS DECIMAL(38,0)) * sx)
+          |END""".stripMargin))
+  }
 }

@@ -215,6 +215,17 @@ object RelationalQueries {
         Seq("t_us", "event_id"), "vq", k = 3)
     },
 
+    // Per-user OLS trend slope — the third drift signal beside cusum_drift
+    // and stats_ewma: integer moment sums over per-key-rebased minutes,
+    // DECIMAL(38,0) combination, slope as a portable integer (ppm of a
+    // centivalue per minute). Zero-x-variance keys -> NULL slope.
+    "stats_trend" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        floor(col("value") * 100).cast("long").as("vq"))
+      graft.operators.Stats.trend(ev, Seq("user_id"), "t_us", "vq")
+    },
+
     // KMV distinct-count sketch: distinct active user-days per event type,
     // estimated from the 64 smallest 48-bit value hashes. The raw value
     // string never rides an exchange (only 8-byte hashes), and the
@@ -582,6 +593,32 @@ object RelationalQueries {
         |  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
         |SELECT user_id, event_id, t_us, vq, level >> 3 AS level_q, resid
         |FROM r""".stripMargin,
+
+    // Same rebase, same integer moments; the HUGEINT combination
+    // sign-splits the floor division to replay Spark's truncate-toward-
+    // zero decimal `div` exactly, and every sum is cast back from
+    // DuckDB's HUGEINT sum() to BIGINT.
+    "stats_trend" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us,
+        |             CAST(floor(value * 100) AS BIGINT) AS vq
+        |           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT user_id, min(t_us) AS t0 FROM e GROUP BY user_id),
+        |x AS (SELECT e.user_id, (t_us - t0) // 60000000 AS x, vq
+        |      FROM e JOIN m USING (user_id)),
+        |s AS (SELECT user_id, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(vq) AS BIGINT) AS sy,
+        |        CAST(sum(x * vq) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM x GROUP BY user_id)
+        |SELECT user_id, n, sx, sy, sxy, sxx,
+        |  CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN NULL
+        |       WHEN n::HUGEINT * sxy - sx::HUGEINT * sy < 0 THEN
+        |         -CAST(((sx::HUGEINT * sy - n::HUGEINT * sxy) * 1000000)
+        |               // (n::HUGEINT * sxx - sx::HUGEINT * sx) AS BIGINT)
+        |       ELSE CAST(((n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000)
+        |               // (n::HUGEINT * sxx - sx::HUGEINT * sx) AS BIGINT)
+        |  END AS slope_ppm
+        |FROM s""".stripMargin,
 
     // The heap operator's contract IS row_number-with-total-order: the
     // (n_chars DESC, doc_id ASC) tiebreak makes the k survivors unique.

@@ -219,4 +219,70 @@ class StatsSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(key#".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Join"), s"ewma must not join:\n$p")
   }
+
+  test("trend slope equals the exact BigInt least-squares replica") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 20 keys x 40 points: slope s in [-50, 50] centiunits/min + noise,
+    // timestamps at irregular minute offsets
+    val rows = for {
+      key <- 0 until 20
+      i <- 0 until 40
+    } yield {
+      val s = key * 5 - 50
+      val tUs = (i.toLong * 60 + rnd.nextInt(50)) * 60000000L / 60
+      (key.toLong, tUs, s.toLong * (tUs / 60000000L) + rnd.nextInt(400) - 200)
+    }
+    val df = rows.toDF("key", "t_us", "vq")
+    val got = Stats.trend(df, Seq("key"), "t_us", "vq")
+      .select("key", "n", "sx", "sy", "sxy", "sxx", "slope_ppm")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((key, group) <- rows.groupBy(_._1)) {
+      val t0 = group.map(_._2).min
+      val xy = group.map { case (_, t, v) =>
+        (BigInt((t - t0) / 60000000L), BigInt(v)) }
+      val n = BigInt(xy.size)
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val (sxy, sxx) = (xy.map(p => p._1 * p._2).sum, xy.map(p => p._1 * p._1).sum)
+      val den = n * sxx - sx * sx
+      val num = (n * sxy - sx * sy) * 1000000
+      val want = if (den == 0) null else Long.box((num / den).toLong) // BigInt / truncates
+      val r = got(key)
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == sx.toLong &&
+        r.getLong(3) == sy.toLong && r.getLong(4) == sxy.toLong &&
+        r.getLong(5) == sxx.toLong, s"sums differ for key $key")
+      val gotSlope = if (r.isNullAt(6)) null else Long.box(r.getLong(6))
+      assert(gotSlope == want, s"key $key: got $gotSlope want $want")
+      // the planted slope survives the noise (±200 over 40 pts -> the
+      // slope's own standard error is ~2.4; this is a plausibility check,
+      // the exact contract is the replica equality above)
+      if (want != null)
+        assert(math.abs(want.toLong / 1000000.0 - (key * 5 - 50)) < 8.0)
+    }
+  }
+
+  test("trend degenerate keys: zero x-variance gives a NULL slope") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1000L, 5L), // single observation
+      (2L, 1000L, 5L), (2L, 2000L, 9L), // both inside one x bucket
+      (3L, 0L, 0L), (3L, 120000000L, -100L) // real spread, negative slope
+    ).toDF("key", "t_us", "vq")
+    val got = Stats.trend(df, Seq("key"), "t_us", "vq")
+      .select("key", "slope_ppm").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else Long.box(r.getLong(1))))
+      .toMap
+    assert(got(1L) == null && got(2L) == null)
+    assert(got(3L) == Long.box(-50L * 1000000L)) // -100 centiunits / 2 min
+  }
+
+  test("trend plan: the window min and the aggregation share one exchange") {
+    import spark.implicits._
+    val df = (0 until 400).map(i => (i % 7L, i.toLong * 60000000L, i.toLong))
+      .toDF("key", "t_us", "vq")
+    val p = Stats.trend(df, Seq("key"), "t_us", "vq")
+      .queryExecution.executedPlan.toString()
+    assert("Exchange hashpartitioning\\(key#".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), s"trend must not join:\n$p")
+  }
 }
