@@ -104,3 +104,9 @@ class StreamingSampleRocksDbSpec extends StreamingSampleSpec {
   override protected def stateStoreProvider: Option[String] =
     Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }
+
+/** [[StreamingTrendSpec]] under RocksDB state storage. */
+class StreamingTrendRocksDbSpec extends StreamingTrendSpec {
+  override protected def stateStoreProvider: Option[String] =
+    Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}
