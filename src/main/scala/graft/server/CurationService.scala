@@ -103,6 +103,16 @@ object CurationService {
     idCol: String, groupCol: String, weightCol: String, k: Int,
     seed: String = "ws0") extends CurationStep
 
+  /** Per-key OLS trend slope over a pre-quantized BIGINT metric — the
+    * drift-direction signal beside [[EwmaStep]]'s level tracking
+    * ([[graft.streaming.StreamingTrend.trendStream]]; in-order-per-key
+    * feed contract — the rebase origin is the first event seen). Update
+    * semantics: the latest row per key IS the trend.
+    */
+  final case class TrendStep(name: String, table: String, keyCol: String,
+    tUsCol: String, idCol: String, valueCol: String,
+    unitUs: Long = 60000000L) extends CurationStep
+
   final case class CurationRequest(
     uuid: String,
     source: FileSourceConf,
@@ -188,6 +198,8 @@ final class CurationService(spark: SparkSession, checkpointRoot: String) {
         errs += s"step ${s.name}: k must be in [1, 16]"
       case s: WeightedSampleStep if s.k < 1 || s.k > 4096 =>
         errs += s"step ${s.name}: k must be in [1, 4096]"
+      case s: TrendStep if s.unitUs < 1L =>
+        errs += s"step ${s.name}: unitUs must be >= 1"
       case _ => ()
     }
     errs.result()
@@ -227,6 +239,11 @@ final class CurationService(spark: SparkSession, checkpointRoot: String) {
     case s: WeightedSampleStep =>
       graft.streaming.StreamingSample.weightedSampleStream(
         docs, s.idCol, s.groupCol, s.weightCol, s.k, s.seed).toDF()
+    case s: TrendStep =>
+      graft.streaming.StreamingTrend.trendStream(
+        docs.select(col(s.keyCol).as("key"), col(s.tUsCol).as("t_us"),
+          col(s.idCol).as("event_id"), col(s.valueCol).as("v")),
+        unitUs = s.unitUs).toDF()
   }
 
   /** Start (or resume) a curation job: one streaming query per step, each

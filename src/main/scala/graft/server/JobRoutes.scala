@@ -324,6 +324,11 @@ object JobRoutes {
           idCol = s("idCol").asStr, groupCol = s("groupCol").asStr,
           weightCol = s("weightCol").asStr, k = s("k").asNum.toInt,
           seed = s.get("seed").map(_.asStr).getOrElse("ws0"))
+        case "trend" => TrendStep(
+          name = s("name").asStr, table = s("table").asStr,
+          keyCol = s("keyCol").asStr, tUsCol = s("tUsCol").asStr,
+          idCol = s("idCol").asStr, valueCol = s("valueCol").asStr,
+          unitUs = s.get("unitUs").map(_.asNum.toLong).getOrElse(60000000L))
         case other => throw Json.ParseError(s"unknown step type '$other'")
       }
       case other => throw Json.ParseError(s"expected step, got $other")

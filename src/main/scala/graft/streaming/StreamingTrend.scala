@@ -159,7 +159,7 @@ object StreamingTrend {
       .withWatermark("ts", s"$delayMs milliseconds")
       .as[TrendEventT]
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
         processKeyOrdered(unitUs, lateAcc, idleTtlMs))
   }
 
@@ -182,7 +182,7 @@ object StreamingTrend {
       .filter(col("v").isNotNull)
       .as[TrendEvent]
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(
         processKey(unitUs, ttlMs))
   }
 }

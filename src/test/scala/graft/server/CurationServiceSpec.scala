@@ -134,7 +134,11 @@ class CurationServiceSpec extends SparkSpec {
       jdbcUrl = url, driverName = driver,
       steps = Seq(
         HllDistinctStep("hll", "cur_hll", "grp", "val", p = 8),
-        EwmaStep("ewma", "cur_ewma", "key", "t_us", "event_id", "v", k = 3)))
+        EwmaStep("ewma", "cur_ewma", "key", "t_us", "event_id", "v", k = 3),
+        // unitUs = 1: the fixture's t_us are small integers, so rebased x
+        // carries real variance instead of collapsing into one bucket
+        TrendStep("trend", "cur_trend", "key", "t_us", "event_id", "v",
+          unitUs = 1L)))
 
     def mkRows(ids: Range): Seq[(String, String, Long, Long, Long, Long)] =
       ids.map { i =>
@@ -163,6 +167,23 @@ class CurationServiceSpec extends SparkSpec {
           Seq("key"), Seq("t_us", "event_id"), "v", k = 3)
         .select(col("event_id"), col("level_q"), col("resid"))
         .as[(Long, Long, Long)].collect().toSet
+    // latest row per key (max n) IS the trend — the update contract
+    def trendView: Map[Long, (Long, Long)] =
+      readSink("cur_trend")
+        .select(col("key").cast("long"), col("n").cast("long"),
+          col("slope_ppm").cast("long"))
+        .as[(Long, Long, Option[Long])].collect()
+        .groupBy(_._1).map { case (k, rs) =>
+          val best = rs.maxBy(_._2)
+          k -> ((best._2, best._3.getOrElse(Long.MinValue)))
+        }
+    def trendExpected(rows: Seq[(String, String, Long, Long, Long, Long)]) =
+      graft.operators.Stats.trend(
+          rows.toDF("grp", "val", "key", "t_us", "event_id", "v"),
+          Seq("key"), "t_us", "v", xUnitUs = 1L)
+        .select(col("key"), col("n"), col("slope_ppm"))
+        .as[(Long, Long, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3.getOrElse(Long.MinValue)))).toMap
 
     val part1 = mkRows(0 until 60)
     part1.toDF("grp", "val", "key", "t_us", "event_id", "v").coalesce(1)
@@ -172,6 +193,7 @@ class CurationServiceSpec extends SparkSpec {
       svc.awaitIdle("cur-2")
       assert(hllView == hllExpected(part1))
       assert(ewmaView == ewmaExpected(part1))
+      assert(trendView == trendExpected(part1))
 
       svc.stop("cur-2")
       val part2 = mkRows(60 until 120) // later t_us: in-order per key
@@ -184,6 +206,8 @@ class CurationServiceSpec extends SparkSpec {
         "hll registers must survive the restart")
       assert(ewmaView == ewmaExpected(all),
         "the ewma level must survive the restart (no fresh-series resid)")
+      assert(trendView == trendExpected(all),
+        "the trend sums and rebase origin must survive the restart")
     } finally {
       svc.stop("cur-2")
       svc.shutdown()

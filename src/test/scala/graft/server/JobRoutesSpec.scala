@@ -212,7 +212,10 @@ class JobRoutesSpec extends SparkSpec {
            |     "keyCol": "doc_id", "tUsCol": "doc_id", "idCol": "doc_id",
            |     "valueCol": "doc_id", "k": 3},
            |    {"type": "weighted_sample", "name": "ws", "table": "curhttp_ws",
-           |     "idCol": "doc_id", "groupCol": "url", "weightCol": "w", "k": 3}
+           |     "idCol": "doc_id", "groupCol": "url", "weightCol": "w", "k": 3},
+           |    {"type": "trend", "name": "trend", "table": "curhttp_trend",
+           |     "keyCol": "doc_id", "tUsCol": "doc_id", "idCol": "doc_id",
+           |     "valueCol": "w", "unitUs": 1}
            |  ]
            |}""".stripMargin
       val sub = post(base, "/streamjob/submit", body)
@@ -223,11 +226,11 @@ class JobRoutesSpec extends SparkSpec {
       assert(st("status").asStr == "Running", st)
       val steps = st("steps").asArr.map(_.asObj)
       assert(steps.map(_("name").asStr).toSet ==
-        Set("bloom", "cap", "kmv", "hll", "ewma", "ws"))
+        Set("bloom", "cap", "kmv", "hll", "ewma", "ws", "trend"))
       assert(steps.forall(_("inputRows").asNum == 30.0), st)
       // the sink tables exist and carry rows
       Seq("curhttp_bloom", "curhttp_cap", "curhttp_kmv", "curhttp_hll",
-          "curhttp_ewma", "curhttp_ws").foreach { t =>
+          "curhttp_ewma", "curhttp_ws", "curhttp_trend").foreach { t =>
         val n = spark.read.format("jdbc").option("url", url)
           .option("dbtable", t).option("driver", driver).load().count()
         assert(n > 0, s"$t is empty")

@@ -70,7 +70,7 @@ class StreamingTrendSpec extends SparkSpec
       val q = StreamingTrend.trendStream(
           ms.toDF().toDF("key", "t_us", "event_id", "v"))
         .writeStream.format("memory").queryName("trend_out")
-        .outputMode("append").start()
+        .outputMode("update").start()
       try {
         rows.grouped(rows.size / chunks + 1).foreach { c =>
           ms.addData(c: _*); q.processAllAvailable()
@@ -94,10 +94,17 @@ class StreamingTrendSpec extends SparkSpec
     val ckpt = java.nio.file.Files.createTempDirectory("trend-ckpt").toString
     val outDir = java.nio.file.Files.createTempDirectory("trend-out").toString
     val ms = MemoryStream[Ev]
+    // update-mode emissions need an update-capable durable sink:
+    // foreachBatch appends each batch's refreshed rows (parquet itself
+    // only accepts Append); latest-by-n over all emissions is the trend
     def start() = StreamingTrend.trendStream(
         ms.toDF().toDF("key", "t_us", "event_id", "v"))
-      .writeStream.format("parquet").option("path", outDir)
-      .option("checkpointLocation", ckpt).outputMode("append").start()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          StreamingTrend.TrendRow], _: Long) =>
+        df.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt).outputMode("update").start()
 
     val q1 = start()
     ms.addData(firstHalf: _*); q1.processAllAvailable(); q1.stop()
@@ -154,7 +161,7 @@ class StreamingTrendSpec extends SparkSpec
         ms.toDF().toDF("key", "t_us", "event_id", "v"),
         delayMs = delayMs, lateAcc = Some(lateAcc))
       .writeStream.format("memory").queryName("trend_ord")
-      .outputMode("append").start()
+      .outputMode("update").start()
     try {
       val n = arrival.size
       val cuts = (Seq(0, n) ++ Seq.fill(11)(rng.nextInt(n + 1))).sorted.distinct
