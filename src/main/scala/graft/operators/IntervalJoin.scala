@@ -51,20 +51,66 @@ object IntervalJoin {
     require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
     val b = lit(bucketUs)
     val p = points.withColumn("_ib", floor(col(tsUsCol) / b))
-    val first = floor(col(startUsCol) / b)
-    val last = floor((col(endUsCol) - lit(1L)) / b)
-    val iv = intervals
-      .filter(col(endUsCol) > col(startUsCol))
-      .withColumn("_ib", explode(sequence(first,
-        when(last - first < lit(maxBucketsPerInterval.toLong), last)
-          .otherwise(raise_error(concat(
-            lit(s"intervalJoin: interval spans more than $maxBucketsPerInterval " +
-              s"buckets of $bucketUs us (["),
-            col(startUsCol), lit(", "), col(endUsCol),
-            lit(")) — bucketUs is mis-sized for this duration profile")))))))
+    val iv = explodeBuckets(intervals, startUsCol, endUsCol, bucketUs,
+      maxBucketsPerInterval, "intervalJoin")
     val joinKeys = keys :+ "_ib"
     p.join(iv, joinKeys)
       .filter(col(tsUsCol) >= col(startUsCol) && col(tsUsCol) < col(endUsCol))
+      .drop("_ib")
+  }
+
+  /** Replicate each `[start, end)` interval row onto its time-grid buckets
+    * as `_ib` (empty/negative intervals emit nothing; fan-out fail-fast
+    * bounded). Shared by [[intervalJoin]] and [[overlapJoin]].
+    */
+  private def explodeBuckets(df: DataFrame, startUsCol: String,
+                             endUsCol: String, bucketUs: Long,
+                             maxBucketsPerInterval: Int,
+                             opName: String): DataFrame = {
+    val b = lit(bucketUs)
+    val first = floor(col(startUsCol) / b)
+    val last = floor((col(endUsCol) - lit(1L)) / b)
+    df.filter(col(endUsCol) > col(startUsCol))
+      .withColumn("_ib", explode(sequence(first,
+        when(last - first < lit(maxBucketsPerInterval.toLong), last)
+          .otherwise(raise_error(concat(
+            lit(s"$opName: interval spans more than $maxBucketsPerInterval " +
+              s"buckets of $bucketUs us (["),
+            col(startUsCol), lit(", "), col(endUsCol),
+            lit(")) — bucketUs is mis-sized for this duration profile")))))))
+  }
+
+  /** Interval-OVERLAP join — the two-sided sibling of [[intervalJoin]]:
+    * pair every left interval with every same-key right interval it
+    * overlaps (`[aS, aE) ∩ [bS, bE) ≠ ∅  ⇔  aS < bE ∧ bS < aE`; touching
+    * endpoints do NOT overlap under half-open semantics) — the
+    * session-vs-session / incident-vs-maintenance-window join.
+    *
+    * Both sides replicate onto the same time grid and join on
+    * `(keys, bucket)`. A candidate pair co-occurs in EVERY bucket the two
+    * spans share, so the raw join would duplicate it — the standard
+    * emit-once guard keeps a pair only in the single bucket containing
+    * `max(aS, bS)` (the overlap's left edge, inside both spans by
+    * definition): no `distinct`, no post-join dedup shuffle. Column names
+    * must be disjoint across the two inputs (beyond `keys`).
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  lStartUs: String, lEndUs: String,
+                  rStartUs: String, rEndUs: String,
+                  bucketUs: Long, maxBucketsPerInterval: Int = 10000): DataFrame = {
+    require(keys.nonEmpty, "overlapJoin needs at least one key column")
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val dup = left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(dup.isEmpty,
+      s"overlapJoin: rename overlapping non-key columns first: ${dup.mkString(", ")}")
+    val a = explodeBuckets(left, lStartUs, lEndUs, bucketUs,
+      maxBucketsPerInterval, "overlapJoin")
+    val b = explodeBuckets(right, rStartUs, rEndUs, bucketUs,
+      maxBucketsPerInterval, "overlapJoin")
+    a.join(b, keys :+ "_ib")
+      .filter(col(lStartUs) < col(rEndUs) && col(rStartUs) < col(lEndUs))
+      .filter(col("_ib") ===
+        floor(greatest(col(lStartUs), col(rStartUs)) / lit(bucketUs)))
       .drop("_ib")
   }
 

@@ -177,6 +177,31 @@ object RelationalQueries {
           col("start_us"), round(col("iv_value"), 2).as("iv_value"))
     },
 
+    // Interval-OVERLAP join (the two-sided sibling of interval_join):
+    // 2-hour post-click windows against 3-hour post-purchase windows per
+    // user, each pair emitted exactly once from the single grid bucket
+    // holding the overlap's left edge — no distinct, no dedup shuffle.
+    // Output carries the overlap length, the quantity a session-analytics
+    // consumer actually wants.
+    "overlap_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      def windows(typ: String, lenUs: Long, pre: String) = ev
+        .filter(col("event_type") === typ)
+        .groupBy("user_id", "ts").agg(max(col("value")).as(s"${pre}_value"))
+        .select(col("user_id"), unix_micros(col("ts")).as(s"${pre}_start"),
+          (unix_micros(col("ts")) + lit(lenUs)).as(s"${pre}_end"),
+          round(col(s"${pre}_value"), 2).as(s"${pre}_value"))
+      val a = windows("click", 2L * 3600 * 1000000, "a")
+      val b = windows("purchase", 3L * 3600 * 1000000, "b")
+      graft.operators.IntervalJoin.overlapJoin(a, b, Seq("user_id"),
+          "a_start", "a_end", "b_start", "b_end",
+          bucketUs = 3L * 3600 * 1000000)
+        .select(col("user_id"), col("a_start"), col("b_start"),
+          col("a_value"), col("b_value"),
+          (least(col("a_end"), col("b_end")) -
+            greatest(col("a_start"), col("b_start"))).as("ov_us"))
+    },
+
     // Exact per-(lang, source) doc-length percentiles via the value
     // histogram: the exchange carries (group, n_chars) counts — bounded by
     // the value domain, not the corpus — where a percentile_disc window
@@ -505,6 +530,22 @@ object RelationalQueries {
         |  round(i.iv_value, 2) AS iv_value
         |FROM pts p JOIN iv i ON p.user_id = i.user_id
         |  AND p.t_us >= i.start_us AND p.t_us < i.end_us""".stripMargin,
+
+    // the bucketed overlap join is output-equivalent to the plain
+    // overlap-predicate join — half-open semantics on both engines
+    "overlap_join" ->
+      """WITH a AS (SELECT user_id, epoch_us(ts) AS a_start,
+        |        epoch_us(ts) + 7200000000 AS a_end,
+        |        round(max(value), 2) AS a_value
+        |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |b AS (SELECT user_id, epoch_us(ts) AS b_start,
+        |        epoch_us(ts) + 10800000000 AS b_end,
+        |        round(max(value), 2) AS b_value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT a.user_id, a_start, b_start, a_value, b_value,
+        |  least(a_end, b_end) - greatest(a_start, b_start) AS ov_us
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND a_start < b_end AND b_start < a_end""".stripMargin,
 
     // Same closed form, same integer quantization, same (t_us, event_id)
     // total order — bit-identical by construction.

@@ -118,4 +118,49 @@ class IntervalJoinSpec extends SparkSpec {
     assert("hashpartitioning\\(key#\\d+L, _ib".r.findFirstIn(p).isDefined
       || p.contains("BroadcastHashJoin"), s"join key must include the bucket:\n$p")
   }
+
+  test("overlap join matches the plain overlap join, exactly once, across widths") {
+    val rng = new Random(41)
+    def ivs(pre: String, n: Int) = Seq.tabulate(n) { i =>
+      val s = rng.nextInt(100000).toLong
+      (rng.nextInt(10).toLong, s, s + 1 + rng.nextInt(9000).toLong, i.toLong)
+    }.toDF("key", s"${pre}_start", s"${pre}_end", s"${pre}_id")
+    val a = ivs("a", 500).repartition(4)
+    val b = ivs("b", 400).repartition(3)
+    val want = a.join(b, Seq("key"))
+      .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(want.nonEmpty && want.distinct.size == want.size)
+    // the grid is a physical knob only — and even when a pair shares MANY
+    // buckets (width 100 on spans up to 9000: dozens shared), the
+    // left-edge emit-once guard keeps the multiset exactly once per pair
+    for (bucket <- Seq(100L, 4096L, 65536L, 10000000L)) {
+      val got = IntervalJoin.overlapJoin(a, b, Seq("key"),
+          "a_start", "a_end", "b_start", "b_end", bucket)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == want, s"bucket=$bucket")
+    }
+  }
+
+  test("overlap semantics: half-open — touching endpoints do not pair") {
+    val a = Seq((1L, 0L, 10L, 1L)).toDF("key", "a_start", "a_end", "a_id")
+    val b = Seq(
+      (1L, 10L, 20L, 1L), // touches a's end: NOT an overlap
+      (1L, 9L, 20L, 2L),  // one-us overlap
+      (1L, 0L, 10L, 3L),  // identical span
+      (1L, 3L, 4L, 4L),   // contained
+      (2L, 0L, 10L, 5L)   // other key
+    ).toDF("key", "b_start", "b_end", "b_id")
+    val got = IntervalJoin.overlapJoin(a, b, Seq("key"),
+        "a_start", "a_end", "b_start", "b_end", bucketUs = 4L)
+      .select("b_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 3L, 4L))
+    // colliding non-key payload names are rejected loudly, not silently
+    // disambiguated by position
+    intercept[IllegalArgumentException] {
+      IntervalJoin.overlapJoin(
+        a, a.withColumnRenamed("a_id", "x"), Seq("key"),
+        "a_start", "a_end", "a_start", "a_end", bucketUs = 4L)
+    }
+  }
 }
