@@ -305,6 +305,27 @@ object LlmQueries {
       TextAnalysis.bigramLmScores(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // CCNet's signature move on top of the LM score: per-LANGUAGE tercile
+    // buckets (head/middle/tail) via the exact histogram percentiles —
+    // the cut relation is ~5 rows, broadcast back onto the scored corpus.
+    // No-bigram docs (score NULL) land in tail, the discard bucket.
+    "text_ccnet_buckets" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.bigramLmScores(docs, "doc_id", "text")
+          .select(col("doc_id"), col("mean_cond_ppm")), "doc_id")
+      val cuts = graft.operators.Stats.histogramQuantiles(
+          scored.filter(col("mean_cond_ppm").isNotNull),
+          Seq("lang"), "mean_cond_ppm", pcts = Seq(33, 66))
+        .select(col("lang"), col("p33"), col("p66"))
+      scored.join(broadcast(cuts), Seq("lang"), "left")
+        .select(col("doc_id"), col("lang"), col("mean_cond_ppm"),
+          when(col("mean_cond_ppm").isNull, "tail")
+            .when(col("mean_cond_ppm") <= col("p33"), "tail")
+            .when(col("mean_cond_ppm") <= col("p66"), "middle")
+            .otherwise("head").as("bucket"))
+    },
+
     // The discriminative quality filter (fastText-recipe shape): NB-style
     // per-word likelihood-ratio weights trained "reference slice vs rest"
     // (source = src0 plays the reference), integer-exact ppm arithmetic,
@@ -871,26 +892,30 @@ object LlmQueries {
         |       round(fs::DOUBLE / (n_words * (SELECT n FROM t)), 6) AS commonness
         |FROM documents LEFT JOIN d USING (doc_id)""".stripMargin,
 
-    "text_lm" ->
-      """WITH ws AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
-        |            FROM documents),
-        |g AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM
-        |        (SELECT doc_id,
-        |           unnest(list_transform(generate_series(1, len(w) - 1),
-        |             i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
-        |         FROM ws WHERE len(w) >= 2)),
-        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM g GROUP BY w1, w2),
-        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
-        |v AS (SELECT count(*) AS v FROM c1),
-        |ppm AS (SELECT w1, w2,
-        |          ((c2 + 1) * 1000000) // (c1 + (SELECT v FROM v)) AS ppm
-        |        FROM c2 JOIN c1 USING (w1)),
-        |d AS (SELECT doc_id, count(*) AS nb, sum(ppm) AS sp
-        |      FROM g JOIN ppm USING (w1, w2) GROUP BY doc_id)
-        |SELECT doc_id, coalesce(nb, 0)::BIGINT AS n_bigrams,
-        |       coalesce(sp, 0)::BIGINT AS sum_cond_ppm,
-        |       CAST(sp // nb AS BIGINT) AS mean_cond_ppm
-        |FROM documents LEFT JOIN d USING (doc_id)""".stripMargin,
+    "text_lm" -> textLmOracle,
+
+    // the same LM replay as a CTE, then the histogram percentile_disc
+    // replay (the quantile_group spelling) for per-lang tercile cuts
+    "text_ccnet_buckets" ->
+      s"""WITH lm AS ($textLmOracle),
+        |sc AS (SELECT lm.doc_id, d.lang, lm.mean_cond_ppm AS s
+        |       FROM lm JOIN documents d USING (doc_id)),
+        |hist AS (SELECT lang, s, count(*) AS cnt FROM sc
+        |         WHERE s IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT lang, s, cnt,
+        |        CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY s) AS BIGINT) AS cum,
+        |        CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |      FROM hist),
+        |cut AS (SELECT lang,
+        |          min(CASE WHEN cum >= (n * 33 + 99) // 100 THEN s END) AS p33,
+        |          min(CASE WHEN cum >= (n * 66 + 99) // 100 THEN s END) AS p66
+        |        FROM c GROUP BY lang)
+        |SELECT sc.doc_id, sc.lang, sc.s AS mean_cond_ppm,
+        |  CASE WHEN sc.s IS NULL THEN 'tail'
+        |       WHEN sc.s <= cut.p33 THEN 'tail'
+        |       WHEN sc.s <= cut.p66 THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM sc LEFT JOIN cut USING (lang)""".stripMargin,
 
     "text_lm_cross" ->
       """WITH ws AS (SELECT doc_id, source,
@@ -1635,4 +1660,28 @@ object LlmQueries {
        |   AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3))
        |WHERE hamming <= 3""".stripMargin
   }
+
+  /** The bigram-LM self-scoring replay — `text_lm`'s oracle, also embedded
+    * as a CTE by `text_ccnet_buckets`.
+    */
+  private lazy val textLmOracle: String =
+    """WITH ws AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |            FROM documents),
+      |g AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM
+      |        (SELECT doc_id,
+      |           unnest(list_transform(generate_series(1, len(w) - 1),
+      |             i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+      |         FROM ws WHERE len(w) >= 2)),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM g GROUP BY w1, w2),
+      |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+      |v AS (SELECT count(*) AS v FROM c1),
+      |ppm AS (SELECT w1, w2,
+      |          ((c2 + 1) * 1000000) // (c1 + (SELECT v FROM v)) AS ppm
+      |        FROM c2 JOIN c1 USING (w1)),
+      |d AS (SELECT doc_id, count(*) AS nb, sum(ppm) AS sp
+      |      FROM g JOIN ppm USING (w1, w2) GROUP BY doc_id)
+      |SELECT doc_id, coalesce(nb, 0)::BIGINT AS n_bigrams,
+      |       coalesce(sp, 0)::BIGINT AS sum_cond_ppm,
+      |       CAST(sp // nb AS BIGINT) AS mean_cond_ppm
+      |FROM documents LEFT JOIN d USING (doc_id)""".stripMargin
 }
