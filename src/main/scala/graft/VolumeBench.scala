@@ -30,7 +30,7 @@ object VolumeBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val mode = args.headOption
-      .filter(Set("dedup", "vectors", "skew", "groupstats", "sketches"))
+      .filter(Set("dedup", "vectors", "skew", "groupstats", "sketches", "joins"))
       .getOrElse("patterns")
     val rest = (if (mode == "patterns") args else args.drop(1)).toSeq.map(_.toInt)
 
@@ -45,10 +45,108 @@ object VolumeBench {
         if (rest.nonEmpty) rest else Seq(1, 10, 100))
       case "sketches" => runSketches(spark, sfDir, cpus.toInt,
         if (rest.nonEmpty) rest else Seq(1, 10, 100))
+      case "joins" => runJoins(spark, cpus.toInt,
+        if (rest.nonEmpty) rest else Seq(1, 6))
       case _ => runPatterns(spark, sfDir, cpus.toInt,
         if (rest.nonEmpty) rest else Seq(1, 10, 60))
     }
     spark.stop()
+  }
+
+  /** Join-hardening ladder (synthetic — factors are millions of fact
+    * rows): the salted join against the plain shuffle join on a
+    * 90%-hot-key fact, and the bloom-pruned join against the plain join
+    * on a 1%-selective dim, with broadcast disabled on both (the 100 TB
+    * premise: the dim is not broadcastable or the plan is committed).
+    * Reports wall-clock plus the two metrics the operators exist to move:
+    * the LONGEST TASK (salting: the hot reducer shrinks ~1/salt; records
+    * stay ~constant) and SHUFFLE RECORDS (bloom: collapse toward the
+    * matching rows). Contender outputs are checksum-required equal.
+    */
+  private def runJoins(spark: SparkSession, cpus: Int,
+                       factors: Seq[Int]): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          maxTaskMs.accumulateAndGet(m.executorRunTime, Math.max(_, _))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try factors.foreach { f =>
+      val n = f * 1000000L
+      val hotFact = spark.range(n).select(
+        when(pmod(col("id"), lit(10)) < 9, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(100000L))).as("k"),
+        col("id").as("payload"))
+      // realistic fact rows carry bytes, not just a key — the shuffle the
+      // bloom prune removes must cost something
+      val coldFact = spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(100000L)).as("k"),
+        concat(lit("x" * 64), col("id").cast("string")).as("payload"))
+      val dimAll = spark.range(100000L).select(col("id").as("dk"),
+        (col("id") % 97).as("dpay"))
+      // the selective dim must be OPAQUE: spelled as a filter, Catalyst
+      // propagates `dk % 100 = 0` through the equi-join onto the fact scan
+      // and prunes statically — the case where bloomPrunedJoin is NOT
+      // needed. Landing it in parquet first models the real shape (a dedup
+      // survivor set, a contaminated-id list) whose selectivity no
+      // optimizer can see.
+      val dimPath = s"/tmp/graft-volume/joins-dim-x$f"
+      if (!new java.io.File(dimPath).exists())
+        dimAll.filter(col("dk") % 100 === 0) // 1% of the key space
+          .write.mode("overwrite").parquet(dimPath)
+      val dimSel = spark.read.parquet(dimPath)
+
+      def drive(name: String, mk: () => org.apache.spark.sql.DataFrame): (Long, Long, Double, Long, Long) = {
+        val best = (1 to 2).map { _ =>
+          shuffleRecords.set(0L); maxTaskMs.set(0L)
+          val t0 = System.nanoTime()
+          val df = mk()
+          val Array(cnt, ck) = df
+            .agg(count(lit(1)), bit_xor(xxhash64(col("payload"), col("dpay"))))
+            .head().toSeq.toArray
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(800) // listener bus drains asynchronously
+          (cnt.asInstanceOf[Long], ck.asInstanceOf[Long], sec,
+            shuffleRecords.get(), maxTaskMs.get())
+        }.minBy(_._3)
+        println(f"[joins] x$f%-3d $name%-18s out=${best._1}%-9d sec=${best._3}%7.2f " +
+          f"shuffleRecords=${best._4}%-10d maxTaskMs=${best._5}%-7d")
+        best
+      }
+
+      val plainHot = drive("hot_plain", () =>
+        hotFact.join(dimAll, hotFact("k") === dimAll("dk")))
+      val salted = drive("hot_salted", () =>
+        graft.operators.Skew.saltedJoin(hotFact, dimAll, "k", "dk", salt = 32))
+      require(plainHot._1 == salted._1 && plainHot._2 == salted._2,
+        s"salted output diverges: ${plainHot._1}/${plainHot._2} vs ${salted._1}/${salted._2}")
+      println(f"[joins] x$f%-3d hot-key summary: speedup=${plainHot._3 / salted._3}%5.2fx " +
+        f"maxTask=${plainHot._5}%d -> ${salted._5}%d ms " +
+        f"(records ${plainHot._4} -> ${salted._4}: salt replicates the dim x32)")
+
+      val plainSel = drive("selective_plain", () =>
+        coldFact.join(dimSel, coldFact("k") === dimSel("dk")))
+      val bloomed = drive("selective_bloom", () =>
+        graft.operators.JoinPrune.bloomPrunedJoin(coldFact, dimSel, "k", "dk",
+          nBits = 1 << 22))
+      require(plainSel._1 == bloomed._1 && plainSel._2 == bloomed._2,
+        s"bloom output diverges: ${plainSel._1}/${plainSel._2} vs ${bloomed._1}/${bloomed._2}")
+      println(f"[joins] x$f%-3d selective summary: speedup=${plainSel._3 / bloomed._3}%5.2fx " +
+        f"shuffleRecords=${plainSel._4} -> ${bloomed._4} " +
+        f"(${100.0 * bloomed._4 / math.max(plainSel._4, 1)}%.1f%% of plain)")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   /** Sketch-family structural ladder: the CMS / Bloom / KMV relations

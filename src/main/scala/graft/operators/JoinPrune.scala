@@ -29,21 +29,39 @@ import org.apache.spark.sql.functions._
   * nBits/8 bytes (the [[graft.operators.Clusters]] centroid-budget
   * stance: a capped, counted driver structure, not a data-dependent
   * collect) — and ship to executors as an array literal inside a
-  * codegen'd narrow filter: no per-row join, no exchange,
-  * `nHashes` md5 probes per fact row (the [[Sketches.cmsHash]] family,
-  * bit-compatible with [[Sketches.bloomSketch]]).
+  * codegen'd narrow filter: no per-row join, no exchange, `nHashes`
+  * native xxhash64 probes per fact row. Unlike the PORTABLE
+  * [[Sketches.bloomSketch]] relation (md5-positioned so external engines
+  * replay it), this filter is build-and-probe internal to one job, so it
+  * uses the fast hash — at 10^8+ fact rows per task the probe IS the
+  * operator's cost (measured 2x wall on 6M rows when this was md5:
+  * VolumeBench "joins").
   */
 object JoinPrune {
 
-  /** Densify the distributed bloom relation into an index-addressed word
+  /** Probe/build position d for value `v`: seeded native xxhash64.
+    * Type-sensitive — [[bloomPrunedJoin]] casts the dim key to the fact
+    * key's type so both sides hash identical bytes.
+    */
+  private def bloomPos(v: Column, d: Int, nBits: Int): Column =
+    pmod(xxhash64(lit(d), v), lit(nBits.toLong))
+
+  /** Densify the dim keys' bloom filter into an index-addressed word
     * array (missing words = 0). Driver memory = nBits/8, capped at 16 MB.
     */
   def bloomWords(dim: DataFrame, dimKey: String, nBits: Int = 1 << 20,
                  nHashes: Int = 4): Array[Long] = {
     require(nBits >= 64 && nBits <= (1 << 27) && nBits % 64 == 0,
       s"need 64 <= nBits <= 2^27 (16 MB driver budget), multiple of 64; got $nBits")
-    val rel = Sketches.bloomSketch(dim.select(col(dimKey)), col(dimKey),
-      nBits, nHashes)
+    require(nHashes >= 1 && nHashes <= 16, s"bad nHashes $nHashes")
+    val rel = dim.select(col(dimKey).as("_v"))
+      .filter(col("_v").isNotNull)
+      .select(explode(array((0 until nHashes).map(d =>
+        bloomPos(col("_v"), d, nBits)): _*)).as("_pos"))
+      .select(expr("_pos div 64").as("word_idx"),
+        expr("shiftleft(1L, cast(_pos % 64 as int))").as("_m"))
+      .groupBy(col("word_idx"))
+      .agg(bit_or(col("_m")).as("bits"))
     val words = new Array[Long](nBits / 64)
     rel.collect().foreach { r =>
       words(r.getAs[Long]("word_idx").toInt) = r.getAs[Long]("bits")
@@ -62,7 +80,7 @@ object JoinPrune {
     // the column-valued bit position instead
     val pow2 = typedLit((0 until 64).map(i => 1L << i))
     val pred: Column = (0 until nHashes).map { d =>
-      val pos = Sketches.cmsHash(col(factKey), d, nBits)
+      val pos = bloomPos(col(factKey), d, nBits)
       val mask = element_at(pow2, pmod(pos, lit(64L)).cast("int") + 1)
       val word = element_at(arr, floor(pos / lit(64L)).cast("int") + 1)
       word.bitwiseAND(mask) === mask
@@ -81,8 +99,11 @@ object JoinPrune {
     require(ok(joinType.toLowerCase),
       s"bloomPrunedJoin supports ${ok.mkString("/")} (outer joins must keep " +
         s"unmatched fact rows — the prefilter removes them), got $joinType")
+    // xxhash64 is type-sensitive: hash the dim keys as the fact key's type
+    val keyType = fact.schema(factKey).dataType
+    val dimKeys = dim.select(col(dimKey).cast(keyType).as(dimKey))
     val pruned = bloomPrefilter(fact, factKey,
-      bloomWords(dim, dimKey, nBits, nHashes), nHashes)
+      bloomWords(dimKeys, dimKey, nBits, nHashes), nHashes)
     pruned.join(dim, pruned(factKey) === dim(dimKey), joinType)
   }
 }
