@@ -311,9 +311,12 @@ object LlmQueries {
     // No-bigram docs (score NULL) land in tail, the discard bucket.
     "text_ccnet_buckets" -> { (s, d) =>
       val docs = Tables.documents(s, d)
+      // consumed twice (tercile cuts AND the final bucket join) — persist
+      // or the corpus LM trains twice
       val scored = docs.select(col("doc_id"), col("lang"))
         .join(TextAnalysis.bigramLmScores(docs, "doc_id", "text")
           .select(col("doc_id"), col("mean_cond_ppm")), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cuts = graft.operators.Stats.histogramQuantiles(
           scored.filter(col("mean_cond_ppm").isNotNull),
           Seq("lang"), "mean_cond_ppm", pcts = Seq(33, 66))
