@@ -413,6 +413,23 @@ object StreamBench {
         } finally q.stop()
       }
 
+      // Trend: six longs + a flag per key (the OLS moment sums) —
+      // cusum-class flat, independent of events per key
+      locally {
+        val ms = MemoryStream[(Long, Long, Long, Long)]
+        val q = streaming.StreamingTrend
+          .trendStream(ms.toDF().toDF("key", "t_us", "event_id", "v"),
+            unitUs = 1L)
+          .writeStream.format("noop").outputMode("update").start()
+        try {
+          (0 until n).map(i => ((i % nKeys).toLong, (i / nKeys).toLong,
+              i.toLong, (i * 7919 % 200).toLong))
+            .grouped(n / chunks + 1)
+            .foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+          report("trend_stream", nKeys, q)
+        } finally q.stop()
+      }
+
       // CUSUM: two longs per key, the flattest possible ladder
       locally {
         val ms = MemoryStream[(Long, Long, Long, Long)]
