@@ -238,6 +238,48 @@ object Stats {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Per-key median + MAD (median absolute deviation) with an outlier
+    * count — the ROBUST member of the drift/anomaly family: where
+    * [[ewma]]'s residual and [[trend]]'s slope are moment-based (one wild
+    * value drags them), the median/MAD pair has a 50% breakdown point, so
+    * thresholds derived from it survive the heavy-tailed metrics a real
+    * telemetry corpus ships.
+    *
+    * All arithmetic is integer-exact on the quantized metric: med and mad
+    * are [[histogramQuantiles]] p50 picks (percentile_disc convention —
+    * the smallest value whose cumulative count reaches ceil(n/2)), and a
+    * row flags as an outlier when `|v − med| > k·mad` (integer compare;
+    * the classic k ≈ 5 stands in for 3σ at Gaussian efficiency). A
+    * zero-MAD key (over half its values identical) flags every deviating
+    * row — the conventional MAD edge, left undamped deliberately: damping
+    * belongs to the caller's threshold policy.
+    *
+    * Scale shape: two histogram exchanges (each carries (key, value)
+    * COUNTS — bounded by the value domain, never the corpus), one key
+    * join of the per-key medians back onto the rows, one final count
+    * aggregation. No window over raw rows, no sort of the corpus.
+    */
+  def mad(df: DataFrame, keyCols: Seq[String], vCol: String,
+          k: Int = 5): DataFrame = {
+    require(keyCols.nonEmpty, "mad needs key columns")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rows = df.select(keyCols.map(col) :+ col(vCol): _*)
+      .filter(col(vCol).isNotNull)
+    val med = histogramQuantiles(rows, keyCols, vCol, Seq(50))
+      .select(keyCols.map(col) :+ col("p50").as("_med"): _*)
+    val dev = rows.join(med, keyCols)
+      .withColumn("_dev", abs(col(vCol) - col("_med")))
+    val madQ = histogramQuantiles(dev, keyCols, "_dev", Seq(50))
+      .select(keyCols.map(col) ++ Seq(col("n_rows").as("n"),
+        col("p50").as("mad_q")): _*)
+    dev.join(madQ, keyCols)
+      .groupBy(keyCols.map(col) :+ col("n"): _*)
+      .agg(max(col("_med")).as("med_q"), max(col("mad_q")).as("mad_q"),
+        count(when(col("_dev") > col("mad_q") * k, lit(1))).as("n_flagged"))
+      .select(keyCols.map(col) ++
+        Seq(col("n"), col("med_q"), col("mad_q"), col("n_flagged")): _*)
+  }
+
   /** Per-key OLS trend: the integer-exact least-squares slope of the
     * quantized metric against event time — the third drift signal beside
     * [[cusum]] (sustained small shift) and [[ewma]] (instantaneous

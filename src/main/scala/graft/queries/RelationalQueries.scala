@@ -240,6 +240,16 @@ object RelationalQueries {
         Seq("t_us", "event_id"), "vq", k = 3)
     },
 
+    // Per-user median + MAD + outlier count — the ROBUST anomaly signal
+    // (50% breakdown point) beside the moment-based cusum/ewma/trend.
+    // Exact integer percentile_disc picks via the value histogram; a row
+    // flags when |v - med| > 5*mad.
+    "stats_mad" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"),
+        floor(col("value") * 100).cast("long").as("vq"))
+      graft.operators.Stats.mad(ev, Seq("user_id"), "vq", k = 5)
+    },
+
     // Per-user OLS trend slope — the third drift signal beside cusum_drift
     // and stats_ewma: integer moment sums over per-key-rebased minutes,
     // DECIMAL(38,0) combination, slope as a portable integer (ppm of a
@@ -634,6 +644,35 @@ object RelationalQueries {
         |  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
         |SELECT user_id, event_id, t_us, vq, level >> 3 AS level_q, resid
         |FROM r""".stripMargin,
+
+    // Two histogram percentile_disc replays (the quantile_group spelling),
+    // the same ceil(n/2) pick, the same integer outlier compare.
+    "stats_mad" ->
+      """WITH e AS (SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS vq
+        |           FROM events WHERE value IS NOT NULL),
+        |h1 AS (SELECT user_id, vq, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |c1 AS (SELECT user_id, vq, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY user_id ORDER BY vq) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |       FROM h1),
+        |med AS (SELECT user_id, max(n) AS n,
+        |          min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN vq END) AS med_q
+        |        FROM c1 GROUP BY user_id),
+        |d AS (SELECT e.user_id, abs(vq - med_q) AS dev
+        |      FROM e JOIN med USING (user_id)),
+        |h2 AS (SELECT user_id, dev, count(*) AS cnt FROM d GROUP BY 1, 2),
+        |c2 AS (SELECT user_id, dev, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY user_id ORDER BY dev) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |       FROM h2),
+        |mad AS (SELECT user_id,
+        |          min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN dev END) AS mad_q
+        |        FROM c2 GROUP BY user_id),
+        |f AS (SELECT d.user_id,
+        |        count(*) FILTER (WHERE dev > mad_q * 5) AS n_flagged
+        |      FROM d JOIN mad USING (user_id) GROUP BY d.user_id)
+        |SELECT med.user_id, med.n, med.med_q, mad.mad_q, f.n_flagged
+        |FROM med JOIN mad USING (user_id) JOIN f USING (user_id)""".stripMargin,
 
     // Same rebase, same integer moments; the HUGEINT combination
     // sign-splits the floor division to replay Spark's truncate-toward-

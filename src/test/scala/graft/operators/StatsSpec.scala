@@ -220,6 +220,43 @@ class StatsSpec extends SparkSpec {
     assert(!p.contains("Join"), s"ewma must not join:\n$p")
   }
 
+  test("mad equals the exact percentile_disc replica, flags planted outliers") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    // 8 keys x 200 tight values + 3 planted wild outliers per key
+    val rows = for {
+      key <- 0 until 8
+      i <- 0 until 203
+    } yield {
+      val v = if (i >= 200) 100000L + i else (key * 100 + rnd.nextInt(40)).toLong
+      (key.toLong, v)
+    }
+    val df = rows.toDF("key", "vq")
+    def disc(sorted: Seq[Long]): Long = // percentile_disc p50: ceil(n/2)th
+      sorted(((sorted.size * 50 + 99) / 100 - 1).toInt)
+    val got = Stats.mad(df, Seq("key"), "vq", k = 5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    for ((key, g) <- rows.groupBy(_._1)) {
+      val vs = g.map(_._2)
+      val med = disc(vs.sorted)
+      val devs = vs.map(v => math.abs(v - med))
+      val madQ = disc(devs.sorted)
+      val flagged = devs.count(_ > 5L * madQ).toLong
+      assert(got(key) == ((vs.size.toLong, med, madQ, flagged)), s"key $key")
+      assert(flagged == 3L, s"key $key: the 3 planted outliers must flag")
+    }
+  }
+
+  test("mad zero-spread edge: a majority value gives mad 0, deviants all flag") {
+    import spark.implicits._
+    val df = (Seq.fill(10)(7L) ++ Seq(8L, 100L, -50L)).map((1L, _)).toDF("key", "vq")
+    val Seq((n, med, madQ, flagged)) = Stats.mad(df, Seq("key"), "vq")
+      .select("n", "med_q", "mad_q", "n_flagged")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(n == 13L && med == 7L && madQ == 0L && flagged == 3L)
+  }
+
   test("trend slope equals the exact BigInt least-squares replica") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
