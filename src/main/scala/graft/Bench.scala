@@ -101,7 +101,16 @@ object Bench {
     val cpus    = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val budget  = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toDouble
     val catalog = SparkEntry.queries
-    val names   = catalog.keys.toSeq.sortBy(n => (tier(n), n))
+    // optional subset (comma-separated names) for targeted runs — the sf10
+    // heavy-row spot-proof benches ~15 rows without paying the full catalog
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- catalog.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown queries: $unknown")
+    }
+    val names   = catalog.keys.toSeq.filter(n => only.forall(_.contains(n)))
+      .sortBy(n => (tier(n), n))
 
     val hook = new Thread(() => emit(names, sfDir, partial = true))
     Runtime.getRuntime.addShutdownHook(hook)

@@ -100,9 +100,11 @@ object VolumeBench {
       // survivor set, a contaminated-id list) whose selectivity no
       // optimizer can see.
       val dimPath = s"/tmp/graft-volume/joins-dim-x$f"
-      if (!new java.io.File(dimPath).exists())
-        dimAll.filter(col("dk") % 100 === 0) // 1% of the key space
-          .write.mode("overwrite").parquet(dimPath)
+      // written unconditionally: a reused fixture from a previous run would
+      // silently survive a change to the dim's selectivity or schema (it's
+      // ~1000 rows — rewriting costs nothing)
+      dimAll.filter(col("dk") % 100 === 0) // 1% of the key space
+        .write.mode("overwrite").parquet(dimPath)
       val dimSel = spark.read.parquet(dimPath)
 
       def drive(name: String, mk: () => org.apache.spark.sql.DataFrame): (Long, Long, Double, Long, Long) = {

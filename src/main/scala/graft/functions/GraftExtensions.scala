@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "docroot" -> "https://spark.apache.org/docs/latest"))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    TableFunctions.inject(ext) // SQL TVF surface for the pipeline operators
     ext.injectOptimizerRule(_ => RewriteVectorHofs)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
     ext.injectPlannerStrategy(_ => new graft.plans.GroupTopKStrategy)

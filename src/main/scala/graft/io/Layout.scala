@@ -97,17 +97,31 @@ object Layout {
     * files whose per-file open/footer cost dominates the next scan, and
     * whose task count explodes the next job's scheduler overhead.
     *
-    * File count = ceil(on-disk bytes / targetBytes) — sized from the
+    * Target count = ceil(on-disk bytes / targetBytes) — sized from the
     * DIRECTORY's real size, not a row-count guess, so compaction is
     * idempotent (re-running on compacted output is a near-no-op rewrite of
     * the same count). `coalesce` (not repartition) merges inputs without a
     * shuffle; an optional `sortBy` re-sorts within the merged files (a
     * shuffle-free sortWithinPartitions) to keep row-group stats tight
-    * through the rewrite. Writes to `path + ".compact"` then swaps
-    * (delete + rename — no filesystem here has an atomic directory swap),
-    * so a reader sees the old files, a briefly missing directory, or the
-    * new files — never a half-written mix. A crash inside the swap window
-    * leaves the full output at the `.compact` path.
+    * through the rewrite. Returns the number of part files ACTUALLY
+    * written, which can undershoot the target when targetBytes is below
+    * `spark.sql.files.maxPartitionBytes`: coalesce merges read splits but
+    * never divides one, so the output count is bounded by the read's split
+    * count.
+    *
+    * Crash safety (the data is never lost, and the primary path is never
+    * missing across a crash): the rewrite lands at `path + ".compact"`,
+    * then [[swapCompacted]] renames path -> `path + ".trash"`, renames
+    * `.compact` -> path, and deletes `.trash`. No rewrite-in-place ever
+    * happens, and the original directory survives (as `.trash`) until the
+    * new one is live. A crash at ANY step is repaired by [[recoverCompact]]
+    * — run automatically at the start of every compact() — which restores
+    * the original from `.trash` when the primary is missing, clears a
+    * stranded `.trash` when the swap had completed, and discards a stale
+    * `.compact`. The only reader-visible gap is the instant between the
+    * two renames of a LIVE swap (no local/HDFS filesystem has an atomic
+    * directory exchange); a concurrent reader can retry, and crash + retry
+    * always finds a complete directory.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,
@@ -115,16 +129,62 @@ object Layout {
     require(targetBytes >= 1)
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompact(fs, path) // repair any interrupted previous swap first
     val totalBytes = fs.getContentSummary(hadoopPath).getLength
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val df0 = spark.read.parquet(path).coalesce(nFiles)
     val df = if (sortBy.isEmpty) df0
              else df0.sortWithinPartitions(sortBy.map(col): _*)
-    val tmp = path.stripSuffix("/") + ".compact"
-    df.write.mode("overwrite").parquet(tmp)
-    fs.delete(hadoopPath, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hadoopPath))
+    df.write.mode("overwrite").parquet(path.stripSuffix("/") + ".compact")
+    swapCompacted(fs, path)
+    fs.listStatus(hadoopPath)
+      .count(_.getPath.getName.startsWith("part-")).toLong
+  }
+
+  /** The three-step directory swap behind [[compact]]: the new data is at
+    * `path + ".compact"`; move the old primary aside to `path + ".trash"`,
+    * promote `.compact` to the primary, then drop the trash. Every
+    * intermediate state is repaired by [[recoverCompact]].
+    */
+  private[io] def swapCompacted(fs: org.apache.hadoop.fs.FileSystem,
+                                path: String): Unit = {
+    val base = path.stripSuffix("/")
+    val main = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(base + ".compact")
+    val trash = new org.apache.hadoop.fs.Path(base + ".trash")
+    if (!fs.rename(main, trash))
+      throw new java.io.IOException(s"compact: rename $path -> $trash failed")
+    if (!fs.rename(tmp, main))
       throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
-    nFiles.toLong
+    fs.delete(trash, true)
+  }
+
+  /** Repair an interrupted [[compact]] swap at `path`. Idempotent; a no-op
+    * when no swap was in flight. State machine over the two side paths:
+    *
+    *   - `.trash` exists, primary missing — crashed between the two
+    *     renames: restore `.trash` -> primary (the ORIGINAL data; the
+    *     complete-but-unpromoted `.compact` is discarded and the re-run
+    *     rewrites it — favoring the known-good original over a rewrite
+    *     whose completeness only the writer could attest).
+    *   - `.trash` exists, primary exists — crashed after the promotion,
+    *     before the trash delete: the swap completed; drop `.trash`.
+    *   - `.compact` exists — a stale (possibly partial) rewrite from a
+    *     crash before the first rename; discard it.
+    */
+  private[io] def recoverCompact(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: String): Unit = {
+    val base = path.stripSuffix("/")
+    val main = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(base + ".compact")
+    val trash = new org.apache.hadoop.fs.Path(base + ".trash")
+    if (fs.exists(trash)) {
+      if (!fs.exists(main)) {
+        if (!fs.rename(trash, main))
+          throw new java.io.IOException(
+            s"compact recovery: rename $trash -> $path failed")
+      } else fs.delete(trash, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 }

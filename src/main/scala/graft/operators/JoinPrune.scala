@@ -69,8 +69,14 @@ object JoinPrune {
     words
   }
 
-  /** The narrow prefilter: keep fact rows whose key hits all `nHashes`
-    * bloom positions. Zero exchanges; null keys are dropped.
+  /** The narrow prefilter: keep fact rows whose key is non-null and hits
+    * all `nHashes` bloom positions. Zero exchanges. The explicit
+    * `isNotNull` conjunct is load-bearing: `xxhash64` SKIPS null inputs
+    * (hashing only the seed literal), so without it a null key would probe
+    * the fixed positions of `hash(lit(d))` and could pass whenever those
+    * bits happen to be set — the join after [[bloomPrunedJoin]] would drop
+    * it anyway, but direct callers of this prefilter get the documented
+    * null-free contract.
     */
   def bloomPrefilter(fact: DataFrame, factKey: String, words: Array[Long],
                      nHashes: Int = 4): DataFrame = {
@@ -85,7 +91,7 @@ object JoinPrune {
       val word = element_at(arr, floor(pos / lit(64L)).cast("int") + 1)
       word.bitwiseAND(mask) === mask
     }.reduce(_ && _)
-    fact.filter(pred)
+    fact.filter(col(factKey).isNotNull && pred)
   }
 
   /** Prefilter `fact` with a bloom of `dim`'s keys, then join. Output is

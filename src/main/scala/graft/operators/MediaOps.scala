@@ -34,14 +34,18 @@ object MediaOps {
 
   /** ==== STUB ====
     * A real implementation decodes the payload (JPEG decode, audio
-    * resample, video frame sampling) inside the per-partition batch loop of
-    * [[decodeFeaturesBatched]]. With no codec libraries in this
-    * environment, the "decoded features" are a deterministic function of
-    * the payload's md5, so plumbing is testable end-to-end and
+    * resample, video frame sampling) behind the [[MediaDecoder]] seam.
+    * With no codec libraries in this environment, the default
+    * [[StrideDecoder]]'s "decoded features" are a deterministic function
+    * of the payload's md5, so plumbing is testable end-to-end and
     * reproducible by external oracles.
     */
   def fakeFeatures(md5hex: String): Array[Int] =
     (0 until featureDim).map(j => md5hex.charAt(j).toInt).toArray
+
+  private[operators] def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
 
   /** Columnar formulation of the same stub (codegen'd; used as the oracle
     * for the batched path).
@@ -76,8 +80,16 @@ object MediaOps {
     */
   def sampleFrames(media: DataFrame, everyMs: Long = 250,
                    frameBytes: Int = 16, bytesPerMs: Long = 1,
-                   maxFrames: Int = 10000): DataFrame = {
+                   maxFrames: Int = 10000,
+                   decoder: MediaDecoder = StrideDecoder): DataFrame = {
     require(everyMs >= 1 && frameBytes >= 1 && bytesPerMs >= 1 && maxFrames >= 1)
+    // a foreign codec decodes frames in the batched row path; the default
+    // stride decoder has a bit-identical codegen'd Column spelling below
+    // (differential in MediaDecoderSpec), which keeps the catalog row on
+    // the zero-exchange whole-stage-codegen plan
+    if (!(decoder eq StrideDecoder))
+      return sampleFramesRows(media, everyMs, frameBytes, bytesPerMs,
+        maxFrames, decoder)
     // integer `div` throughout — `/` on longs is floating-point in Spark
     // (the Tables.normalizeTs lesson) and a double offset would corrupt
     // byte positions on large payloads
@@ -102,11 +114,52 @@ object MediaOps {
         "n_frames")
   }
 
+  /** The decoder-generic row path behind [[sampleFrames]]: identical
+    * timeline contract (duration from metadata, `ceil(dur / everyMs)`
+    * frames, fail-fast maxFrames, zero-duration payloads emit nothing),
+    * with the frame CONTENT supplied by `decoder.frame` — still a narrow
+    * per-partition map, no exchange.
+    */
+  private[operators] def sampleFramesRows(media: DataFrame, everyMs: Long,
+      frameBytes: Int, bytesPerMs: Long, maxFrames: Int,
+      decoder: MediaDecoder): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("ts_ms", LongType),
+      StructField("frame", BinaryType),
+      StructField("frame_digest", StringType),
+      StructField("n_frames", LongType)))
+    val projected = Spread(media.select(col("media_id"), col("payload"),
+      col("meta.n_bytes").as("n_bytes")))
+    projected.mapPartitions { it: Iterator[Row] =>
+      it.flatMap { r =>
+        val dur = r.getAs[Long]("n_bytes") / bytesPerMs
+        if (dur <= 0L) Iterator.empty
+        else if (dur > everyMs * maxFrames)
+          throw new IllegalStateException(
+            s"sampleFrames: payload fans out past maxFrames=$maxFrames: " +
+              s"media_id=${r.getAs[Long]("media_id")}")
+        else {
+          val nFrames = (dur + everyMs - 1) / everyMs
+          val payload = r.getAs[Array[Byte]]("payload")
+          val id = r.getAs[Long]("media_id")
+          (0L until nFrames).iterator.map { fi =>
+            val ts = fi * everyMs
+            val fr = decoder.frame(payload, ts * bytesPerMs, frameBytes)
+            Row(id, fi, ts, fr, md5Hex(fr), nFrames)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** The production-shaped path: process payloads in bounded batches per
     * partition (the shape a vectorized codec / model runtime needs), emit
     * one feature row per media item. No shuffle: a narrow mapPartitions.
     */
-  def decodeFeaturesBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decodeFeaturesBatched(df: DataFrame, batchSize: Int = 64,
+      decoder: MediaDecoder = StrideDecoder): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
@@ -120,13 +173,13 @@ object MediaOps {
       col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes")))
     projected.mapPartitions { it: Iterator[Row] =>
       it.grouped(batchSize).flatMap { batch =>
-        // ==== STUB ==== a real codec would process `batch` vectorized here
-        batch.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          val hex = java.security.MessageDigest.getInstance("MD5")
-            .digest(payload).map("%02x".format(_)).mkString
+        // the whole batch goes through the decoder seam in ONE call — the
+        // vectorized-codec shape ([[MediaDecoder.decodeBatch]])
+        val feats = decoder.decodeBatch(batch.map(r =>
+          (r.getAs[Array[Byte]]("payload"), r.getAs[String]("format"))))
+        batch.lazyZip(feats).map { (r, f) =>
           Row(r.getAs[Long]("media_id"), r.getAs[String]("format"),
-            r.getAs[Long]("n_bytes"), fakeFeatures(hex).toSeq)
+            r.getAs[Long]("n_bytes"), f.toSeq)
         }
       }
     }(encoder)
@@ -148,8 +201,13 @@ object MediaOps {
     * oracle, the DuckDB replay selects chars where Spark selects bytes:
     * valid under the spec-asserted ASCII-payload precondition.
     */
-  def resizePayload(media: DataFrame, targetBytes: Int = 64): DataFrame = {
+  def resizePayload(media: DataFrame, targetBytes: Int = 64,
+      decoder: MediaDecoder = StrideDecoder): DataFrame = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    // foreign codecs resample in the row path; the default stride decoder
+    // keeps the codegen'd Column spelling (differential in MediaDecoderSpec)
+    if (!(decoder eq StrideDecoder))
+      return resizeRows(media, targetBytes, decoder)
     media
       .withColumn("_stride", greatest(
         expr(s"(meta.n_bytes + ${targetBytes - 1}) div $targetBytes"), lit(1L)))
@@ -166,5 +224,37 @@ object MediaOps {
         col("_stride").as("stride"),
         octet_length(col("resized")).cast("long").as("new_bytes"),
         md5(encode(col("resized"), "UTF-8")).as("resized_digest"))
+  }
+
+  /** The decoder-generic row path behind [[resizePayload]]: same schema and
+    * metadata columns (`stride` stays the REQUESTED decimation factor
+    * ceil(n / targetBytes) — a signal-domain codec may resample any way it
+    * likes as long as the <= targetBytes output bound holds, which is
+    * asserted per row), content columns from `decoder.resize`. Narrow
+    * per-partition map, no exchange.
+    */
+  private[operators] def resizeRows(media: DataFrame, targetBytes: Int,
+      decoder: MediaDecoder): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("orig_bytes", LongType),
+      StructField("stride", LongType),
+      StructField("new_bytes", LongType),
+      StructField("resized_digest", StringType)))
+    val projected = Spread(media.select(col("media_id"), col("payload"),
+      col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes")))
+    projected.mapPartitions { it: Iterator[Row] =>
+      it.map { r =>
+        val nBytes = r.getAs[Long]("n_bytes")
+        val resized = decoder.resize(r.getAs[Array[Byte]]("payload"),
+          r.getAs[String]("format"), targetBytes)
+        require(resized.length <= targetBytes,
+          s"decoder broke the resize bound: ${resized.length} > $targetBytes " +
+            s"bytes for media_id=${r.getAs[Long]("media_id")}")
+        Row(r.getAs[Long]("media_id"), nBytes,
+          math.max(1L, (nBytes + targetBytes - 1) / targetBytes),
+          resized.length.toLong, md5Hex(resized))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

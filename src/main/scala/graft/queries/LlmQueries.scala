@@ -18,14 +18,25 @@ object LlmQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash + LSH banding, verified by exact 3-gram jaccard >= 0.5.
+    // Bounded oracle fixture (r13 verdict item 3): the row reads docs
+    // 0..499 — the WHOLE corpus at sf <= 0.01 (hashes unchanged there) and
+    // a fixed 500-doc slice above, so the DuckDB replay (a brute-force
+    // O(n^2) gram-intersect join) fits any per-query budget at every
+    // scale instead of deferring at sf >= 0.1. Engine-side scale evidence
+    // for the uncapped operator is VolumeBench "dedup" + the sf1 ladder.
     "dedup_minhash" -> { (s, d) =>
-      TextDedup.minhashDuplicates(Tables.documents(s, d), "doc_id", "text")
+      TextDedup.minhashDuplicates(
+        Tables.documents(s, d).filter(col("doc_id") < oracleDocCap),
+        "doc_id", "text")
     },
 
     // Exact 4-gram jaccard via prefix filtering (recall 1 by construction;
-    // the probabilistic LSH counterpart is dedup_minhash).
+    // the probabilistic LSH counterpart is dedup_minhash). Same bounded
+    // oracle fixture as dedup_minhash.
     "dedup_ngram" -> { (s, d) =>
-      TextDedup.ngramJaccardDuplicates(Tables.documents(s, d), "doc_id", "text")
+      TextDedup.ngramJaccardDuplicates(
+        Tables.documents(s, d).filter(col("doc_id") < oracleDocCap),
+        "doc_id", "text")
     },
 
     // SimHash 64-bit near-dup (chunk-bucketed candidates, exact hamming).
@@ -114,8 +125,12 @@ object LlmQueries {
     // lists bound the scanned fraction, PQ codes bound the bytes per
     // scanned row; exact rerank of the k*refine survivors. Oracle replays
     // both prunings end to end.
+    // Bounded oracle fixture (r13 verdict item 3): vec_id < 500 is the
+    // whole table at sf <= 0.01 (hashes unchanged) and a fixed 500-vector
+    // slice above — the composed two-pruning CTE replay was ~30 CPU-min at
+    // sf0.1's 2000 vectors and deferred; it now fits every budget.
     "ann_ivf_pq" -> { (s, d) =>
-      val e = Tables.embeddings(s, d)
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < oracleDocCap)
       val q = e.filter(col("vec_id") % 50 === 0)
       val idx = ProductQuantization.pqIndex(e, "vec_id", "embedding",
         m = 8, ksub = 64, dim = 64)
@@ -189,8 +204,11 @@ object LlmQueries {
     // Duplicate clusters: connected components (large-star/small-star) over
     // the exact n-gram jaccard pairs; every document labeled with its
     // component min + a canonical (survivor) flag.
+    // Bounded oracle fixture (r13 verdict item 3): the recursive-CTE
+    // connected-components replay is super-linear in edges; docs 0..499
+    // keeps it inside any budget at every scale (no-op at sf <= 0.01).
     "dedup_cluster" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < oracleDocCap)
       val pairs = TextDedup.ngramJaccardDuplicates(docs, "doc_id", "text")
       Clusters.clusterLabels(docs, "doc_id", pairs, "id_a", "id_b")
     },
@@ -430,10 +448,15 @@ object LlmQueries {
     // out of the exact-signature group (jaccard 1.0, pair count exactly
     // C(group, 2)) while the untouched near-dup pairs still arrive
     // through the light banding path.
+    // Bounded oracle fixture (r13 verdict item 3): corpus capped to docs
+    // 0..499 like dedup_minhash (no-op at sf <= 0.01); the plant condition
+    // keeps its historical `< 5000` conjunct (redundant under the cap).
     "dedup_minhash_hot" -> { (s, d) =>
-      val planted = Tables.documents(s, d).select(col("doc_id"),
-        when(col("doc_id") % 5 === 0 && col("doc_id") < 5000, lit(boilerText))
-          .otherwise(col("text")).as("text"))
+      val planted = Tables.documents(s, d)
+        .filter(col("doc_id") < oracleDocCap)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0 && col("doc_id") < 5000, lit(boilerText))
+            .otherwise(col("text")).as("text"))
       TextDedup.minhashDuplicates(planted, "doc_id", "text", bucketCap = 20)
     },
 
@@ -521,12 +544,29 @@ object LlmQueries {
       "use in source and binary forms with or without modification are " +
       "permitted provided that the following conditions are met"
 
+  /** Bounded-oracle-fixture cap (r13 verdict item 3). The five rows whose
+    * DuckDB replay is super-linear (brute-force pair joins, recursive-CTE
+    * components, the composed IVF+PQ CTE) read only ids below this cap:
+    * the WHOLE table at sf <= 0.01 (ids there are 0..499, so the filter is
+    * a no-op and historical hashes are unchanged) and a fixed 500-row
+    * slice at larger scales, so the oracle compare fits any per-query
+    * budget at every sf instead of deferring. Engine-side scale evidence
+    * for the uncapped operators lives in VolumeBench's dedup/joins ladders
+    * and the sf1 bench runs of the library functions.
+    */
+  private[queries] val oracleDocCap = 500
+
   private val docsCte =
     "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)"
 
+  /** [[docsCte]] restricted to the bounded oracle fixture. */
+  private val cappedDocsCte =
+    "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS words " +
+      s"FROM documents WHERE doc_id < $oracleDocCap)"
+
   val oracle: Map[String, String] = Map(
     "dedup_minhash" ->
-      s"""$docsCte,
+      s"""$cappedDocsCte,
          |sh AS (SELECT doc_id,
          |         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
          |                        for i in range(1, greatest(len(words) - 1, 2))]) AS grams
@@ -541,7 +581,7 @@ object LlmQueries {
     // prefix filtering is exact, so the oracle is the brute-force jaccard
     // join — no candidate-generation replay needed
     "dedup_ngram" ->
-      s"""$docsCte,
+      s"""$cappedDocsCte,
          |sh AS (SELECT doc_id,
          |         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
          |                        for i in range(1, greatest(len(words) - 2, 2))]) AS grams
@@ -648,7 +688,8 @@ object LlmQueries {
         |WHERE rank <= 5""".stripMargin,
 
     "ann_ivf_pq" ->
-      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE vec_id < $oracleDocCap),
         |mm AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM n),
         |sti AS (SELECT greatest(25,
         |                CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT),
@@ -817,8 +858,9 @@ object LlmQueries {
     // transitive closure over the same 4-gram jaccard pairs dedup_ngram
     // checks; cluster id = min reachable doc id (component min)
     "dedup_cluster" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+      s"""WITH RECURSIVE d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+        |  WHERE doc_id < $oracleDocCap),
         |sh AS (SELECT doc_id,
         |         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
         |                        for i in range(1, greatest(len(words) - 2, 2))]) AS grams
@@ -836,7 +878,7 @@ object LlmQueries {
         |SELECT doc.doc_id,
         |       COALESCE(lbl.root, doc.doc_id) AS cluster_id,
         |       CAST(COALESCE(lbl.root, doc.doc_id) = doc.doc_id AS INT) AS canonical
-        |FROM documents doc LEFT JOIN lbl ON lbl.n = doc.doc_id""".stripMargin,
+        |FROM d doc LEFT JOIN lbl ON lbl.n = doc.doc_id""".stripMargin,
 
     // same md5 bucket (first 4 hex digits mod 100) and the same lang-id
     // scoring text_quality replays; keep pct: en 10, es/de/fr/zh 40
@@ -1040,7 +1082,7 @@ object LlmQueries {
       s"""WITH d AS (SELECT doc_id,
          |             CASE WHEN doc_id % 5 = 0 AND doc_id < 5000 THEN '$boilerText'
          |                  ELSE text END AS text
-         |           FROM documents),
+         |           FROM documents WHERE doc_id < $oracleDocCap),
          |w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM d),
          |sh AS (SELECT doc_id,
          |         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]

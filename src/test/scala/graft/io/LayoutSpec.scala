@@ -125,4 +125,78 @@ class LayoutSpec extends SparkSpec {
       s"re-compaction should be stable, got $n2 files")
     assert(spark.read.parquet(dir).count() == before.getLong(0))
   }
+
+  /** A FileSystem that throws on the Nth mutating operation (rename or
+    * delete) — the crash-injection seam for the compact swap protocol.
+    */
+  private class FailingFs(underlying: org.apache.hadoop.fs.FileSystem,
+                          failAt: Int)
+      extends org.apache.hadoop.fs.FilterFileSystem(underlying) {
+    private var ops = 0
+    private def tick(): Unit = {
+      ops += 1
+      if (ops == failAt) throw new java.io.IOException(s"injected crash (op $ops)")
+    }
+    override def rename(src: org.apache.hadoop.fs.Path,
+                        dst: org.apache.hadoop.fs.Path): Boolean = {
+      tick(); super.rename(src, dst)
+    }
+    override def delete(p: org.apache.hadoop.fs.Path,
+                        recursive: Boolean): Boolean = {
+      tick(); super.delete(p, recursive)
+    }
+  }
+
+  test("compact swap survives a crash at every step: data never lost, " +
+       "recovery always restores a complete readable directory") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+    val expect = li.agg(count(lit(1)), sum("l_extendedprice")).head()
+
+    def assertComplete(dir: String): Unit = {
+      // "a reader always sees a complete directory": primary path exists
+      // and reads back the full content (old or new — never a mix/absence)
+      val got = spark.read.parquet(dir)
+        .agg(count(lit(1)), sum("l_extendedprice")).head()
+      assert(got.getLong(0) == expect.getLong(0) &&
+        math.abs(got.getDouble(1) - expect.getDouble(1))
+          < 1e-6 * math.abs(expect.getDouble(1)))
+    }
+
+    // swapCompacted has exactly 3 mutating ops: rename(main->trash),
+    // rename(compact->main), delete(trash). Kill at each in turn.
+    for (failAt <- 1 to 3) {
+      val dir = java.nio.file.Files.createTempDirectory("crash").toString + "/t"
+      li.repartition(16).write.parquet(dir)
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      // stage the rewrite exactly as compact() does, then crash mid-swap
+      val total = fs.getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
+      spark.read.parquet(dir).coalesce(2)
+        .write.mode("overwrite").parquet(dir + ".compact")
+      intercept[java.io.IOException] {
+        Layout.swapCompacted(new FailingFs(fs, failAt), dir)
+      }
+      // crash + recovery: the reader finds a complete directory again
+      Layout.recoverCompact(fs, dir)
+      assertComplete(dir)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".trash")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(dir + ".compact")),
+        s"recovery (failAt=$failAt) left swap residue")
+      // and a plain re-run (which recovers internally) lands the final state
+      val n = Layout.compact(spark, dir, targetBytes = (total + 1) / 2)
+      assert(n >= 1)
+      assertComplete(dir)
+    }
+
+    // crash BEFORE the swap (stale partial .compact from a dead writer):
+    // recovery discards it and the re-run compacts cleanly
+    val dir = java.nio.file.Files.createTempDirectory("crash").toString + "/t"
+    li.repartition(16).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    li.limit(3).write.parquet(dir + ".compact") // "partial" leftover
+    val n = Layout.compact(spark, dir)
+    assert(n >= 1)
+    assertComplete(dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".compact")))
+  }
 }

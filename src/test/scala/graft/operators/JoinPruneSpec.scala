@@ -34,6 +34,20 @@ class JoinPruneSpec extends SparkSpec {
     }
   }
 
+  test("null fact keys are dropped by the prefilter") {
+    // xxhash64 SKIPS null inputs, so without the explicit isNotNull
+    // conjunct a null key would probe the fixed positions of hash(seed)
+    // and could pass the filter whenever those bits happen to be set —
+    // this pins the documented null-free contract for direct callers
+    val dim = spark.range(100).select(col("id").as("k"))
+    val words = JoinPrune.bloomWords(dim, "k", nBits = 1 << 10)
+    val fact = spark.range(50)
+      .select(when(col("id") % 2 === 0, col("id")).as("k"))
+    val kept = JoinPrune.bloomPrefilter(fact, "k", words)
+    assert(kept.filter(col("k").isNull).count() == 0)
+    assert(kept.count() == 25) // all non-null keys are dim keys -> all pass
+  }
+
   test("no false negatives: every dim key passes its own filter") {
     val dim = spark.range(5000).select((col("id") * 37 + 11).as("k"))
     val words = JoinPrune.bloomWords(dim, "k", nBits = 1 << 16)
