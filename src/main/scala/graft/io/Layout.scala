@@ -72,6 +72,127 @@ object Layout {
     df.withColumn(out,
       mortonKey(dims.map(z => rangeBucket(z.dim, z.lo, z.hi, bits)), bits))
 
+  /** Hilbert index of two already-bucketized dims (values in [0, 2^bits))
+    * — the locality-optimal sibling of [[mortonKey]]: consecutive key
+    * values are UNIT-adjacent cells (Z-order jumps across the space at
+    * every power-of-two boundary), so a contiguous key range covers a
+    * more compact rectangle and per-file min/max bounds come out tighter
+    * at the same file count (the Hilbert option of Delta/Iceberg OPTIMIZE,
+    * built from public primitives; curve construction per Hilbert 1891 /
+    * the standard xy2d bit transform).
+    *
+    * `bits` rounds, each a pure integer CASE/bit step over (x, y, d) —
+    * fully codegen'd, no UDF. Unlike the Morton interleave (each input
+    * bit feeds ONE output term), a Hilbert round reads the previous
+    * round's x and y several times, so inlining the rounds into one
+    * Column expression would double the tree per round (~4^bits nodes —
+    * measured OOM at bits=8). [[withHilbertKey]] therefore stages each
+    * round as a PROJECTION: round columns become plan attributes computed
+    * once, generated code stays linear in `bits`, and CollapseProject
+    * keeps the stages apart because the aliases are multiply referenced.
+    * The reflection uses the full grid width (n-1-v), keeping every
+    * intermediate in [0, 2^bits) — no negative values anywhere, so SQL
+    * engines replay the rounds bit-for-bit with plain BIGINT arithmetic
+    * ([[hilbertRoundsSql]] emits the same rounds as DuckDB SQL; the JVM
+    * replica [[hilbertIndex]] and the exhaustive bijectivity +
+    * unit-adjacency property are spec-locked in LayoutSpec).
+    */
+  def withHilbertKey(df: DataFrame, x0: Column, y0: Column, bits: Int,
+                     out: String): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1, 16], got $bits")
+    val n = 1L << bits
+    val taken = df.columns.toSet
+    def nm(base: String, i: Int): String = {
+      val name = s"_gh_$base$i"
+      require(!taken(name), s"column $name already present")
+      name
+    }
+    var cur = df
+      .withColumn(nm("x", 0), x0.cast("long"))
+      .withColumn(nm("y", 0), y0.cast("long"))
+      .withColumn(nm("d", 0), lit(0L))
+    for (i <- 0 until bits) {
+      val s = n >> (i + 1)
+      val x = col(nm("x", i)); val y = col(nm("y", i)); val d = col(nm("d", i))
+      val rx = when(x.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val refl = x.bitwiseAND(lit(s)) > 0 && !(y.bitwiseAND(lit(s)) > 0)
+      val swap = !(y.bitwiseAND(lit(s)) > 0)
+      val xr = when(refl, lit(n - 1) - x).otherwise(x)
+      val yr = when(refl, lit(n - 1) - y).otherwise(y)
+      cur = cur.withColumns(Map(
+        nm("d", i + 1) -> (d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)),
+        nm("x", i + 1) -> when(swap, yr).otherwise(xr),
+        nm("y", i + 1) -> when(swap, xr).otherwise(yr)))
+    }
+    val drops = (0 to bits).flatMap(i =>
+      Seq(nm("x", i), nm("y", i), nm("d", i))).filterNot(_ == nm("d", bits))
+    cur.withColumnRenamed(nm("d", bits), out).drop(drops: _*)
+  }
+
+  /** JVM replica of [[hilbertKey]] — the differential oracle for the spec
+    * and the reference for external engines.
+    */
+  private[io] def hilbertIndex(bits: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << bits
+    var x = x0; var y = y0; var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** The same unrolled rounds as portable SQL: returns (header CTEs, final
+    * key expression) where round i reads columns `x{i} y{i} d{i}` and
+    * writes `x{i+1} y{i+1} d{i+1}`. The caller supplies a CTE named `h0`
+    * with columns (..., x0, y0, d0) where d0 = 0; the key is `d{bits}` in
+    * CTE `h{bits}`. Kept here beside the Column implementation so the two
+    * spellings can only drift together.
+    */
+  def hilbertRoundsSql(bits: Int): String = {
+    val n = 1L << bits
+    (0 until bits).map { i =>
+      val s = n >> (i + 1)
+      val j = i + 1
+      s"""h$j AS (SELECT *,
+         |  d$i + ${s * s} * xor(3 * (CASE WHEN (x$i & $s) > 0 THEN 1 ELSE 0 END),
+         |                       (CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END)) AS d$j,
+         |  CASE WHEN (y$i & $s) = 0
+         |       THEN (CASE WHEN (x$i & $s) > 0 THEN ${n - 1} - y$i ELSE y$i END)
+         |       ELSE x$i END AS x$j,
+         |  CASE WHEN (y$i & $s) = 0
+         |       THEN (CASE WHEN (x$i & $s) > 0 THEN ${n - 1} - x$i ELSE x$i END)
+         |       ELSE y$i END AS y$j
+         |  FROM h$i)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** Write `df` Hilbert-clustered on exactly two dims — [[writeZOrdered]]
+    * with the locality-optimal key.
+    */
+  def writeHilbertOrdered(df: DataFrame, path: String, dims: Seq[ZDim],
+                          bits: Int = 8, numFiles: Int = 64): Unit = {
+    require(dims.size == 2, s"hilbert layout is 2-dimensional, got ${dims.size}")
+    require(numFiles >= 1)
+    val key = "_graft_hkey"
+    require(!df.columns.contains(key), s"column $key already present")
+    withHilbertKey(df,
+        rangeBucket(dims(0).dim, dims(0).lo, dims(0).hi, bits),
+        rangeBucket(dims(1).dim, dims(1).lo, dims(1).hi, bits), bits, key)
+      .repartitionByRange(numFiles, col(key))
+      .sortWithinPartitions(key)
+      .drop(key)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write `df` Z-order-clustered on `dims` into ~`numFiles` files: key,
     * range-partition on the key (contiguous key ranges -> each file covers
     * a compact rectangle-ish region of the dim space -> tight per-file

@@ -415,6 +415,28 @@ object RelationalQueries {
           max(floor(col("l_extendedprice"))).as("max_p"))
     },
 
+    // Hilbert-curve layout ([[graft.io.Layout.hilbertKey]]): the
+    // locality-optimal sibling of layout_zorder — same dims, same static
+    // bounds, same 256-bucket min/max hash lock, but consecutive key
+    // values are UNIT-adjacent cells, so the arbitrary (unaligned) key
+    // ranges real file boundaries cut have tighter bounding boxes than
+    // Z-order's (Moon et al. 1996; the average-semi-perimeter win is
+    // spec-measured in LayoutSpec). The oracle replays the xy2d rounds
+    // bit-for-bit from the same generator the Spark expression uses.
+    "layout_hilbert" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      graft.io.Layout.withHilbertKey(li,
+          graft.io.Layout.rangeBucket(col("l_quantity"), 1L, 50L, 8),
+          graft.io.Layout.rangeBucket(floor(col("l_extendedprice")),
+            900L, 105000L, 8), 8, "hkey")
+        .groupBy(shiftright(col("hkey"), 8).as("hbucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("l_quantity")).cast("long").as("min_q"),
+          max(col("l_quantity")).cast("long").as("max_q"),
+          min(floor(col("l_extendedprice"))).as("min_p"),
+          max(floor(col("l_extendedprice"))).as("max_p"))
+    },
+
     // Bloom-pruned join ([[graft.operators.JoinPrune]]): a selective dim
     // (urgent orders, ~20%) broadcast as a bloom filter that prefilters
     // lineitem BEFORE its shuffle. No false negatives -> output provably
@@ -711,6 +733,8 @@ object RelationalQueries {
 
     "layout_zorder" -> layoutZorderOracle,
 
+    "layout_hilbert" -> layoutHilbertOracle,
+
     // the bloom prefilter only removes rows the join would drop anyway —
     // the oracle is the plain filtered join
     "bloom_join" ->
@@ -754,6 +778,31 @@ object RelationalQueries {
        |       CAST(min(p) AS BIGINT) AS min_p,
        |       CAST(max(p) AS BIGINT) AS max_p
        |FROM z GROUP BY zbucket""".stripMargin
+  }
+
+  /** Hilbert replay: the same clamp/scale bucketization as the Z-order
+    * oracle, then the xy2d rounds emitted by the SAME generator the Spark
+    * expression unrolls from ([[graft.io.Layout.hilbertRoundsSql]]) —
+    * the two spellings can only drift together. All intermediates stay in
+    * [0, 256): plain BIGINT arithmetic in any engine.
+    */
+  private lazy val layoutHilbertOracle: String = {
+    val rounds = graft.io.Layout.hilbertRoundsSql(8)
+    s"""WITH h0 AS (SELECT
+       |    ((least(greatest(CAST(l_quantity AS BIGINT), 1), 50) - 1) * 255)
+       |      // 49 AS x0,
+       |    ((least(greatest(CAST(floor(l_extendedprice) AS BIGINT), 900),
+       |      105000) - 900) * 255) // 104100 AS y0,
+       |    CAST(0 AS BIGINT) AS d0,
+       |    l_quantity, floor(l_extendedprice) AS p
+       |  FROM lineitem),
+       |$rounds
+       |SELECT d8 >> 8 AS hbucket, count(*) AS cnt,
+       |       CAST(min(l_quantity) AS BIGINT) AS min_q,
+       |       CAST(max(l_quantity) AS BIGINT) AS max_q,
+       |       CAST(min(p) AS BIGINT) AS min_p,
+       |       CAST(max(p) AS BIGINT) AS max_p
+       |FROM h8 GROUP BY hbucket""".stripMargin
   }
 
   /** The [[graft.operators.Sketches.hash48]] replay: DuckDB lacks

@@ -56,6 +56,107 @@ class LayoutSpec extends SparkSpec {
     assert(seq.zip(seq.tail).forall { case (x, y) => x <= y })
   }
 
+  test("hilbertKey: column expression == JVM replica, exhaustively; the " +
+       "index is a true Hilbert curve (bijective, unit-adjacent)") {
+    import spark.implicits._
+    // exhaustive at bits=4 (256 cells): staged column rounds == JVM replica
+    val all = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = Layout.withHilbertKey(all.toDF("x", "y"),
+        col("x"), col("y"), 4, "h")
+      .select(col("x"), col("y"), col("h"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, h) =>
+      assert(h == Layout.hilbertIndex(4, x, y), s"($x, $y)")
+    }
+    // sampled at the catalog's bits=8 (the scale where a naive inlined
+    // expression tree measured OOM — the staged rounds must stay linear)
+    val rnd = new scala.util.Random(11)
+    val sample = Seq.fill(300)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    Layout.withHilbertKey(sample.toDF("x", "y"), col("x"), col("y"), 8, "h")
+      .select(col("x"), col("y"), col("h"))
+      .as[(Long, Long, Long)].collect()
+      .foreach { case (x, y, h) =>
+        assert(h == Layout.hilbertIndex(8, x, y), s"bits=8 ($x, $y)")
+      }
+    // the Hilbert property, JVM-exhaustive at bits=4 AND bits=8: every
+    // cell gets exactly one index in [0, 4^bits) and consecutive indexes
+    // are Manhattan-distance-1 neighbors (the locality guarantee Z-order
+    // lacks — morton jumps at every power-of-two boundary)
+    for (bits <- Seq(4, 8)) {
+      val n = 1 << bits
+      val cell = new Array[Long](n * n) // d -> packed (x, y)
+      java.util.Arrays.fill(cell, -1L)
+      for (x <- 0 until n; y <- 0 until n) {
+        val d = Layout.hilbertIndex(bits, x, y)
+        assert(d >= 0 && d < n.toLong * n && cell(d.toInt) == -1L,
+          s"bits=$bits: index $d not bijective")
+        cell(d.toInt) = x.toLong * n + y
+      }
+      for (d <- 0 until n * n - 1) {
+        val (x1, y1) = (cell(d) / n, cell(d) % n)
+        val (x2, y2) = (cell(d + 1) / n, cell(d + 1) % n)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"bits=$bits: step $d not unit-adjacent")
+      }
+    }
+  }
+
+  test("hilbert beats z-order on unaligned key ranges (the file-boundary " +
+       "shape): tighter average bounding boxes") {
+    // real file boundaries from repartitionByRange land at arbitrary key
+    // values, not power-of-4 blocks (where z-order is optimal by
+    // construction). Measure what a file's parquet min/max stats would
+    // expose: the bounding-box semi-perimeter of random UNALIGNED
+    // contiguous key ranges under each curve (Moon et al. 1996).
+    val bits = 8
+    val n = 1 << bits
+    val hCell = new Array[Int](n * n) // d -> x * n + y, per curve
+    val zCell = new Array[Int](n * n)
+    for (x <- 0 until n; y <- 0 until n) {
+      hCell(Layout.hilbertIndex(bits, x, y).toInt) = x * n + y
+      var z = 0
+      for (i <- 0 until bits) // morton, dim order as mortonKey(Seq(x, y))
+        z |= (((x >> i) & 1) << (i * 2)) | (((y >> i) & 1) << (i * 2 + 1))
+      zCell(z) = x * n + y
+    }
+    def semiPerimeter(cells: Array[Int], from: Int, len: Int): Long = {
+      var (xlo, xhi, ylo, yhi) = (n, -1, n, -1)
+      for (d <- from until from + len) {
+        val x = cells(d) / n; val y = cells(d) % n
+        xlo = math.min(xlo, x); xhi = math.max(xhi, x)
+        ylo = math.min(ylo, y); yhi = math.max(yhi, y)
+      }
+      (xhi - xlo).toLong + (yhi - ylo).toLong
+    }
+    val rnd = new scala.util.Random(42)
+    val trials = Seq.fill(200)(rnd.nextInt(n * n - 700))
+    val hAvg = trials.map(f => semiPerimeter(hCell, f, 700)).sum.toDouble / trials.size
+    val zAvg = trials.map(f => semiPerimeter(zCell, f, 700)).sum.toDouble / trials.size
+    assert(hAvg < zAvg,
+      f"hilbert should bound unaligned ranges tighter: $hAvg%.1f vs $zAvg%.1f")
+  }
+
+  test("hilbert layout prunes a rectangle scan at least as well as z-order") {
+    val dims = Seq(
+      Layout.ZDim(col("l_quantity"), 1L, 50L),
+      Layout.ZDim(floor(col("l_extendedprice")), 900L, 105000L))
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val hdir = java.nio.file.Files.createTempDirectory("hilbert").toString
+    Layout.writeHilbertOrdered(li, hdir, dims, bits = 8, numFiles = 16)
+    val stats = spark.read.parquet(hdir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_quantity").as("qlo"), max("l_quantity").as("qhi"),
+        min("l_extendedprice").as("plo"), max("l_extendedprice").as("phi"))
+    val total = stats.count()
+    val hit = stats.filter(col("qlo") <= 30 && col("qhi") >= 20 &&
+      col("plo") <= 40000 && col("phi") >= 20000).count()
+    assert(total == 16, s"expected 16 files, got $total")
+    assert(hit * 2 <= total, s"hilbert pruned too little: $hit/$total")
+    // re-arrangement, not a transformation
+    assert(spark.read.parquet(hdir).count() == li.count())
+  }
+
   test("z-order layout prunes a rectangle scan; a 1-col sort layout cannot") {
     val dims = Seq(
       Layout.ZDim(col("l_quantity"), 1L, 50L),
