@@ -1,18 +1,17 @@
 package graft
-
+import org.apache.spark.scheduler._
 import org.apache.spark.sql.SparkSession
 
-/** Per-query profiling harness (dev tool, not part of the library surface):
-  * separates DataFrame build, Catalyst analysis/planning, and execution
-  * time, twice per query — the second round shows steady-state cost once
-  * JIT/codegen warmup has been paid. Usage:
-  *
-  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Scratch [query ...]"
+/** Ad-hoc profiling scratchpad for the optimization rounds (not part of the
+  * driver contract). Runs one catalog query with a stage-timing listener.
+  * Usage: runMain graft.Scratch <sfDir> <query> [reps]
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = args(0)
+    val name  = args(1)
+    val reps  = if (args.length > 2) args(2).toInt else 1
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,31 +22,24 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try SparkEntry.queries("q7_filter_agg")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    spark.catalog.clearCache()
-    val names =
-      if (args.nonEmpty) args.toSeq
-      else Seq("dedup_minhash", "dedup_simhash", "dedup_ngram", "dedup_embed",
-        "ann_lsh", "ann_ivf")
-    names.foreach { name =>
-      (1 to 2).foreach { round =>
-        val t0 = System.nanoTime()
-        val df = SparkEntry.queries(name)(spark, sfDir)
-        val t1 = System.nanoTime()
-        df.queryExecution.executedPlan // force analysis + optimization
-        val t2 = System.nanoTime()
-        // full-output checksum, not count(): count lets Catalyst prune
-        // narrow per-row computations entirely (same action as Bench r8+)
-        import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
-        val n = df.agg(count(lit(1)), bit_xor(xxhash64(Bench.checksumCols(df): _*)))
-          .head().getLong(0)
-        val t3 = System.nanoTime()
-        println(f"[scratch] $name round=$round rows=$n " +
-          f"build=${(t1 - t0) / 1e9}%.2f plan=${(t2 - t1) / 1e9}%.2f " +
-          f"exec=${(t3 - t2) / 1e9}%.2f")
-        spark.catalog.clearCache()
+    val t00 = System.nanoTime()
+    def ts  = f"${(System.nanoTime() - t00) / 1e9}%8.2f"
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val ms = for {s <- si.submissionTime; c <- si.completionTime} yield c - s
+        println(f"$ts stage ${si.stageId}%4d ${si.numTasks}%4dt ${ms.getOrElse(-1L)}%7dms ${si.name.take(60)}")
       }
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        println(f"$ts job ${j.jobId}%4d start (${j.stageInfos.size} stages)")
+    })
+    for (r <- 1 to reps) {
+      val t = System.nanoTime()
+      import org.apache.spark.sql.functions.{bit_xor, count, lit, xxhash64}
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.agg(count(lit(1)), bit_xor(xxhash64(Bench.checksumCols(df): _*))).head()
+      println(f"$ts === rep $r took ${(System.nanoTime() - t) / 1e9}%.2f s")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -14,8 +14,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Resolved-relation memo, per (session, path): `spark.read.parquet`
+    * re-lists the directory and re-reads a footer for the schema on every
+    * call, which costs a driver round-trip + a one-task job PER QUERY per
+    * table (~0.1-0.2 s each across a 113-query catalog run). Reusing the
+    * analyzed DataFrame keeps the FileIndex + inferred schema — exactly
+    * what a catalog table (metastore schema) provides in production; no
+    * DATA is cached, the plan still scans parquet on every execution.
+    * Weak session keys let test suites' short-lived sessions unload.
+    */
+  private val relCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = relCache.synchronized {
+      var m = relCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        relCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$sfDir/$name.parquet",
+      p => spark.read.parquet(p))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")

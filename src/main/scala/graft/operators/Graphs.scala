@@ -73,23 +73,29 @@ object Graphs {
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    val nodes = barrier(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
+    // `_dang` (node has NO outlinks) is a static property — computed once
+    // here and carried on the rank relation, so each iteration's dangling
+    // mass is one filtered sum over the barriered ranks instead of a
+    // per-iteration anti-join (r14: the anti-join re-paid two exchanges
+    // per iteration for a set that never changes).
+    val nodes = barrier(e.select(col("src").as("node"), lit(false).as("_dang"))
+      .union(e.select(col("dst").as("node"), lit(true).as("_dang")))
+      .groupBy(col("node")).agg(min(col("_dang")).as("_dang")))
     val n = math.max(nodes.count(), 1L)
     val init = scale / n
     val withDeg = barrier(
       e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
-    val degNodes = barrier(withDeg.select(col("src").as("node")).distinct())
-    var ranks = barrier(nodes.select(col("node"), lit(init).as("rank")))
+    var ranks = barrier(nodes.select(col("node"), lit(init).as("rank"),
+      col("_dang")))
     var it = 0
     var converged = false
     while (it < iters && !converged) {
       val contrib = withDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div deg")).as("inflow"))
-      val dangling = ranks.join(degNodes, Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("_dang"))
+      val dangling = ranks.filter(col("_dang"))
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("_dang_sum"))
       val next = barrier(nodes
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
@@ -98,7 +104,8 @@ object Graphs {
         .select(col("node"), expr(
           s"((cast(${100L - dampingPct} as bigint) * cast($init as bigint)) + " +
             s"cast($dampingPct as bigint) * (coalesce(inflow, cast(0 as bigint)) + " +
-            s"_dang div cast($n as bigint))) div 100").as("rank")))
+            s"_dang_sum div cast($n as bigint))) div 100").as("rank"),
+          col("_dang")))
       if (tol > 0L) {
         // max |Δrank|: one join on the barriered relations + one aggregate;
         // both sides cover the same node set, so an inner join is total.
@@ -112,7 +119,7 @@ object Graphs {
       ranks = next
       it += 1
     }
-    (ranks, it)
+    (ranks.select(col("node"), col("rank")), it)
   }
 
   /** HITS hubs & authorities (Kleinberg, "Authoritative sources in a
@@ -139,10 +146,13 @@ object Graphs {
     *
     * Scale shape: per iteration, two edge-relation joins + two
     * map-side-combinable sums + two one-row broadcast totals (the
-    * crossJoin one-row-aggregate pattern); each half-step's score
+    * crossJoin one-row-aggregate pattern); each half-step's RAW sum
     * relation passes the same eager barrier as [[pageRank]]
-    * (`localCheckpoint`, or reliable `checkpoint()` when
-    * `checkpointDir` is set).
+    * (`localCheckpoint`, or reliable `checkpoint()` when `checkpointDir`
+    * is set) — barriering raw rather than the normalized output keeps the
+    * total's broadcast branch from re-running the edge join. Score
+    * relations stay sparse (absent node = 0) until one final densifying
+    * join against the node set.
     *
     * Returns (node, hub, auth) over nodes = distinct src ∪ dst.
     */
@@ -161,21 +171,31 @@ object Graphs {
     val init = scale / n
     /** raw = Σ over `joinKey` edges of the counterpart score; then
       * L1-normalize to Σ ≈ scale (zero-total guard → all zeros).
+      *
+      * The score relations stay SPARSE through the iteration (r14): a node
+      * absent from `scores` has score 0 and contributes nothing to any sum,
+      * and a node absent from `raw` normalizes to 0 — so the per-half-step
+      * `nodes` left-join (one exchange + join per half-step) is deferred to
+      * the single densifying join at the very end. The barrier moved from
+      * the normalized output onto `raw`: `raw` feeds BOTH the broadcast
+      * total and the normalization, and without the barrier the two
+      * branches each re-ran the edge join + sum; normalization itself is a
+      * narrow projection the next half-step's job absorbs. Per-node values
+      * are unchanged — Σ and `div` see the same integers.
       */
     def halfStep(scores: DataFrame, scoreCol: String, joinKey: String,
                  groupKey: String, outCol: String): DataFrame = {
-      val raw = e
+      val raw = barrier(e
         .join(scores.withColumnRenamed("node", joinKey), joinKey)
         .groupBy(col(groupKey).as("node"))
-        .agg(sum(col(scoreCol)).as("_raw"))
+        .agg(sum(col(scoreCol)).as("_raw")))
       val tot = raw.agg(coalesce(sum(col("_raw")), lit(0L)).as("_tot"))
-      barrier(nodes
-        .join(raw, Seq("node"), "left")
+      raw
         .crossJoin(broadcast(tot))
         .select(col("node"), expr(
           s"CASE WHEN _tot = 0 THEN cast(0 as bigint) " +
-            s"ELSE (coalesce(_raw, cast(0 as bigint)) * cast($scale as bigint))" +
-            s" div _tot END").as(outCol)))
+            s"ELSE (_raw * cast($scale as bigint))" +
+            s" div _tot END").as(outCol))
     }
     var hubs = barrier(nodes.select(col("node"), lit(init).as("hub")))
     var auths = hubs.select(col("node"), lit(0L).as("auth"))
@@ -185,6 +205,12 @@ object Graphs {
       hubs = halfStep(auths, "auth", "dst", "src", "hub")
       it += 1
     }
-    hubs.join(auths, "node")
+    // densify once: absent = zero score (identical to the per-step dense
+    // left join the loop used to carry)
+    nodes
+      .join(hubs, Seq("node"), "left")
+      .join(auths, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
   }
 }
