@@ -169,6 +169,9 @@ object TextAnalysis {
     import org.apache.spark.storage.StorageLevel
     val g = bigramGrams(docs, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK) // consumed by model AND score
+    // NOT eagerly filled (measured): the model branch and the scoring join
+    // race the cache, but the duplicated narrow pass overlaps otherwise
+    // idle cores — serializing it read +0.5 s on the sf0.1 bench
     val c2 = g.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("v"))

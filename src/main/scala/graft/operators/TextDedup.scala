@@ -103,8 +103,13 @@ object TextDedup {
                                      bucketCap: Int): DataFrame = {
     // three consumers (bucket census, light path, heavy path) — materialize
     // the narrow (id, bk) frame once instead of re-running the signature
-    // pipeline per consumer
+    // pipeline per consumer. The fill is EAGER: AQE materializes sibling
+    // stages concurrently and a task finding a partition uncached computes
+    // it itself, so a lazily-filled cache still ran the signature pipeline
+    // once per racing consumer. The one count job also fills any persisted
+    // frames BELOW keyed (signature/base caches) in the same single pass.
     val keyed = keyed0.persist(StorageLevel.MEMORY_AND_DISK)
+    keyed.count()
     val heavyBuckets = keyed.groupBy("bk").count()
       .filter(col("count") > bucketCap).select("bk")
     val lightPairs = keyed
@@ -156,6 +161,8 @@ object TextDedup {
         array_distinct(transform(shinglesOfWords(col("_w"), shingleK),
           s => xxhash64(s))).as("hs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // sh fills eagerly as a side effect of cappedPairs' keyed fill (the
+    // banding job computes and caches sh partitions on the way)
     val banded = minhashBandRows(sh, numHashes, bands)
     // identical shingle SETS <=> identical docs under jaccard: the exact
     // fallback key for boilerplate buckets
@@ -225,10 +232,13 @@ object TextDedup {
           s => xxhash64(s))).as("hs"))
       .withColumn("k", xxhash64(array_sort(col("hs"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    MinhashIndex(
-      minhashBandRows(sig.select("id", "hs"), numHashes, bands)
-        .persist(StorageLevel.MEMORY_AND_DISK),
-      sig)
+    val bandRows = minhashBandRows(sig.select("id", "hs"), numHashes, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // build the index NOW (one pass fills bands and, on the way, sig):
+    // probes fan out into concurrent stages that would otherwise each
+    // re-run the shingling while racing to fill the caches
+    bandRows.count()
+    MinhashIndex(bandRows, sig)
   }
 
   /** Incremental near-dup detection: pairs between a NEW batch and an
@@ -266,9 +276,11 @@ object TextDedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // batch band rows feed BOTH the census and the positional join —
     // persist the narrow (id, bk) frame instead of re-running the fused
-    // band loop per consumer
+    // band loop per consumer; fill eagerly (fills nsig in the same pass)
+    // so the racing consumers read cache instead of recomputing
     val nb = minhashBandRows(nsig.select("id", "hs"), numHashes, bands)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    nb.count()
     // census counts index AND batch members, so a bucket crossing the cap
     // only once both sides land in it classifies exactly like the batch
     // pipeline's cappedPairs would on the combined corpus (same cap margin,
@@ -404,6 +416,9 @@ object TextDedup {
         array_distinct(transform(shinglesOfWords(col("_w"), shingleK),
           s => xxhash64(s))).as("hs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager fill: the df-count, prefix-ranking and verify branches race
+    // this cache concurrently under AQE (one pass here, cache hits after)
+    sh.count()
     val exploded = sh.select(col("id"), size(col("hs")).as("n"),
       explode(col("hs")).as("h"))
     // global document frequency per gram (map-side partial agg)

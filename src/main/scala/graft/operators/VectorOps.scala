@@ -231,13 +231,16 @@ object VectorOps {
     val planes = hyperplanes(tables, bits, dim)
     // candidate dedup runs on bare id pairs — vector arrays join back in
     // afterwards from the cached bases, so neither the bucket join nor the
-    // distinct shuffles 64-dim payloads
+    // distinct shuffles 64-dim payloads. Fills are eager: the bucket-row
+    // branch and the join-back branch race each cache under AQE otherwise.
     val qBase = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    qBase.count()
     val cBase = Spread(corpus).select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
       .withColumn("nn", norm(col("nv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cBase.count()
     val q = bucketRows(qBase, "qid", "qv", planes)
     val c = bucketRows(cBase, "nid", "nv", planes)
     val cand = c.as("c").join(broadcast(q).as("q"),
@@ -360,12 +363,16 @@ object VectorOps {
                   cents: Array[(Long, Array[Double], Double)],
                   k: Int, nprobe: Int = 4): DataFrame = {
     require(cents.nonEmpty, "empty centroid table")
+    // eager fills: ivfSearch's assignment and join-back branches race the
+    // caches under AQE otherwise
     val cBase = Spread(corpus).select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
       .withColumn("nn", norm(col("nv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cBase.count()
     val qBase = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    qBase.count()
     ivfSearch(qBase, cBase, cents, k, nprobe)
   }
 
@@ -426,6 +433,7 @@ object VectorOps {
     val qBase = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    qBase.count() // eager fill — ivfSearch branches race the cache
     val stride = ivfStride(cBase.count(), minStride,
       centroidBudget(probeDim(cBase, "nv"), maxCentroids, maxCentroidBytes))
     // deterministic coarse centroids; the collect is bounded: ~sqrt(N) rows
@@ -586,6 +594,9 @@ object VectorOps {
     val planes = hyperplanes(tables, bitsEff, dim)
     val keyed = bucketRows(base, "id", "v", planes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill (also fills base in the same pass): census, light and
+    // heavy paths race this cache under AQE otherwise
+    keyed.count()
     val heavyBuckets = keyed.groupBy("bk").count()
       .filter(col("count") > bucketCap).select("bk")
     // over-cap buckets: exact grouping by full signature (group sizes are
@@ -647,9 +658,12 @@ object VectorOps {
     val sigk = buckets.groupBy("id")
       .agg(xxhash64(sort_array(collect_list(
         struct(col("bk.table"), col("bk.bucket"))))).as("k"))
-    EmbeddingIndex(buckets,
-      base.join(sigk, "id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val vectors = base.join(sigk, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // build the index NOW: probes fan into concurrent stages that would
+    // otherwise race to fill both caches, re-running the bucket pass
+    vectors.count()
+    EmbeddingIndex(buckets, vectors)
   }
 
   /** Write an [[EmbeddingIndex]] to `<path>/buckets` + `<path>/vectors` —
@@ -693,6 +707,7 @@ object VectorOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nbk = bucketRows(nb, "id", "v", hyperplanes(tables, bits, dim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nbk.count() // eager fill (fills nb too) — probe branches race the cache
     val nsig = nbk.groupBy("id")
       .agg(xxhash64(sort_array(collect_list(
         struct(col("bk.table"), col("bk.bucket"))))).as("k"))
@@ -857,6 +872,7 @@ object VectorOps {
         asDouble(col(vec)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // eager fill — semanticPrune branches race the cache
     semanticPrune(base, cents, threshold, clusterCap)
   }
 

@@ -335,6 +335,9 @@ object LlmQueries {
         .join(TextAnalysis.bigramLmScores(docs, "doc_id", "text")
           .select(col("doc_id"), col("mean_cond_ppm")), "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager fill: the tercile-cut broadcast branch and the final bucket
+      // join race this cache under AQE, each re-training the corpus LM
+      scored.count()
       val cuts = graft.operators.Stats.histogramQuantiles(
           scored.filter(col("mean_cond_ppm").isNotNull),
           Seq("lang"), "mean_cond_ppm", pcts = Seq(33, 66))
