@@ -231,16 +231,15 @@ object VectorOps {
     val planes = hyperplanes(tables, bits, dim)
     // candidate dedup runs on bare id pairs — vector arrays join back in
     // afterwards from the cached bases, so neither the bucket join nor the
-    // distinct shuffles 64-dim payloads. Fills are eager: the bucket-row
-    // branch and the join-back branch race each cache under AQE otherwise.
+    // distinct shuffles 64-dim payloads. NOT eagerly filled (measured):
+    // the racing consumers' duplicated narrow pass overlaps otherwise idle
+    // cores here — serializing it read +0.3-0.5 s on the sf0.1 bench.
     val qBase = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    qBase.count()
     val cBase = Spread(corpus).select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
       .withColumn("nn", norm(col("nv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cBase.count()
     val q = bucketRows(qBase, "qid", "qv", planes)
     val c = bucketRows(cBase, "nid", "nv", planes)
     val cand = c.as("c").join(broadcast(q).as("q"),
@@ -363,16 +362,12 @@ object VectorOps {
                   cents: Array[(Long, Array[Double], Double)],
                   k: Int, nprobe: Int = 4): DataFrame = {
     require(cents.nonEmpty, "empty centroid table")
-    // eager fills: ivfSearch's assignment and join-back branches race the
-    // caches under AQE otherwise
     val cBase = Spread(corpus).select(col(id).as("nid"), asDouble(col(vec)).as("nv"))
       .withColumn("nn", norm(col("nv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cBase.count()
     val qBase = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    qBase.count()
     ivfSearch(qBase, cBase, cents, k, nprobe)
   }
 
@@ -433,7 +428,6 @@ object VectorOps {
     val qBase = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    qBase.count() // eager fill — ivfSearch branches race the cache
     val stride = ivfStride(cBase.count(), minStride,
       centroidBudget(probeDim(cBase, "nv"), maxCentroids, maxCentroidBytes))
     // deterministic coarse centroids; the collect is bounded: ~sqrt(N) rows
@@ -787,7 +781,17 @@ object VectorOps {
   private def verifyGroups(groups: DataFrame, threshold: Double): DataFrame = {
     val spark = groups.sparkSession
     import spark.implicits._
-    groups.select(col("ms")).as[Seq[(Long, Seq[Double], Double)]]
+    // spread group rows round-robin before the pair loop: a group row's
+    // cost is QUADRATIC in its member count, so AQE's bytes-based
+    // partition coalescing is the wrong heuristic here — it folded the
+    // whole verify into one task whenever the member arrays were under the
+    // advisory size (observed 2 s vs 10 s bimodal walls on the same
+    // query). The explicit numPartitions pins the stage's parallelism to
+    // the deployment's core count; the extra exchange moves only the
+    // member arrays it was already shuffling into the groupBy.
+    groups.select(col("ms"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Seq[(Long, Seq[Double], Double)]]
       .flatMap { ms0 =>
         val ms = ms0.sortBy(_._1).toArray
         val out = Seq.newBuilder[(Long, Long, Double)]
