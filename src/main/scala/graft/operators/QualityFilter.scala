@@ -114,8 +114,38 @@ object QualityFilter {
         expr("_s div _n").as("quality_mean"))
   }
 
-  /** Self-train-and-score convenience (the catalog query shape). */
+  /** Self-train-and-score convenience (the catalog query shape).
+    *
+    * Unlike the external-model path, training and scoring here read the
+    * SAME corpus — so the token frame is split+exploded once and shared:
+    * the model's eager totals read fills the cache serially (no racing
+    * consumers), and the scoring tf aggregate reads it back instead of
+    * re-running the tokenization. Counts are unchanged: the shared frame
+    * carries both the label and the doc id, and each aggregate projects
+    * away the column it never used.
+    */
   def nbScores(docs: DataFrame, idCol: String, textCol: String,
-               label: Column): DataFrame =
-    nbScoresWith(docs, idCol, textCol, nbModel(docs, textCol, label))
+               label: Column): DataFrame = {
+    val toks = Spread(docs.select(col(idCol).as("doc_id"), label.as("_pos"),
+        split(lower(col(textCol)), "\\s+").as("_ws")))
+      .select(col("doc_id"), col("_pos"), explode(col("_ws")).as("word"))
+      .filter(length(col("word")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val model = modelFromCounts(toks
+      .groupBy("word")
+      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("_pos"), 0L).otherwise(1L)).as("c_neg")))
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val agg = tf.join(model.weights, Seq("word"), "left")
+      .select(col("doc_id"), col("tf"),
+        coalesce(col("wgt"), lit(model.defaultWeight)).as("wgt"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("_n"), sum(col("tf") * col("wgt")).as("_s"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_n"), lit(0L)).as("n_scored"),
+        coalesce(col("_s"), lit(0L)).as("quality_score"),
+        expr("_s div _n").as("quality_mean"))
+  }
 }

@@ -613,7 +613,12 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val w = Spread(docs.select(col(idCol).as("doc_id"), col(textCol).as("_t")))
       .select(col("doc_id"), explode(words(col("_t"))).as("word"))
+    // tf feeds BOTH the document-frequency census and the score join —
+    // persist + eager fill so the tokenization/aggregation pass runs once
+    // instead of once per racing consumer
     val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count()
     val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val wnd = Window.partitionBy("doc_id")

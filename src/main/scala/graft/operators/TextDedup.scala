@@ -232,13 +232,13 @@ object TextDedup {
           s => xxhash64(s))).as("hs"))
       .withColumn("k", xxhash64(array_sort(col("hs"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bandRows = minhashBandRows(sig.select("id", "hs"), numHashes, bands)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // build the index NOW (one pass fills bands and, on the way, sig):
-    // probes fan out into concurrent stages that would otherwise each
-    // re-run the shingling while racing to fill the caches
-    bandRows.count()
-    MinhashIndex(bandRows, sig)
+    // lazily filled (measured): eager-building the index serialized work
+    // the probe's racing consumers otherwise overlap onto idle cores —
+    // dedup_incremental read ~0.5 s slower with an eager fill here
+    MinhashIndex(
+      minhashBandRows(sig.select("id", "hs"), numHashes, bands)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      sig)
   }
 
   /** Incremental near-dup detection: pairs between a NEW batch and an
@@ -276,11 +276,10 @@ object TextDedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // batch band rows feed BOTH the census and the positional join —
     // persist the narrow (id, bk) frame instead of re-running the fused
-    // band loop per consumer; fill eagerly (fills nsig in the same pass)
-    // so the racing consumers read cache instead of recomputing
+    // band loop per consumer (lazily: the measured eager fill lost here,
+    // see minhashIndex above)
     val nb = minhashBandRows(nsig.select("id", "hs"), numHashes, bands)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    nb.count()
     // census counts index AND batch members, so a bucket crossing the cap
     // only once both sides land in it classifies exactly like the batch
     // pipeline's cappedPairs would on the combined corpus (same cap margin,

@@ -285,8 +285,11 @@ object RelationalQueries {
       val ev = Tables.events(s, d)
       val sketch = graft.operators.Sketches.cmsSketch(
         ev, col("user_id"), depth = 4, width = 256)
+      // probe set AND final join side — persist the 20-row frame so the
+      // exact top-k aggregation runs once, not once per consumer
       val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("user_id")).limit(20)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.operators.Sketches.cmsEstimate(sketch, exact, "user_id",
           depth = 4, width = 256)
         .join(exact, "user_id")
