@@ -806,9 +806,19 @@ object VectorOps {
             var s = 0.0
             var d = 0
             while (d < va.length) { s += va(d) * vb(d); d += 1 }
-            val sim = BigDecimal(s / (na * nb))
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (sim >= threshold) out += ((ida, idb, sim))
+            val raw = s / (na * nb)
+            // HALF_UP at 6 decimals moves a value by at most 5e-7, so a
+            // raw score below threshold - 1e-6 can never round up across
+            // the cut — skip the BigDecimal allocation for it. In a
+            // random-pair bucket ~all candidates take this branch, which
+            // removes the dominant per-pair cost (one BigDecimal +
+            // setScale per pair) from the quadratic loop; every score
+            // that can matter is still rounded exactly as before.
+            if (raw >= threshold - 1e-6) {
+              val sim = BigDecimal(raw)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (sim >= threshold) out += ((ida, idb, sim))
+            }
             j += 1
           }
           i += 1
