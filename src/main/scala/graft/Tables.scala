@@ -21,7 +21,12 @@ object Tables {
     * analyzed DataFrame keeps the FileIndex + inferred schema — exactly
     * what a catalog table (metastore schema) provides in production; no
     * DATA is cached, the plan still scans parquet on every execution.
-    * Weak session keys let test suites' short-lived sessions unload.
+    * Retention note: the map is weak-keyed by session, but the cached
+    * DataFrame itself references its session, so an entry lives until the
+    * map is next written after ALL external references drop — in practice
+    * entries persist for the JVM. That is bounded by construction at
+    * (#sessions x #tables) logical plans, kilobytes each; acceptable for
+    * the CLI mains and the test suites alike.
     */
   private val relCache =
     new java.util.WeakHashMap[SparkSession,
