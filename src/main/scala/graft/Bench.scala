@@ -65,21 +65,54 @@ object Bench {
   private val measured = new ConcurrentHashMap[String, (List[Double], Boolean)]()
   private val emitted  = new AtomicBoolean(false)
 
+  /** Emit the bench result. The driver records only a ~2000-char stdout
+    * TAIL, and `parsed` has been null in BENCH_r01..r14 because the one-line
+    * JSON (~10 KB once round 12 added `"readings"`) never fit it — fourteen
+    * rounds of perf adjudication from truncated tails (r14 verdict item 1).
+    * Round-15 contract-compatible fix, three sinks:
+    *
+    *   1. stdout, second-to-last line: the FULL contract JSON (metric/value/
+    *      unit/queries/failed/skipped/partial/sf, values rounded to 3
+    *      decimals). This is the same one-line shape every previous round
+    *      printed, minus `"readings"` (moved to the file; at ~2.5 KB the
+    *      queries map alone still cannot fit a 2000-char tail, so a driver
+    *      parsing the tail would still miss it — hence line 2).
+    *   2. stdout, LAST line: a compact summary (~170 chars) that always fits
+    *      the tail even after sbt's `[success]` footer, so the driver can
+    *      finally parse value/failed/skipped/partial. No `"queries"` key —
+    *      a truncated or empty map could misread as dropped queries.
+    *   3. `tools/bench_last.json`: the full JSON including `"readings"`
+    *      (every raw sample, for drift adjudication — the r12 convention).
+    *
+    * Nothing may write to stderr after this: sbt relays the forked JVM's
+    * stderr onto stdout as `[error]` lines on a separate reader thread, and
+    * a late racing line could push the compact summary out of the tail.
+    */
   private def emit(allNames: Seq[String], sfDir: String, partial: Boolean): Unit =
     if (emitted.compareAndSet(false, true)) {
+      def f3(v: Double): String = BigDecimal(v)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
       val present = allNames.flatMap(n => Option(measured.get(n)).map(n -> _))
       val qs = present
-        .map { case (k, (v, ok)) => "\"" + k + "\":" + (if (ok) v.min else -1.0) }
+        .map { case (k, (v, ok)) => "\"" + k + "\":" + (if (ok) f3(v.min) else "-1.0") }
         .mkString("{", ",", "}")
       val rs = present
-        .map { case (k, (v, _)) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+        .map { case (k, (v, _)) => "\"" + k + "\":" + v.map(f3).mkString("[", ",", "]") }
         .mkString("{", ",", "}")
       val failed  = present.count(!_._2._2)
       val skipped = allNames.size - present.size
-      val total   = present.collect { case (_, (v, true)) => v.min }.sum
-      println(
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"readings":$rs,"failed":$failed,"skipped":$skipped,"partial":$partial,"sf":"$sfDir"}"""
-      )
+      val total   = f3(present.collect { case (_, (v, true)) => v.min }.sum)
+      val common =
+        s""""value":$total,"unit":"sec","failed":$failed,"skipped":$skipped,"partial":$partial,"sf":"$sfDir""""
+      val full = s"""{"metric":"total",$common,"queries":$qs}"""
+      try {
+        val p = java.nio.file.Paths.get("tools/bench_last.json")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p,
+          s"""{"metric":"total",$common,"queries":$qs,"readings":$rs}""".getBytes("UTF-8"))
+      } catch { case _: Throwable => () } // file sink is best-effort
+      println(full)
+      println(s"""{"metric":"total",$common,"n_queries":${present.size},"full":"tools/bench_last.json"}""")
       System.out.flush()
     }
 
