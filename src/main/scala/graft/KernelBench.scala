@@ -24,6 +24,7 @@ object KernelBench {
     if (args.headOption.contains("span")) return spanMain(args.drop(1))
     if (args.headOption.contains("simhash")) return simhashMain(args.drop(1))
     if (args.headOption.contains("html")) return htmlMain(args.drop(1))
+    if (args.headOption.contains("gopher")) return gopherMain(args.drop(1))
     val nPairs = args.headOption.map(_.toInt).getOrElse(2000000)
     val dim = args.drop(1).headOption.map(_.toInt).getOrElse(64)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -115,6 +116,64 @@ object KernelBench {
         val secs = (System.nanoTime() - t0) / 1e9
         sums(name) = s
         println(f"[kernel] span-$name%6s round=$round docs=$nDocs wpd=$wpd " +
+          f"sec=$secs%.2f kdocs_per_s=${nDocs / secs / 1e3}%.1f checksum=$s")
+      }
+    }
+    require(sums.values.toSet.size == 1, s"formulations disagree: $sums")
+    spark.stop()
+  }
+
+  /** Gopher quality-statistics kernel A/B: the interpreted-HOF stack
+    * (aggregate folds, filter lambdas, array_sort + run fold, per-element
+    * bigram transform) vs the native one-call-per-row expression. Synthetic
+    * documents exercise every rule: 7-word lines, duplicated lines on every
+    * 6th doc, bullets on every 3rd, ellipses on every 4th, a looping bigram
+    * tail on every 5th, numeric words on every 7th.
+    * `sbt "runMain graft.KernelBench gopher [nDocs] [wordsPerDoc]"`.
+    */
+  private def gopherMain(args: Seq[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(100000)
+    val wpd = args.drop(1).headOption.map(_.toInt).getOrElse(120)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val id = col("doc_id")
+    val flat = array_join(transform(sequence(lit(1), lit(wpd)),
+      i => when(pmod(col("doc_id"), lit(7)) === 0, pmod(i * (id + 3), lit(500)).cast("string"))
+        .otherwise(concat(lit("tok"), pmod(i * (id + 3), lit(500))))), " ")
+    val l0 = regexp_replace(flat, "((?:\\S+ ){6}\\S+) ", "$1\n")
+    val l1 = when(id % 6 === 0, concat(l0, lit("\n"), l0)).otherwise(l0)
+    val l2 = when(id % 3 === 0,
+      concat(lit("- "), regexp_replace(l1, "\n", "\n- "))).otherwise(l1)
+    val l3 = when(id % 4 === 0,
+      concat(regexp_replace(l2, "\n", "...\n"), lit("..."))).otherwise(l2)
+    val lined = when(id % 5 === 0,
+      concat(l3, lit(" same pair" * 30))).otherwise(l3)
+    val docs = spark.range(0, nDocs, 1, cpus.toInt * 2)
+      .select(col("id").as("doc_id")).select(id, lined.as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    def checksum(df: DataFrame): Long =
+      df.agg(bit_xor(xxhash64(Bench.checksumCols(df): _*))).head().getLong(0)
+    val forms: Seq[(String, () => DataFrame)] = Seq(
+      "hof" -> (() => graft.operators.TextAnalysis
+        .gopherFrameHof(docs, "doc_id", "text")),
+      "native" -> (() => graft.operators.TextAnalysis
+        .gopherFrame(docs, "doc_id", "text")))
+    val sums = scala.collection.mutable.Map.empty[String, Long]
+    (1 to 2).foreach { round =>
+      forms.foreach { case (name, f) =>
+        val t0 = System.nanoTime()
+        val s = checksum(f())
+        val secs = (System.nanoTime() - t0) / 1e9
+        sums(name) = s
+        println(f"[kernel] gopher-$name%6s round=$round docs=$nDocs wpd=$wpd " +
           f"sec=$secs%.2f kdocs_per_s=${nDocs / secs / 1e3}%.1f checksum=$s")
       }
     }

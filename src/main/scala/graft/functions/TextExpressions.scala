@@ -393,3 +393,133 @@ object HtmlExtract {
   def htmlExtract(html: Column): Column =
     GraftSqlShim.column(HtmlExtract(GraftSqlShim.expression(html)))
 }
+
+/** Native kernel for the Gopher/MassiveText quality statistics
+  * ([[graft.operators.TextAnalysis.gopherFrame]]).
+  *
+  * The portable formulation is a stack of interpreted higher-order
+  * functions over the lines/words/bigram arrays — an `aggregate` fold for
+  * the word-length sum, three `filter` lambdas (one with `rlike`), an
+  * `array_sort` + `aggregate` run-length fold for the dominant bigram, an
+  * `array_distinct`, and a `transform` building every bigram string through
+  * per-element Catalyst lambda evaluation. All of those are CodegenFallback
+  * per ELEMENT. This expression computes the full feature struct in one JVM
+  * call per document — one word split, one line scan, one HashMap bigram
+  * census (max multiplicity == the sorted array's longest equal run), O(doc)
+  * — the [[SpanCorrupt]]/[[HtmlExtract]] stance, with the HOF frame
+  * retained as the in-test differential oracle
+  * ([[graft.operators.TextAnalysis.gopherFrameHof]]).
+  *
+  * Bit-compatibility notes (locked by the differential spec):
+  *  - words = `split(text, "\\s+")` with Spark's limit -1 (leading AND
+  *    trailing empty strings kept) — replicated via Java's
+  *    `Pattern.split(s, -1)`, the same regex engine Spark's `split` calls;
+  *  - lines = `split(text, "\n")`, limit -1, same engine (literal '\n');
+  *  - word length counts CODE POINTS (`length()` == UTF8String.numChars);
+  *  - every fraction rounds exactly like Spark's `round(x, 6)`:
+  *    `BigDecimal.valueOf(x).setScale(6, HALF_UP)` (NaN/Inf pass through).
+  */
+case class GopherStats(text: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+
+  override def child: Expression = text
+  override def inputTypes: Seq[GraftSqlShim.AbstractType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("frac_alpha_words", DoubleType, nullable = false),
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("bullet_line_frac", DoubleType, nullable = false),
+    StructField("ellipsis_line_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gopher_stats"
+
+  import GopherStats._
+
+  override def nullSafeEval(t: Any): Any = {
+    val s = t.asInstanceOf[UTF8String].toString
+
+    // ---- lines: split(text, "\n"), limit -1 (trailing empties kept)
+    var nLines = 0L
+    var nBullet = 0L
+    var nEllipsis = 0L
+    val seen = new java.util.HashSet[String]()
+    var dup = 0L
+    var from = 0
+    var done = false
+    while (!done) {
+      val nl = s.indexOf('\n', from)
+      val line = if (nl < 0) s.substring(from) else s.substring(from, nl)
+      nLines += 1
+      if (!seen.add(line)) dup += 1
+      if (line.startsWith("- ")) nBullet += 1
+      if (line.endsWith("...")) nEllipsis += 1
+      if (nl < 0) done = true else from = nl + 1
+    }
+
+    // ---- words: split(text, "\s+"), limit -1 (leading/trailing empties kept)
+    val ws = wsPattern.split(s, -1)
+    val nWords = ws.length.toLong
+    var lenSum = 0L
+    var alpha = 0L
+    var i = 0
+    while (i < ws.length) {
+      val w = ws(i)
+      lenSum += w.codePointCount(0, w.length)
+      var j = 0
+      var hasAlpha = false
+      while (!hasAlpha && j < w.length) {
+        val c = w.charAt(j)
+        hasAlpha = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+        j += 1
+      }
+      if (hasAlpha) alpha += 1
+      i += 1
+    }
+
+    // ---- dominant bigram: max multiplicity == longest equal run of the
+    // sorted bigram array the HOF formulation folds over
+    var topBigram = 0L
+    if (ws.length >= 2) {
+      val counts = new java.util.HashMap[String, Long]()
+      i = 0
+      while (i < ws.length - 1) {
+        val bg = ws(i) + " " + ws(i + 1)
+        val c = counts.merge(bg, 1L, (a, b) => a + b)
+        if (c > topBigram) topBigram = c
+        i += 1
+      }
+    }
+
+    InternalRow(nWords,
+      round6(lenSum.toDouble / nWords),
+      round6(alpha.toDouble / nWords),
+      round6(dup.toDouble / nLines),
+      round6(nBullet.toDouble / nLines),
+      round6(nEllipsis.toDouble / nLines),
+      if (nWords < 2L) 0.0 else round6(topBigram.toDouble / (nWords - 1)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
+    copy(text = newChild)
+}
+
+object GopherStats {
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Exactly Spark's `round(x, 6)` on DoubleType (HALF_UP via the
+    * `BigDecimal.valueOf` decimal rendering; NaN/Inf unchanged).
+    */
+  private def round6(v: Double): Double =
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Column wrapper: struct(n_words, mean_word_len, frac_alpha_words,
+    * dup_line_frac, bullet_line_frac, ellipsis_line_frac, top_bigram_frac).
+    */
+  def gopherStats(text: Column): Column =
+    GraftSqlShim.column(GopherStats(GraftSqlShim.expression(text)))
+}

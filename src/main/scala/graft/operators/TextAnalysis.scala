@@ -394,6 +394,38 @@ object TextAnalysis {
     */
   def gopherFrame(docs: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String): org.apache.spark.sql.DataFrame = {
+    // One native kernel call per row (graft.functions.GopherStats) instead
+    // of the interpreted-HOF stack: the fold/filter/sort/transform lambdas
+    // are CodegenFallback per ELEMENT, so every word paid several Catalyst
+    // lambda invocations (r15, guide §"expressions and codegen"; KernelBench
+    // gopher mode carries the A/B, LlmOpsSpec the bit-identical differential
+    // vs the retained HOF formulation below).
+    val st = graft.functions.GopherStats.gopherStats(col(textCol)).as("_g")
+    docs.select(col(idCol).as("doc_id"), st)
+      .select(col("doc_id"),
+        col("_g.n_words").as("n_words"),
+        col("_g.mean_word_len").as("mean_word_len"),
+        col("_g.frac_alpha_words").as("frac_alpha_words"),
+        col("_g.dup_line_frac").as("dup_line_frac"),
+        col("_g.bullet_line_frac").as("bullet_line_frac"),
+        col("_g.ellipsis_line_frac").as("ellipsis_line_frac"),
+        col("_g.top_bigram_frac").as("top_bigram_frac"),
+        (col("_g.n_words").between(50L, 100000L) &&
+          col("_g.mean_word_len").between(3.0, 10.0) &&
+          col("_g.frac_alpha_words") >= 0.8 &&
+          col("_g.dup_line_frac") <= 0.3 &&
+          col("_g.bullet_line_frac") <= 0.9 &&
+          col("_g.ellipsis_line_frac") <= 0.3 &&
+          col("_g.top_bigram_frac") <= 0.2).as("gopher_pass"))
+  }
+
+  /** The original interpreted-HOF formulation of [[gopherFrame]] — retained
+    * as the differential oracle for the [[graft.functions.GopherStats]]
+    * kernel (LlmOpsSpec asserts bit-identical frames on the planted-rule and
+    * randomized corpora; KernelBench's `gopher` mode carries the A/B).
+    */
+  def gopherFrameHof(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
     // longest equal run in the sorted bigram array = the dominant bigram's
     // occurrence count (state: previous element, current run, best run)
     def maxRun(sorted: Column): Column = aggregate(

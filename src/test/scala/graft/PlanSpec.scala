@@ -101,17 +101,17 @@ class PlanSpec extends SparkSpec {
       s"expected TakeOrderedAndProject for the top-k:\n${p.take(2000)}")
   }
 
-  test("text_gopher is a pure narrow map — zero exchanges, split pinned once") {
+  test("text_gopher is a pure narrow map — zero exchanges, native kernel") {
     val p = plan("text_gopher")
     assert(!p.contains("Exchange"),
       s"text_gopher must not shuffle:\n${p.take(2000)}")
-    // the lines/words splits and the sorted bigram array must each
-    // materialize once (collapse barriers hold); the dominant-bigram count
-    // must be the sorted-run fold, not a per-element filter scan
-    val splits = "split\\(".r.findAllIn(p).length
-    assert(splits == 2, s"expected 2 pinned splits (lines + words), found $splits")
-    assert("array_sort\\(".r.findAllIn(p).length == 1,
-      "bigram sort must run once")
+    // r15: the interpreted-HOF stack (2 splits, array_sort + folds, filter
+    // lambdas, per-element bigram transform) collapsed into ONE native
+    // gopher_stats call per row (graft.functions.GopherStats) — the plan
+    // must carry the kernel and none of the HOF machinery
+    assert(p.contains("gopher_stats"), "native gopher_stats kernel missing")
+    assert(!p.contains("array_sort"), "HOF bigram sort must be gone")
+    assert(!p.contains("aggregate("), "HOF folds must be gone")
   }
 
   test("text_fingerprint is a pure narrow map — zero exchanges") {

@@ -262,6 +262,38 @@ class LlmOpsSpec extends SparkSpec {
       s"expected 40/79 rounded, got ${got(5L).getDouble(7)}")
   }
 
+  test("gopher native kernel is bit-identical to the HOF formulation") {
+    import spark.implicits._
+    // adversarial whitespace/split shapes on top of the planted-rule docs:
+    // leading/trailing separators (empty words/lines under limit -1), \t and
+    // \f runs, empty text, bullet/ellipsis lines, a unicode word (code-point
+    // length), duplicate + looping structure
+    val rnd = new scala.util.Random(42)
+    val toks = Array("tok", "42", "a", "résumé", "- x", "...", "")
+    val randomDocs = (100L until 160L).map { i =>
+      val n = 1 + rnd.nextInt(120)
+      val sep = Array(" ", "  ", "\t", "\n", " \n ", "\f")
+      val body = (0 until n)
+        .map(_ => toks(rnd.nextInt(toks.length)))
+        .mkString(sep(rnd.nextInt(sep.length)))
+      (i, (if (rnd.nextBoolean()) " " else "") + body +
+        (if (rnd.nextBoolean()) "\n" else ""))
+    }
+    val handDocs = Seq(
+      (1L, ""), (2L, "\n\n"), (3L, "  "), (4L, "- only\n- bullets..."),
+      (5L, ("same pair " * 40).trim),
+      (6L, "a\nb\na\nb\na"), (7L, (1 to 60).map(i => s"word$i").mkString(" ")))
+    val df = (handDocs ++ randomDocs).toDF("doc_id", "text")
+    val native = TextAnalysis.gopherFrame(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val hof = TextAnalysis.gopherFrameHof(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(native.keySet == hof.keySet)
+    native.keySet.toSeq.sorted.foreach { k =>
+      assert(native(k) == hof(k), s"doc $k: native=${native(k)} hof=${hof(k)}")
+    }
+  }
+
   test("simhash: identical texts collide, planted near-dups are close") {
     import spark.implicits._
     val df = Seq(
