@@ -39,11 +39,19 @@ object Clusters extends Logging {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 50): DataFrame = {
+    // LAZY localCheckpoint everywhere in this loop (r15): the Dataset wraps
+    // the checkpoint RDD at creation either way — lineage truncation is
+    // identical — but eager=true materializes it in a dedicated job, and the
+    // `stats` aggregate that IMMEDIATELY follows each barrier is this
+    // method's sole next action, so letting stats' own job fill the
+    // checkpoint cache halves the actions per round (barrier+stats → stats).
+    // Safe from the r14 racing-consumer hazard by construction: there is no
+    // concurrent consumer — every later reader runs after stats returned.
     var e = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     def sym(d: DataFrame): DataFrame =
       d.union(d.select(col("v").as("u"), col("u").as("v")))
@@ -82,7 +90,7 @@ object Clusters extends Logging {
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false) // stats() below fills it — see the loop head
       val (curCount, curXor) = stats(ss)
       converged = curCount == prevCount && curXor == prevXor
       prevCount = curCount
