@@ -506,6 +506,115 @@ case class GopherStats(text: Expression)
     copy(text = newChild)
 }
 
+/** Native kernel for the word n-gram window array
+  * ([[graft.operators.TextAnalysis.ngramsOfWords]]).
+  *
+  * The portable formulation is `transform(sequence(0, greatest(size-n, 0)),
+  * i => concat_ws(" ", slice(ws, i+1, n)))` — an interpreted Catalyst
+  * lambda + a fresh `slice` array allocation + a `concat_ws` evaluation PER
+  * WINDOW POSITION. This expression emits the whole gram array in one JVM
+  * call per row, reusing one StringBuilder. Exact window semantics
+  * replicated (locked by the differential spec): `max(size-n, 0) + 1`
+  * windows — a row shorter than `n` words yields its single truncated
+  * window, and an empty array yields one empty-string gram, exactly like
+  * the `slice` form; `concat_ws` skips NULL elements.
+  */
+case class WordNgrams(words: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  require(n >= 1, s"need n >= 1, got $n")
+
+  override def child: Expression = words
+  override def inputTypes: Seq[GraftSqlShim.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(w: Any): Any = {
+    val ws = w.asInstanceOf[ArrayData]
+    val sz = ws.numElements()
+    val m = math.max(sz - n, 0)
+    val out = new Array[Any](m + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= m) {
+      sb.setLength(0)
+      val end = math.min(i + n, sz)
+      var j = i
+      var first = true
+      while (j < end) {
+        if (!ws.isNullAt(j)) { // concat_ws skips NULLs
+          if (!first) sb.append(' ')
+          sb.append(ws.getUTF8String(j).toString)
+          first = false
+        }
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(words = newChild)
+}
+
+object WordNgrams {
+  /** Column wrapper: array of space-joined n-gram strings. */
+  def wordNgrams(words: Column, n: Int): Column =
+    GraftSqlShim.column(WordNgrams(GraftSqlShim.expression(words), n))
+}
+
+/** Native kernel for the adjacent-bigram struct array
+  * ([[graft.operators.TextAnalysis]]'s `bigramGrams` /
+  * [[graft.operators.TextAnalysis.collocations]]): the portable
+  * `transform(sequence(...), i => struct(element_at(ws, i+1),
+  * element_at(ws, i+2)))` pays an interpreted lambda + struct allocation
+  * per pair; this emits the whole pair array in one call, referencing the
+  * input's UTF8Strings without copying. A row with fewer than 2 words
+  * yields an empty array (the `when(size >= 2, ...)` guard folded in).
+  */
+case class WordBigrams(words: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+
+  override def child: Expression = words
+  override def inputTypes: Seq[GraftSqlShim.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType), StructField("w2", StringType))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_bigrams"
+
+  override def nullSafeEval(w: Any): Any = {
+    val ws = w.asInstanceOf[ArrayData]
+    val sz = ws.numElements()
+    if (sz < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](sz - 1)
+    var prev = if (ws.isNullAt(0)) null else ws.getUTF8String(0)
+    var i = 1
+    while (i < sz) {
+      val cur = if (ws.isNullAt(i)) null else ws.getUTF8String(i)
+      out(i - 1) = InternalRow(prev, cur)
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordBigrams =
+    copy(words = newChild)
+}
+
+object WordBigrams {
+  /** Column wrapper: array<struct<w1,w2>> of adjacent word pairs. */
+  def wordBigrams(words: Column): Column =
+    GraftSqlShim.column(WordBigrams(GraftSqlShim.expression(words)))
+}
+
 object GopherStats {
   private val wsPattern = java.util.regex.Pattern.compile("\\s+")
 

@@ -192,17 +192,16 @@ object TextAnalysis {
     * built positionally (a <2-word doc yields no rows).
     */
   private def bigramGrams(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                          textCol: String): org.apache.spark.sql.DataFrame = {
-    val pairs = when(size(col("_ws")) >= 2,
-      transform(sequence(lit(0), size(col("_ws")) - 2),
-        i => struct(element_at(col("_ws"), i + 1).as("w1"),
-          element_at(col("_ws"), i + 2).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+                          textCol: String): org.apache.spark.sql.DataFrame =
+    // pair array built by the native WordBigrams kernel — one call per row
+    // instead of an interpreted transform lambda + struct allocation per
+    // pair (r15; LlmOpsSpec pins bit-equality against the HOF form, which
+    // also covers the folded-in `when(size >= 2, ...)` empty-array guard)
     Spread(docs.select(col(idCol).as("doc_id"),
         split(lower(col(textCol)), "\\s+").as("_ws")))
-      .select(col("doc_id"), explode(pairs).as("_p"))
+      .select(col("doc_id"),
+        explode(graft.functions.WordBigrams.wordBigrams(col("_ws"))).as("_p"))
       .select(col("doc_id"), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
-  }
 
   private def scoreOutput(docs: org.apache.spark.sql.DataFrame, idCol: String,
                           agg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -325,7 +324,10 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"),
         split(lower(col(textCol)), "\\s+").as("_ws"),
         monotonically_increasing_id().as("_b1"))
-      .select(col("doc_id"), ngramsOfWords(col("_ws"), n).as("_grams"),
+      // native WordNgrams kernel — one call per row instead of an
+      // interpreted lambda + slice + concat_ws per window (r15)
+      .select(col("doc_id"),
+        graft.functions.WordNgrams.wordNgrams(col("_ws"), n).as("_grams"),
         monotonically_increasing_id().as("_b2"))
       .select(col("doc_id"),
         size(col("_grams")).cast("long").as("n_grams"),
@@ -550,7 +552,11 @@ object TextAnalysis {
     // O(words²) per doc; 3.9 s → 1.9 s at 5k docs, 271k words)
     def exploded = Spread(docs.select(col(idCol).as("doc_id"),
         split(lower(col(textCol)), "\\s+").as("_ws")))
-      .select(col("doc_id"), explode(ngramsOfWords(col("_ws"), n)).as("gram"))
+      .select(col("doc_id"),
+        // native WordNgrams kernel: one call per row instead of an
+        // interpreted lambda + slice + concat_ws per window (r15;
+        // LlmOpsSpec pins bit-equality against ngramsOfWords)
+        explode(graft.functions.WordNgrams.wordNgrams(col("_ws"), n)).as("gram"))
     val candidates =
       if (minOccurrences <= 1L) exploded
       else exploded.join(
@@ -596,9 +602,9 @@ object TextAnalysis {
       .groupBy(col("t")).agg(count(lit(1)).as("n"))
     val tot = uni.agg(sum(col("n")).as("tot"))
     val pairs = base.filter(size(col("_ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(_ws) - 1), " +
-          "i -> struct(_ws[i - 1] as w1, _ws[i] as w2))")).as("_p"))
+      .select(explode(
+        // native WordBigrams kernel (r15) — see bigramGrams
+        graft.functions.WordBigrams.wordBigrams(col("_ws"))).as("_p"))
       .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minCount)

@@ -294,6 +294,46 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("word-ngram / bigram kernels are bit-identical to the HOF forms") {
+    import org.apache.spark.sql.functions.{array, col, explode_outer, expr, lit, size, transform, sequence, struct, element_at, when}
+    import spark.implicits._
+    // adversarial arrays: empty, single word, shorter-than-n, null elements
+    // (concat_ws skips them; bigram struct fields keep them), empties,
+    // repeats, a unicode token
+    val rnd = new scala.util.Random(7)
+    val toks = Array("a", "bb", "", "résumé", null, "tok", "a")
+    val rows: Seq[(Long, Seq[String])] =
+      Seq(0L -> Seq.empty[String], 1L -> Seq("solo"), 2L -> Seq("x", "y")) ++
+        (3L until 60L).map(i =>
+          i -> Seq.fill(rnd.nextInt(9))(toks(rnd.nextInt(toks.length))).toSeq)
+    val df = rows.toDF("id", "ws")
+    for (n <- Seq(2, 3, 5)) {
+      val hof = df.select(col("id"),
+        explode_outer(TextAnalysis.ngramsOfWords(col("ws"), n)).as("g"))
+        .collect().map(_.toSeq).toSeq.sorted(RowOrd)
+      val nat = df.select(col("id"),
+        explode_outer(graft.functions.WordNgrams.wordNgrams(col("ws"), n)).as("g"))
+        .collect().map(_.toSeq).toSeq.sorted(RowOrd)
+      assert(nat == hof, s"ngrams n=$n diverge")
+    }
+    val hofPairs = df.select(col("id"), explode_outer(
+      when(size(col("ws")) >= 2, transform(sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("w1"),
+          element_at(col("ws"), i + 2).as("w2"))))
+        .otherwise(expr("cast(array() as array<struct<w1:string,w2:string>>)"))).as("p"))
+      .select(col("id"), col("p.w1"), col("p.w2"))
+      .collect().map(_.toSeq).toSeq.sorted(RowOrd)
+    val natPairs = df.select(col("id"), explode_outer(
+      graft.functions.WordBigrams.wordBigrams(col("ws"))).as("p"))
+      .select(col("id"), col("p.w1"), col("p.w2"))
+      .collect().map(_.toSeq).toSeq.sorted(RowOrd)
+    assert(natPairs == hofPairs, "bigram pairs diverge")
+  }
+
+  /** Stable ordering for row-seq comparison (null-safe string render). */
+  private val RowOrd: Ordering[Seq[Any]] =
+    Ordering.by((s: Seq[Any]) => s.map(v => if (v == null) " " else v.toString).mkString("|"))
+
   test("simhash: identical texts collide, planted near-dups are close") {
     import spark.implicits._
     val df = Seq(
