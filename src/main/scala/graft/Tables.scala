@@ -27,6 +27,14 @@ object Tables {
     * entries persist for the JVM. That is bounded by construction at
     * (#sessions x #tables) logical plans, kilobytes each; acceptable for
     * the CLI mains and the test suites alike.
+    *
+    * READ-ONLY CONTRACT (r15, from the r14 advice): the memo assumes the
+    * files under a memoized path never change within a session — true for
+    * the driver-generated testdata every current caller reads. A caller
+    * that overwrites `<dir>/<name>.parquet` mid-session would otherwise
+    * see the stale FileIndex (and `spark.catalog.refreshByPath` cannot
+    * evict this memo); such a caller must invoke [[invalidate]] after the
+    * write.
     */
   private val relCache =
     new java.util.WeakHashMap[SparkSession,
@@ -44,6 +52,20 @@ object Tables {
     perSession.computeIfAbsent(s"$sfDir/$name.parquet",
       p => spark.read.parquet(p))
   }
+
+  /** Drop memoized relations so the next [[apply]] re-lists and re-reads
+    * the schema — REQUIRED after overwriting a previously-read table path
+    * in the same session (see the read-only contract above). With `path`
+    * None, every entry of the session is dropped.
+    */
+  def invalidate(spark: SparkSession, path: Option[String] = None): Unit =
+    relCache.synchronized {
+      val m = relCache.get(spark)
+      if (m != null) path match {
+        case Some(p) => m.remove(p); ()
+        case None    => m.clear()
+      }
+    }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")

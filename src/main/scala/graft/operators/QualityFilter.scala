@@ -123,6 +123,20 @@ object QualityFilter {
     * re-running the tokenization. Counts are unchanged: the shared frame
     * carries both the label and the doc id, and each aggregate projects
     * away the column it never used.
+    *
+    * CACHE LIFECYCLE (r15, the session-hygiene contract shared by every
+    * operator that persists an internal frame feeding its returned lazy
+    * plan — TextDedup signatures, VectorOps bases, TextAnalysis tf, the
+    * ccnet scored frame): the persisted frames cannot be unpersisted here
+    * (the returned plan still reads them), and the caller holds no handle,
+    * so a long-lived session must call `spark.catalog.clearCache()`
+    * between query sessions — exactly what Bench/Verify/VolumeBench do —
+    * or use the split model/score API ([[nbModel]]/[[nbScoresWith]]) whose
+    * [[NbModel.release]] unpersists the only retained state.
+    * CacheLifecycleSpec asserts the contract: repeated invocations with
+    * the clear leave zero cached entries behind (no growth), and the
+    * per-invocation residue without it is bounded by the operator's two
+    * frames.
     */
   def nbScores(docs: DataFrame, idCol: String, textCol: String,
                label: Column): DataFrame = {
