@@ -165,12 +165,26 @@ object Bench {
     // hash-agg codegen) so no family's first-hit class-load/JIT lands in a
     // timed run.
     try {
+      import org.apache.spark.sql.functions.col
       SparkEntry.queries("q7_filter_agg")(spark, sfDir).count()
       val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(120)
       graft.operators.TextDedup.minhashDuplicates(docs, "doc_id", "text").count()
       graft.operators.TextDedup.simhashDuplicates(docs, "doc_id", "text").count()
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
       graft.operators.VectorOps.embeddingDuplicates(emb, "vec_id", "embedding", 0.45).count()
+      // r15 (r14 verdict item 6): slices for the families whose first-hit
+      // class-load/JIT (~1-3 s each) previously landed in their cheapest
+      // timed member's pass-1 reading — DSL window+machine path, the text
+      // explode/aggregate pipelines, and the graph checkpoint loop
+      val ev = spark.read.parquet(s"$sfDir/events.parquet").limit(300)
+      graft.dsl.TspEngine.incidents(graft.Tables.normalizeTs(ev),
+        "value > 100 andThen event_type = 'purchase'",
+        graft.dsl.PatternConfig(keys = Seq("user_id"), tsCol = "ts")).count()
+      graft.operators.TextAnalysis.bigramLmScores(docs, "doc_id", "text").count()
+      graft.operators.TextAnalysis.gopherFrame(docs, "doc_id", "text").count()
+      val edges = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % 120).as("dst"))
+      graft.operators.Graphs.pageRank(edges, iters = 2).count()
     } catch { case _: Throwable => () }
     spark.catalog.clearCache()
     System.err.println(f"[bench] warmup done at ${elapsed}%.1f s (budget $budget%.0f s)")
