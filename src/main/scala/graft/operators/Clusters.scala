@@ -39,19 +39,18 @@ object Clusters extends Logging {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 50): DataFrame = {
-    // LAZY localCheckpoint everywhere in this loop (r15): the Dataset wraps
-    // the checkpoint RDD at creation either way — lineage truncation is
-    // identical — but eager=true materializes it in a dedicated job, and the
-    // `stats` aggregate that IMMEDIATELY follows each barrier is this
-    // method's sole next action, so letting stats' own job fill the
-    // checkpoint cache halves the actions per round (barrier+stats → stats).
-    // Safe from the r14 racing-consumer hazard by construction: there is no
-    // concurrent consumer — every later reader runs after stats returned.
+    // r15 measured-and-reverted: LAZY localCheckpoint(false) with the
+    // stats aggregate as the materializing action (halving actions per
+    // round on paper) read ~equal warm but 10-30% WORSE in the driver's
+    // cold bench shape (alternated ONLY-mode: eager 2.81/2.99 s vs lazy
+    // 3.89/3.30 s at sf0.1) — deferring materialization folds the whole
+    // round into one larger first-execution job and loses the eager
+    // barrier's stage-by-stage adaptive execution. Keep the eager form.
     var e = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint()
 
     def sym(d: DataFrame): DataFrame =
       d.union(d.select(col("v").as("u"), col("u").as("v")))
@@ -90,7 +89,7 @@ object Clusters extends Logging {
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(false) // stats() below fills it — see the loop head
+        .localCheckpoint()
       val (curCount, curXor) = stats(ss)
       converged = curCount == prevCount && curXor == prevXor
       prevCount = curCount

@@ -35,8 +35,7 @@ import org.apache.spark.sql.functions._
   * cluster passes `checkpointDir` to swap in reliable `checkpoint()`
   * against that fault-tolerant path. The one-row dangling aggregate rides
   * a broadcast crossJoin (the one-row-aggregate pattern), never a driver
-  * collect; folding it into the contrib aggregate was measured WORSE at
-  * the sf0.1 job floor (see the loop comment in [[pageRankRun]]).
+  * collect.
   */
 object Graphs {
 
@@ -90,18 +89,6 @@ object Graphs {
       col("_dang")))
     var it = 0
     var converged = false
-    // r15 measured-and-reverted: merging the dangling total into the
-    // contrib aggregate (NULL-dst rows, via static virtual (dang, NULL,
-    // deg=1) edges so `ranks` kept one consumer) and moving the barrier
-    // onto that aggregate SAVED one aggregate + exchange per iteration on
-    // paper but measured 2.9 -> 3.6-4.0 s at sf0.1 twice (88 -> 96 jobs/
-    // run): the lazy `next` join re-enters AQE planning inside every
-    // iteration's barrier job and each extra adaptive stage is one more
-    // driver round-trip — at the sf0.1 job floor that outweighs the saved
-    // two-stage aggregate over the cached rank relation. The per-iteration
-    // dangling aggregate below reads the barriered `ranks` cache and is
-    // near-free; re-test the merged shape only at scales where the
-    // aggregate's exchange carries real bytes.
     while (it < iters && !converged) {
       val contrib = withDeg
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
@@ -158,18 +145,29 @@ object Graphs {
     * via the zero-total guard instead of dividing by zero.
     *
     * Scale shape: per iteration, two edge-relation joins + two
-    * map-side-combinable ROLLUP sums (per-node groups + the L1 total in
-    * one exchange — r15; the total used to be a second aggregate in the
-    * broadcast branch) + two one-row broadcast totals (the crossJoin
-    * one-row-aggregate pattern); each half-step's rollup relation passes
-    * the same eager barrier as [[pageRank]] (`localCheckpoint`, or
-    * reliable `checkpoint()` when `checkpointDir` is set) — barriering
-    * the sums rather than the normalized output keeps the total's
-    * broadcast branch from re-running the edge join. Score relations stay
-    * sparse (absent node = 0) until one final densifying join against the
-    * node set.
+    * map-side-combinable sums + two one-row broadcast totals (the
+    * crossJoin one-row-aggregate pattern); each half-step's RAW sum
+    * relation passes the same eager barrier as [[pageRank]]
+    * (`localCheckpoint`, or reliable `checkpoint()` when `checkpointDir`
+    * is set) — barriering raw rather than the normalized output keeps the
+    * total's broadcast branch from re-running the edge join. Score
+    * relations stay sparse (absent node = 0) until one final densifying
+    * join against the node set.
     *
     * Returns (node, hub, auth) over nodes = distinct src ∪ dst.
+    */
+  /** r15 measured-and-reverted (recorded so the experiment is not
+    * re-run): fusing the L1 total into the half-step aggregate via
+    * ROLLUP (grouping sets ((node),()) — one exchange instead of the
+    * second two-stage total aggregate in the broadcast branch) read
+    * slightly BETTER warm (interleaved Scratch reps, sf0.1 2.06-2.26 vs
+    * 2.45; sf1 4.20-4.27 vs 4.33-4.43) but 15-25% WORSE in the driver's
+    * cold bench shape (alternated ONLY-mode runs: old 2.51/2.34 s vs
+    * rollup 3.11/2.70 s at sf0.1) — the Expand doubling plus the
+    * grouping-path codegen lands on first execution, which is what the
+    * bench measures. Same lesson as pageRank's dangling fold below:
+    * at the small-scale cold floor, a saved exchange over a cached tiny
+    * relation does not pay for extra first-execution machinery.
     */
   def hits(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
            checkpointDir: Option[String] = None): DataFrame = {
@@ -200,24 +198,12 @@ object Graphs {
       */
     def halfStep(scores: DataFrame, scoreCol: String, joinKey: String,
                  groupKey: String, outCol: String): DataFrame = {
-      // r15: the L1 total rides the SAME aggregate as the per-node sums via
-      // ROLLUP (grouping sets ((node), ())) — the broadcast branch used to
-      // re-run a second two-stage aggregate over the barriered raw sums
-      // every half-step; now it is a one-row filter of the cached rollup.
-      // Expand doubles the pre-combine row stream (CPU-only; the map-side
-      // combine still shrinks the shuffle to distinct nodes + 1 per task),
-      // and BIGINT sums commute, so per-node and total values are
-      // bit-identical. On an empty join both formulations yield an empty
-      // half-step output (the old raw was empty too), so the zero-guard
-      // semantics are unchanged.
-      val agg = barrier(e
+      val raw = barrier(e
         .join(scores.withColumnRenamed("node", joinKey), joinKey)
-        .select(col(groupKey).as("node"), col(scoreCol))
-        .rollup(col("node"))
-        .agg(sum(col(scoreCol)).as("_raw"), grouping(col("node")).as("_g")))
-      val tot = agg.filter(col("_g") === 1)
-        .select(coalesce(col("_raw"), lit(0L)).as("_tot"))
-      agg.filter(col("_g") === 0)
+        .groupBy(col(groupKey).as("node"))
+        .agg(sum(col(scoreCol)).as("_raw")))
+      val tot = raw.agg(coalesce(sum(col("_raw")), lit(0L)).as("_tot"))
+      raw
         .crossJoin(broadcast(tot))
         .select(col("node"), expr(
           s"CASE WHEN _tot = 0 THEN cast(0 as bigint) " +

@@ -1201,12 +1201,18 @@ class LlmOpsSpec extends SparkSpec {
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == approx)
     // repeated query batches must not accumulate cached frames (an earlier
-    // version persisted each batch's query projection and never released it)
-    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    // version persisted each batch's query projection and never released
+    // it). Suites run concurrently on one SparkContext (r15), so a raw
+    // getPersistentRDDs SIZE compare races other suites' cache churn —
+    // scope the check to RDDs whose creation site is THIS spec (a leak
+    // from these two calls materializes at the collect below and carries
+    // this file in its call site).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     ProductQuantization.pqTopK(q, "vec_id", "embedding", idx, k = 5, refine = 8).collect()
     ProductQuantization.ivfPqTopK(q, "vec_id", "embedding", idx, k = 5).collect()
-    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
-      s"query batches leaked cached frames: $cachedBefore -> ${spark.sparkContext.getPersistentRDDs.size}")
+    val leaked = (spark.sparkContext.getPersistentRDDs -- before.toSeq).values
+      .filter(_.toString.contains("LlmOpsSpec"))
+    assert(leaked.isEmpty, s"query batches leaked cached frames: $leaked")
     idx.release(); reloaded.release()
   }
 
