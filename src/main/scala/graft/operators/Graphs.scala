@@ -89,6 +89,16 @@ object Graphs {
       col("_dang")))
     var it = 0
     var converged = false
+    // r15 measured-and-reverted (recorded so the experiment is not re-run
+    // below cluster scale): folding the dangling total into the contrib
+    // aggregate — as NULL-dst union rows, then as static virtual
+    // (dangling, NULL, deg=1) edges so `ranks` kept one consumer — with
+    // the barrier moved onto the aggregate saved one aggregate + exchange
+    // per iteration on paper but measured 2.9 -> 3.6-4.0 s at sf0.1 twice
+    // (Scratch listener: 88 -> 96 jobs/run): the then-lazy `next` join
+    // re-enters AQE planning inside every iteration's barrier job, and
+    // each extra adaptive stage is one more driver round-trip. Re-test
+    // only where the aggregate's exchange carries real bytes.
     while (it < iters && !converged) {
       val contrib = withDeg
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
